@@ -1,0 +1,74 @@
+"""Catalog: load the fixture star schema and register named views.
+
+The reference's "catalog" is a Glue database + crawler + a fixed-schema
+external table over an S3 parquet prefix (reference: addons.tf:285-365).
+Spark-native equivalent: ``spark.read.parquet`` per table + temp views,
+so both the DataFrame API and ``spark.sql`` see the same names — the
+same names DuckDB pre-registers for the oracle.
+
+Scale note: at 100 TB these would be real catalog tables (partitioned,
+possibly bucketed on join keys); the loader keeps a single entry point
+so that swap is one function.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (SURVEY §2 A1): schema from footers, multi-file capable.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    read natively; we read it as int64 nanos (legacy conf) and truncate
+    to microseconds with integer DIV — bit-identical to DuckDB's own
+    ns->µs truncation, so oracle comparisons stay exact. (Float division
+    would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53.)
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table and register it as a temp view (SURVEY §2 B1).
+
+    Mirrors the reference's crawler-populated Glue database: after this,
+    ``spark.sql("SELECT ... FROM lineitem ...")`` works like Athena over
+    the crawled table (reference: addons.tf:285-297).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

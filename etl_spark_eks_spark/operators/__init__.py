@@ -1,0 +1,28 @@
+"""Operator families (SURVEY.md §2). Importing a module registers its
+queries into :mod:`etl_spark_eks_spark.registry`."""
+
+from __future__ import annotations
+
+import importlib
+
+_FAMILIES = (
+    "tier_a",
+    "filters",
+    "joins",
+    "aggregates",
+    "windows",
+    "sorts_sets",
+    "scalar_funcs",
+    "subqueries",
+    "time_windows",
+    "udfs",
+    "dedup",
+    "similarity",
+    "text_analysis",
+    "stream_queries",
+)
+
+
+def load_all() -> None:
+    for mod in _FAMILIES:
+        importlib.import_module(f"{__name__}.{mod}")

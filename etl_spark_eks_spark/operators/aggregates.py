@@ -1,0 +1,244 @@
+"""Aggregations (SURVEY §2 B17-B25).
+
+All plans are hash aggregates with map-side partial aggregation — the
+shape that scales: at 100 TB the shuffle carries only (group key,
+partial state), never raw rows. Group-by keys here are low-cardinality
+(returnflag/linestatus/nation), so the final agg is tiny regardless of
+input size; AQE coalesces the post-shuffle partitions.
+
+Float discipline: aggregates over doubles are ROUND(x, 6)-ed on both the
+Spark and oracle side (double addition order differs per engine);
+per-row arithmetic is IEEE-deterministic and stays unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import load_table, register_views
+from etl_spark_eks_spark.registry import query
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "q_b17_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_b17_pricing_summary(spark, sf_dir):
+    """B17 (flagship): TPC-H-Q1-shaped pricing summary —
+    scan -> pushed filter -> project -> partial+final hash agg -> sort.
+
+    Same macro-shape as the reference's job (scan -> transform ->
+    aggregate -> sink, pyspark-taxi-trip.py:37-51) but expressed as one
+    single-action declarative plan so Catalyst pushes the l_shipdate
+    predicate into the parquet scan and prunes to 7 columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_b18_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps
+    FROM lineitem
+    """,
+)
+def q_b18_count_distinct(spark, sf_dir):
+    """B18: exact global distinct count (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@query("q_b19_approx_cd")  # rows-only: HLL estimate is engine-specific
+def q_b19_approx_cd(spark, sf_dir):
+    """B19: HyperLogLog++ approximate count-distinct — the 100 TB path
+    (single pass, fixed memory, no expand). Tests assert <5% error vs
+    exact; the driver's check is rows-only because the estimate is
+    engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "q_b20_having",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice), 6) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    ORDER BY o_custkey
+    """,
+)
+def q_b20_having(spark, sf_dir):
+    """B20: post-aggregation filter (HAVING) — filter applies to agg output,
+    so it cannot be pushed below the agg; Catalyst keeps it above."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 8)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_b21_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_b21_rollup(spark, sf_dir):
+    """B21: hierarchical subtotals — Spark Expand + single hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "q_b22_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 6) AS sum_price,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_b22_cube(spark, sf_dir):
+    """B22: all grouping combinations (2^k expand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "q_b23_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_b23_grouping_sets(spark, sf_dir):
+    """B23: explicit grouping sets via SQL (the DataFrame API has no
+    grouping-sets builder; spark.sql is the idiomatic route)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_b24_drop_duplicates",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+    FROM lineitem
+    """,
+)
+def q_b24_drop_duplicates(spark, sf_dir):
+    """B24: distinct rows over a projected key set.
+
+    Implemented as project -> dropDuplicates so partial dedup happens
+    map-side before the shuffle (same plan as groupBy keys). Projecting
+    first is the scale-correct order: dedup on full rows would shuffle
+    every column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_linenumber").dropDuplicates()
+
+
+@query(
+    "q_b25_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_b25_revenue_by_nation(spark, sf_dir):
+    """B25: fact-dim rollup (TPC-H Q5 shape) — lineitem ⋈ orders ⋈
+    customer ⋈ nation, revenue per nation.
+
+    Scale design: nation (25 rows) and customer (dim) are broadcast; the
+    only big shuffle is lineitem ⋈ orders on orderkey. AQE picks
+    broadcast automatically below the threshold; the explicit hint makes
+    it deterministic for the tiny dims.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 6).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

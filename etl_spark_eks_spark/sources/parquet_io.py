@@ -1,0 +1,51 @@
+"""Parquet source & sink.
+
+Re-expresses the reference's only I/O path — multi-file parquet scan in,
+overwrite parquet out with an explicit output-file-count repartition
+(reference: workflow-examples/pyspark-taxi-trip.py:37,51) — as reusable
+helpers.
+
+Scale notes (100 TB):
+- Reads rely on Spark's vectorized parquet reader; predicate pushdown and
+  column pruning reach the scan automatically when callers keep plans
+  declarative (asserted in tests/test_plans.py).
+- ``partition_by`` gives directory partitioning so downstream reads prune
+  whole partitions (static + dynamic partition pruning).
+- ``target_files`` controls output file count exactly like the reference's
+  ``repartition(2)``; at scale prefer AQE coalescing or a column-based
+  ``repartition(cols)`` so files align with downstream join/agg keys.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    if target_files is not None:
+        df = df.repartition(target_files)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def scratch_path(*parts: str) -> str:
+    """Deterministic scratch dir for write-roundtrip queries/tests."""
+    base = os.path.join(tempfile.gettempdir(), "etl_spark_eks_spark")
+    path = os.path.join(base, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
