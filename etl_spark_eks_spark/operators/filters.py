@@ -1,1 +1,182 @@
-"""Placeholder — populated in this round."""
+"""Sources/sinks beyond Tier A (SURVEY §2 B1-B3) and
+filter/projection/predicate operators (B4-B7).
+
+Scale notes: every filter here is a parquet-pushable predicate
+(min/max row-group skipping at 100 TB); projections prune the read
+schema. B3's directory partitioning is the mechanism for partition
+pruning on the read side — the Spark-native form of the reference's
+Glue-partitioned output prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import TABLES, load_table, register_views
+from etl_spark_eks_spark.registry import query
+from etl_spark_eks_spark.sources.parquet_io import scratch_path, write_parquet
+
+
+@query(
+    "q_b1_register_star",
+    oracle="""
+    SELECT 'customer' AS tbl, COUNT(*) AS cnt FROM customer
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'region', COUNT(*) FROM region
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+)
+def q_b1_register_star(spark, sf_dir):
+    """B1: load + register every star-schema table as a named view (the
+    Glue-database equivalent), then count each through spark.sql."""
+    register_views(spark, sf_dir)
+    pieces = [
+        spark.sql(f"SELECT '{t}' AS tbl, COUNT(*) AS cnt FROM {t}") for t in TABLES
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q_b2_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+)
+def q_b2_json_extract(spark, sf_dir):
+    """B2: JSON field extraction from string payloads — the SQS
+    ``jsonBody: true`` event shape (reference:
+    argo-events-manifests/eventsource-sqs.yaml:13)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_id", k.alias("k_val"), "event_type")
+        .filter(F.col("k_val") >= 50)
+    )
+
+
+@query(
+    "q_b3_partitioned_write",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(l_returnflag AS VARCHAR) AS l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_b3_partitioned_write(spark, sf_dir):
+    """B3: directory-partitioned parquet write + pruned read-back of one
+    partition. The read of partition R must scan only that directory
+    (static partition pruning)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    out = scratch_path("q_b3", sf_dir.strip("/").replace("/", "_"), "lineitem_part")
+    write_parquet(li, out, mode="overwrite", partition_by=["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    # partition column round-trips as string; keep name + type explicit
+    return back.withColumn("l_returnflag", F.col("l_returnflag").cast("string"))
+
+
+@query(
+    "q_b4_filter_conj",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount < 0.05
+      AND l_returnflag = 'A'
+    """,
+)
+def q_b4_filter_conj(spark, sf_dir):
+    """B4: conjunctive range + equality predicates — all pushed to the
+    parquet scan (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") < 0.05)
+        & (F.col("l_returnflag") == "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate")
+
+
+@query(
+    "q_b5_filter_disj_in",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+       OR (o_totalprice BETWEEN 1000 AND 5000)
+       OR o_orderpriority IS NULL
+    """,
+)
+def q_b5_filter_disj_in(spark, sf_dir):
+    """B5: disjunction of IN-list, BETWEEN, IS NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        | F.col("o_totalprice").between(1000, 5000)
+        | F.col("o_orderpriority").isNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q_b6_project_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           l_quantity * 2.54 AS qty_scaled
+    FROM lineitem
+    """,
+)
+def q_b6_project_arith(spark, sf_dir):
+    """B6: derived-expression projection. Per-row IEEE double arithmetic is
+    deterministic, so no rounding is needed for oracle parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        (F.col("l_quantity") * 2.54).alias("qty_scaled"),
+    )
+
+
+@query(
+    "q_b7_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders
+    """,
+)
+def q_b7_case_when(spark, sf_dir):
+    """B7: conditional expressions — when/otherwise, coalesce, nullif."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+    )

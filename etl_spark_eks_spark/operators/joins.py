@@ -1,1 +1,288 @@
-"""Placeholder — populated in this round."""
+"""Joins (SURVEY §2 B8-B16), including a reusable as-of join.
+
+Scale design baked into each query:
+- dims (region/nation/customer/supplier/part) broadcast — no shuffle of
+  the fact side for dim joins; only fact⋈fact (lineitem⋈orders) shuffles,
+  on the join key, where AQE handles skew.
+- the as-of join shuffles BOTH sides once on the entity key and resolves
+  "latest ≤ t" with a window — no pairwise explosion beyond the key group.
+- the theta join pre-aggregates before emitting (never materializes the
+  raw cross-within-nation product to the client).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within the same ``on`` key (left outer).
+    ``left_id`` must uniquely identify left rows.
+
+    Spark has no native ASOF JOIN; the idiomatic scale path is one
+    co-partitioning of both sides on the key + a row_number window over
+    time-ordered candidates within each left row's match group — no
+    pairwise blow-up beyond the key group, no driver-side loop
+    (SURVEY §2 B15). DuckDB's native ASOF JOIN is the oracle.
+    """
+    r = right.select(
+        F.col(on).alias("__r_on"),
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    cond = (F.col(on) == F.col("__r_on")) & (F.col("__r_ts") <= F.col(left_ts))
+    joined = left.join(r, cond, "left")
+    order = [F.col("__r_ts").desc_nulls_last()]
+    if tie_break:
+        order.append(F.col(f"r_{tie_break}").desc_nulls_last())
+    w = Window.partitionBy(left_id).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__r_on", "__r_ts")
+    )
+
+
+@query(
+    "q_b8_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_b8_join_inner(spark, sf_dir):
+    """B8: FK inner equi-join; customer is a broadcastable dim."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_b9_join_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey, COUNT(*) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         sc AS (SELECT s_nationkey, COUNT(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cc.c_nationkey, sc.s_nationkey) AS nationkey,
+           cc.n_customers, sc.n_suppliers
+    FROM cc FULL OUTER JOIN sc ON cc.c_nationkey = sc.s_nationkey
+    """,
+)
+def q_b9_join_outer(spark, sf_dir):
+    """B9: full outer join with nulls possible on both sides (nations that
+    have customers but no suppliers and vice versa)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+@query(
+    "q_b10_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def q_b10_join_semi(spark, sf_dir):
+    """B10: left semi — emit left rows with >=1 match, no right columns,
+    no row multiplication (the EXISTS shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_b11_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_b11_join_anti(spark, sf_dir):
+    """B11: left anti — customers with no orders (NOT EXISTS shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_b12_join_broadcast",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 6) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_b12_join_broadcast(spark, sf_dir):
+    """B12: explicit broadcast-hint joins — zero shuffle of the fact side;
+    tests assert BroadcastHashJoin in the physical plan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_b13_join_theta",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey, COUNT(*) AS n_pairs,
+           ROUND(SUM(s.s_acctbal - c.c_acctbal), 6) AS bal_gap_sum
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_nationkey
+    """,
+)
+def q_b13_join_theta(spark, sf_dir):
+    """B13: theta join — equi key (nation) + range predicate (acctbal).
+    The equi component keeps it a hash join with a residual filter, not a
+    cartesian product; output is pre-aggregated."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    return (
+        s.join(c, cond)
+        .groupBy(s.s_nationkey.alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum(s.s_acctbal - c.c_acctbal), 6).alias("bal_gap_sum"),
+        )
+    )
+
+
+@query(
+    "q_b14_join_3way",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_b14_join_3way(spark, sf_dir):
+    """B14: TPC-H Q3 — 3-way join with selective filters on every input,
+    aggregate, global top-10 (TakeOrderedAndProject, no full sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "q_b15_join_asof",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id, c.ts AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_b15_join_asof(spark, sf_dir):
+    """B15: as-of join — for each purchase, the latest click by the same
+    user at or before the purchase. Oracle is DuckDB's native ASOF JOIN
+    (matches greatest right ts <= left ts; ties in r.ts collapse to the
+    same output value because we emit the matched ts, not a row id)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_cols=["ts"],
+    )
+
+
+@query(
+    "q_b16_cross_small",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_b16_cross_small(spark, sf_dir):
+    """B16: bounded cross join of two tiny dims (5 x 25); anything larger
+    must be an explicit opt-in — the engine never implies a cartesian."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

@@ -1,1 +1,177 @@
-"""Placeholder — populated in this round."""
+"""Scalar function surface (SURVEY §2 B37-B42): strings, regex,
+date/time, math, arrays/explode, JSON-as-map.
+
+All are JVM-side built-ins inside whole-stage codegen — no Python in the
+hot path. Oracle SQL sticks to dialect-safe constructs (DuckDB and
+Spark agree on these exact semantics; asserted by the differential
+tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.registry import query
+
+
+@query(
+    "q_b37_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           TRIM(CONCAT('  ', c_name, '  ')) AS name_trimmed,
+           LENGTH(c_name) AS name_len,
+           (c_name LIKE '%1%') AS has_one
+    FROM customer
+    """,
+)
+def q_b37_string_funcs(spark, sf_dir):
+    """B37: upper/lower/substring/trim/concat/length/like."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.col("c_name").like("%1%").alias("has_one"),
+    )
+
+
+@query(
+    "q_b38_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked,
+           regexp_matches(c_name, '[0-9]{2}') AS has_2digits
+    FROM customer
+    """,
+)
+def q_b38_regex(spark, sf_dir):
+    """B38: regexp extract/replace/match with dialect-safe patterns.
+    (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics.)"""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("masked"),
+        F.col("c_name").rlike("[0-9]{2}").alias("has_2digits"),
+    )
+
+
+@query(
+    "q_b39_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo
+    FROM orders
+    """,
+)
+def q_b39_date_funcs(spark, sf_dir):
+    """B39: year/month/day, date_trunc, day difference, month arithmetic
+    (both engines clamp month-end: Jan 31 + 1 month = Feb 29)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        # timestamp (not date) output: date-typed cells render differently
+        # across engines' pandas conversion; timestamps are unambiguous
+        F.add_months(F.col("o_orderdate").cast("date"), 3)
+        .cast("timestamp")
+        .alias("plus3mo"),
+    )
+
+
+@query(
+    "q_b40_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000) AS abs_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           SQRT(l_extendedprice) AS price_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           ROUND(l_discount * 100, 2) AS disc_pct
+    FROM lineitem
+    """,
+)
+def q_b40_math_funcs(spark, sf_dir):
+    """B40: abs/ceil/floor/sqrt/mod/round. ceil/floor cast to BIGINT on
+    both sides (Spark returns LONG, DuckDB DOUBLE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("abs_dev"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.round(F.col("l_discount") * 100, 2).alias("disc_pct"),
+    )
+
+
+@query(
+    "q_b41_array_explode",
+    oracle="""
+    SELECT doc_id, token, len(string_split(text, ' ')) AS n_tokens
+    FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 20) t
+    """,
+)
+def q_b41_array_explode(spark, sf_dir):
+    """B41: split -> array -> explode (the UDTF shape), with array size.
+    Bounded to 20 docs so the expansion is test-sized; at scale explode
+    is partition-local (no shuffle)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode("tokens").alias("token"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "q_b42_props_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0) AS k_round
+    FROM events
+    """,
+)
+def q_b42_props_map(spark, sf_dir):
+    """B42: JSON props parsed to a typed map, then key access — the
+    parsed-payload form of B2 (from_json vs get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "map<string,int>").alias("m")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("m")["k"].alias("k"),
+        ((F.col("m")["k"] % 10) == 0).alias("k_round"),
+    )

@@ -1,1 +1,176 @@
-"""Placeholder — populated in this round."""
+"""Window functions (SURVEY §2 B26-B31).
+
+Every window here partitions by a key (customer/user) — at 100 TB that
+means one shuffle on the partition key and per-partition sorting, never
+a global sort. Unpartitioned windows (a known scale anti-pattern: all
+rows to one task) are deliberately absent.
+
+Determinism: every ORDER BY carries a unique tie-break column so
+row_number/rank/frames are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.registry import query
+
+
+@query(
+    "q_b26_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_b26_ranking(spark, sf_dir):
+    """B26: row_number / rank / dense_rank per customer by price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "q_b27_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_b27_topn_per_group(spark, sf_dir):
+    """B27: top-3 orders per customer — rank-filter; Spark pushes the
+    rank predicate into the window (WindowGroupLimit) so each partition
+    keeps only 3 rows during the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_b28_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           LAG(event_id)  OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           date_diff('second', LAG(ts) OVER w, ts) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_b28_lag_lead(spark, sf_dir):
+    """B28: lag/lead over each user's event timeline + inter-event gap.
+
+    Gap is computed on whole seconds via epoch longs (integer math —
+    identical in both engines; interval subtraction dialects differ).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # DuckDB date_diff('second', a, b) counts whole-second boundary
+    # crossings = epoch_second(b) - epoch_second(a) on truncated seconds.
+    gap = F.unix_timestamp(F.date_trunc("second", F.col("ts"))) - F.unix_timestamp(
+        F.date_trunc("second", prev_ts)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        gap.alias("gap_sec"),
+    )
+
+
+@query(
+    "q_b29_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_spend
+    FROM orders
+    """,
+)
+def q_b29_running_sum(spark, sf_dir):
+    """B29: running sum per customer over order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_spend"),
+    )
+
+
+@query(
+    "q_b30_sliding_avg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value_ma3
+    FROM events
+    """,
+)
+def q_b30_sliding_avg(spark, sf_dir):
+    """B30: 3-row sliding average of event values per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("value_ma3"),
+    )
+
+
+@query(
+    "q_b31_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_b31_ntile(spark, sf_dir):
+    """B31: ntile quartiles + percent_rank within order status."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
