@@ -1,1 +1,111 @@
-"""Placeholder — populated in this round."""
+"""True Structured Streaming queries (SURVEY §2 B48-B50): readStream +
+watermark + availableNow + checkpointed sinks — the reference's
+SQS -> Argo -> Spark chain (reference: sensor-sqs-sparkjobs.yaml:6-61)
+re-expressed Spark-native.
+
+The driver contract needs a batch DataFrame back, so each query runs its
+stream to completion into a parquet sink, then returns the read-back.
+B48/B49 are rows-only (append-mode watermarking withholds still-open
+windows, so the result is a strict subset of the batch answer — asserted
+in tests/test_streaming.py); B50 is a stateless transform, so its
+read-back equals the batch query exactly and carries a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.registry import query
+from etl_spark_eks_spark.sources.parquet_io import fresh_scratch
+from etl_spark_eks_spark.streaming.stream_ops import events_stream, run_available_now
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.strip("/").replace("/", "_")
+
+
+@query("q_b48_watermark_stream")  # rows-only: append mode withholds open windows
+def q_b48_watermark_stream(spark, sf_dir):
+    """B48: tumbling 1-hour aggregation under a 10-minute watermark.
+
+    With availableNow over at-rest files nothing is actually late; the
+    watermark's visible effect is that windows not yet closed when input
+    ends are withheld (append mode) — result ⊆ batch q_b45 result.
+    """
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b48", tag, "sink")
+    ckpt = fresh_scratch("q_b48", tag, "ckpt")
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    run_available_now(agg, sink, ckpt)
+    return spark.read.parquet(sink)
+
+
+@query("q_b49_stream_dedup")  # rows-only: stateful streaming has no SQL analogue
+def q_b49_stream_dedup(spark, sf_dir):
+    """B49: stateful exactly-once dedup on a stream that delivers every
+    event twice (the reference's at-least-once SQS redelivery, reference
+    eventsource-sqs.yaml:13-20, simulated by exploding each row x2).
+
+    dropDuplicatesWithinWatermark keeps state only inside the watermark
+    horizon — bounded memory at 100 TB, unlike an unbounded dropDuplicates.
+    """
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b49", tag, "sink")
+    ckpt = fresh_scratch("q_b49", tag, "ckpt")
+    doubled = (
+        events_stream(spark, sf_dir)
+        .withColumn("__dup", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("__dup")
+        .withWatermark("ts", "1 hour")
+    )
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    run_available_now(deduped, sink, ckpt)
+    return spark.read.parquet(sink)
+
+
+@query(
+    "q_b50_exactly_once_rerun",
+    oracle="""
+    SELECT event_id, ts, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_b50_exactly_once_rerun(spark, sf_dir):
+    """B50: the trigger chain done right — run the checkpointed pipeline
+    TWICE over the same input; the second run commits nothing new, and
+    the sink read-back equals the batch answer exactly (oracle Y).
+
+    This replaces the reference's rerun story (overwrite + committer v2,
+    'mostly idempotent, non-atomic', reference spark-operator-taxi.yaml:20)
+    with checkpoint-based exactly-once.
+    """
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b50", tag, "sink")
+    ckpt = fresh_scratch("q_b50", tag, "ckpt")
+
+    def pipeline():
+        return (
+            events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "ts", "user_id", "value")
+        )
+
+    run_available_now(pipeline(), sink, ckpt)  # first run: processes all files
+    run_available_now(pipeline(), sink, ckpt)  # rerun: no-op (checkpoint)
+    return spark.read.parquet(sink)

@@ -1,1 +1,150 @@
-"""Placeholder — populated in this round."""
+"""UDF / UDAF / UDTF surface (SURVEY §2 B51-B55).
+
+The performance ladder, worst to best, all demonstrated:
+row-at-a-time Python UDF (B51 — correctness reference only; never the
+hot path) -> Arrow-vectorized pandas UDF (B52, ~10-100x faster) ->
+grouped-map applyInPandas (B53) and grouped-agg pandas UDF (B54) for
+per-group semantics the built-ins can't express. B55 shows the UDTF
+shape (one row -> N rows) via an array-returning UDF + explode.
+
+Each query bounds its input (filter on a key prefix) so oracle
+comparison stays test-sized; the operators themselves are unbounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.registry import query
+
+
+@query(
+    "q_b51_python_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def q_b51_python_udf(spark, sf_dir):
+    """B51: scalar row-at-a-time Python UDF (IEEE-identical arithmetic to
+    the SQL oracle; Python floats ARE C doubles)."""
+
+    @F.udf(returnType=DoubleType())
+    def net_price(price: float, discount: float) -> float:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "q_b52_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def q_b52_pandas_udf(spark, sf_dir):
+    """B52: Arrow-vectorized pandas UDF (Series->Series) — the fast Python
+    path: columnar Arrow batches, numpy elementwise kernels."""
+
+    @F.pandas_udf(DoubleType())
+    def charged(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+@query(
+    "q_b53_grouped_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROUND((l_quantity - AVG(l_quantity) OVER w)
+                 / STDDEV_SAMP(l_quantity) OVER w, 6) AS qty_z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def q_b53_grouped_map(spark, sf_dir):
+    """B53: grouped-map applyInPandas — per-group normalization (z-score
+    within each returnflag). One shuffle on the group key; each group
+    processed as a single pandas frame (groups must fit an executor —
+    for skewed 100 TB groups, pre-salt or use window functions instead,
+    which is exactly what the oracle does)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        pdf = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        pdf["qty_z"] = ((q - q.mean()) / q.std(ddof=1)).round(6)
+        return pdf
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, qty_z double",
+    )
+
+
+@query(
+    "q_b54_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_b54_grouped_agg_udaf(spark, sf_dir):
+    """B54: UDAF via grouped-agg pandas UDF — quantity-weighted mean
+    price per returnflag. (ROUND to 4: the two engines sum in different
+    orders; 1e-16 relative noise on ~1e9 sums sits below 5e-5.)"""
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price")
+    )
+
+
+@query(
+    "q_b55_udtf_explode",
+    oracle="""
+    SELECT p_partkey, CAST(unnest(range(p_size % 5 + 1)) AS INTEGER) AS slot
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def q_b55_udtf_explode(spark, sf_dir):
+    """B55: UDTF shape — a UDF builds an array per row, explode emits one
+    output row per element (table-generating semantics)."""
+
+    @F.udf(returnType=ArrayType(IntegerType()))
+    def slots(size: int) -> list[int]:
+        return list(range(size % 5 + 1))
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey", F.explode(slots("p_size")).alias("slot")
+    )

@@ -49,3 +49,12 @@ def scratch_path(*parts: str) -> str:
     path = os.path.join(base, *parts)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
+
+
+def fresh_scratch(*parts: str) -> str:
+    """Scratch path wiped clean first (cold-start semantics)."""
+    import shutil
+
+    path = scratch_path(*parts)
+    shutil.rmtree(path, ignore_errors=True)
+    return path

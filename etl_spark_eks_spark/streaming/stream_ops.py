@@ -1,0 +1,70 @@
+"""Streaming building blocks: file-source streams over the events table,
+availableNow execution, and checkpointed parquet sinks.
+
+Design (100 TB / production): the same code path works with a real
+queue-backed source (Kafka/Kinesis) by swapping ``events_stream`` —
+every downstream transformation is source-agnostic. ``availableNow``
+bounds each run (the reference's "one SQS message -> one job" semantics)
+while the checkpoint carries state across runs (exactly-once).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import table_path
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream.
+
+    Streaming sources need an explicit schema; we take it from the batch
+    reader (which also handles the TIMESTAMP(NANOS) -> int64 legacy read)
+    and apply the same ns -> µs conversion.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    # File-stream sources need a DIRECTORY of arriving files; the fixture
+    # is a single file, so stage a symlink into a scratch input dir
+    # (mirrors the reference's S3 landing prefix the crawler watches).
+    from etl_spark_eks_spark.sources.parquet_io import scratch_path
+
+    indir = scratch_path(
+        "stream_in", sf_dir.strip("/").replace("/", "_"), "events", "_"
+    )[: -len("/_")]
+    os.makedirs(indir, exist_ok=True)
+    link = os.path.join(indir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(raw_schema).parquet(indir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def run_available_now(
+    df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Run a streaming DataFrame to a parquet sink until all currently-
+    available input is processed (Trigger.AvailableNow), then stop.
+
+    Rerunning with the same checkpoint is a no-op over already-committed
+    input — the exactly-once equivalent of the reference's at-least-once
+    SQS trigger + overwrite sink (SURVEY §3.1).
+    """
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
