@@ -1,0 +1,144 @@
+"""Text-analysis primitives for LLM-training-data pipelines: tokenize,
+shingles, MinHash signatures, SimHash, rolling-hash fingerprints,
+per-doc quality stats.
+
+All pure Catalyst expressions (split/transform/aggregate/xxhash64) —
+per-row, shuffle-free, codegen-compiled. The hash family is
+``xxhash64(seed_tag || token)`` which is deterministic across runs,
+executors, and Spark versions (a requirement for incremental dedup at
+100 TB: yesterday's signatures must still be valid tomorrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(text: Column | str, lowercase: bool = False) -> Column:
+    """Whitespace tokenization -> array<string> (empty tokens dropped)."""
+    t = _c(text)
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def shingles(tokens: Column | str, k: int = 3) -> Column:
+    """k-token shingles: array of space-joined consecutive k-grams.
+    Documents shorter than k tokens yield an empty array."""
+    t = _c(tokens)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+
+
+def minhash_signature(tokens: Column | str, n_hashes: int = 16) -> Column:
+    """MinHash signature: per seed s, min over distinct tokens of
+    xxhash64('mh<s>|' || token) -> array<long> of length n_hashes.
+
+    Computed entirely per-row (array_min over a transform) — the classic
+    explode+groupBy formulation shuffles every token; this shuffles
+    nothing.
+
+    NB: the per-seed lambda comes from a factory — a ``lambda t, s=s``
+    default arg would be parsed by PySpark as a 2-arg (element, index)
+    lambda and silently bind the seed to the array index.
+    """
+    toks = F.array_distinct(_c(tokens))
+
+    def hasher(seed: int):
+        prefix = F.lit(f"mh{seed}|")
+        return lambda t: F.xxhash64(F.concat(prefix, t))
+
+    return F.array(*[F.array_min(F.transform(toks, hasher(s))) for s in range(n_hashes)])
+
+
+def lsh_bands(signature: Column | str, n_bands: int, rows_per_band: int) -> Column:
+    """Split a MinHash signature into band hashes -> array<long> of
+    length n_bands; docs sharing ANY band value are candidate pairs."""
+    sig = _c(signature)
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def simhash32(tokens: Column | str) -> Column:
+    """32-bit SimHash: per bit position, sum +-1 over token hashes, take
+    the sign. Near-duplicate docs have small Hamming distance.
+
+    Per-row, no shuffle: one sequential fold over the token array
+    accumulating a 32-int array, then Horner-packed into a long.
+    Constant Python-side shifts only (Spark's shiftright wrapper does
+    not take a Column shift), and 32 bits so Horner packing (acc*2+bit)
+    can't overflow a signed long under ANSI arithmetic.
+    """
+    toks = _c(tokens)
+    n_bits = 32
+
+    def contrib(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(n_bits)
+            ]
+        )
+
+    zeros = F.array(*[F.lit(0) for _ in range(n_bits)])
+    counts = F.aggregate(
+        toks, zeros, lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b)
+    )
+    # Horner pack, MSB first: acc = acc*2 + (count>0)
+    return F.aggregate(
+        F.reverse(counts),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 2 + F.when(c > 0, 1).otherwise(0),
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of XOR)."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def rolling_fingerprint(tokens: Column | str, k: int = 3) -> Column:
+    """Document fingerprint: min rolling hash over k-token shingles
+    (winnowing's min-sampling, window = whole doc). Equal for exact
+    dups, stable under small suffix edits."""
+    sh = shingles(tokens, k)
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    ).otherwise(F.xxhash64(F.concat_ws(" ", _c(tokens))))
+
+
+def token_stats(text: Column | str) -> dict[str, Column]:
+    """Per-doc quality metrics (LLM-data curation staples)."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    distinct_n = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_tokens": n.cast("long"),
+        "n_distinct_tokens": distinct_n.cast("long"),
+        "distinct_ratio": distinct_n.cast("double") / n,
+        "avg_token_len": total_len.cast("double") / n,
+    }

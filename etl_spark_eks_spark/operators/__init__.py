@@ -19,6 +19,7 @@ _FAMILIES = (
     "dedup",
     "similarity",
     "text_analysis",
+    "multimodal",
     "stream_queries",
 )
 

@@ -1,1 +1,207 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding columns (SURVEY §2 C3/C4 + ANN):
+brute-force cosine top-k as the verified baseline, LSH-bucketed ANN as
+the scale path, embedding column stats.
+
+100 TB design notes:
+- Queries are broadcast (tiny); the corpus is never shuffled for the
+  brute-force scan — cosine is computed map-side, then only (qid, cid,
+  sim) triples move to the per-query top-k. That's O(corpus) compute and
+  O(corpus x queries) tiny-row shuffle; the right baseline up to ~1e9
+  rows before ANN is needed.
+- The ANN variant buckets the corpus by random-hyperplane signs
+  (deterministic hash-derived planes), probing only matching buckets —
+  candidate generation drops to a fraction 2^-bits of the corpus per
+  query; recall is asserted against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.vector import cosine_similarity, dot, l2_norm
+from etl_spark_eks_spark.registry import query
+
+# Shared double-precision cosine oracle fragment (bit-exact with
+# functions.vector.dot's sequential left fold — verified in tests).
+_COSINE_PAIRS_SQL = """
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings c
+"""
+
+
+def knn_cosine_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (broadcast queries x
+    map-side corpus scan -> per-query top-k window)."""
+    q = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    pairs = F.broadcast(q).crossJoin(c)
+    sim = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", "cid", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "sim", "rnk")
+    )
+
+
+@query(
+    "q_c3_knn_cosine",
+    oracle=f"""
+    WITH pairs AS ({_COSINE_PAIRS_SQL}),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid) AS rnk
+      FROM pairs)
+    SELECT qid, cid, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_c3_knn_cosine(spark, sf_dir):
+    """C3: exact top-5 cosine neighbors for query vectors vec_id < 5.
+    Double-precision end to end; ranking ties broken by cid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine_bruteforce(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@query(
+    "q_c4_embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_c4_embedding_stats(spark, sf_dir):
+    """C4: multimodal/embedding column handling — per-label cardinality,
+    dimensionality, mean L2 norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+        F.round(F.avg(l2_norm("embedding")), 6).alias("avg_norm"),
+    )
+
+
+def hyperplane_signature(vec, n_bits: int, dim: int):
+    """Random-hyperplane LSH signature as an int bucket id. Planes are
+    hash-derived (+-1 per coordinate, seeded by bit index) — fully
+    deterministic, no stored model. sign(dot(v, plane_b)) -> bit b."""
+    def signed_proj(b: int):
+        # closure factory: a default-arg lambda would be parsed by the
+        # HOF machinery as a 3-arg zip_with lambda
+        prefix = F.lit(f"plane{b}_")
+
+        def fn(x, j):
+            sign = F.when(
+                F.pmod(F.xxhash64(F.concat(prefix, j.cast("string"))), F.lit(2)) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            return x.cast("double") * sign
+
+        return fn
+
+    bits = []
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed_proj(b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out
+
+
+def knn_cosine_ann(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """ANN top-k: bucket corpus + queries by hyperplane signature, rank
+    only within the query's bucket (~2^-n_bits of the corpus). Recall vs
+    brute force is asserted in tests (same-bucket probability rises with
+    cosine similarity)."""
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        hyperplane_signature(F.col("embedding"), n_bits, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        hyperplane_signature(F.col("embedding"), n_bits, dim).alias("bucket"),
+    )
+    pairs = F.broadcast(q).join(c, "bucket")
+    sim = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", "cid", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "sim", "rnk")
+    )
+
+
+@query("q_c14_knn_ann_lsh")  # rows-only: bucketing is hash-family-specific
+def q_c14_knn_ann_lsh(spark, sf_dir):
+    """C14 (extension): LSH-bucketed approximate top-5 — the 100 TB path
+    when the corpus outgrows brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine_ann(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+def embedding_near_duplicates(
+    df: DataFrame, threshold: float = 0.95, n_bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking + exact cosine
+    verification (the semantic-dedup analogue of MinHash for text)."""
+    sig = df.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        hyperplane_signature(F.col("embedding"), n_bits, dim).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+@query("q_c15_embedding_neardup")  # rows-only: LSH blocking
+def q_c15_embedding_neardup(spark, sf_dir):
+    """C15 (extension): embedding-cosine near-duplicate pairs
+    (sim >= 0.95) with LSH candidate blocking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb)

@@ -1,1 +1,279 @@
-"""Placeholder — populated in this round."""
+"""Text analysis for LLM-training-data curation (SURVEY §2 C5/C6/C7 +
+extensions): term stats, per-doc quality metrics, TF-IDF, regex token
+counting, fingerprints, language-ID heuristic.
+
+Everything except the hash-based fingerprint is oracle-verified SQL.
+Scale: token explodes are partition-local; the only shuffles are the
+final (term) or (lang) aggregations, all with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.text import (
+    rolling_fingerprint,
+    token_stats,
+    tokenize,
+)
+from etl_spark_eks_spark.registry import query
+
+
+@query(
+    "q_c5_top_terms",
+    oracle="""
+    SELECT token, COUNT(*) AS occurrences,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS token
+          FROM documents) t
+    GROUP BY token
+    ORDER BY occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def q_c5_top_terms(spark, sf_dir):
+    """C5: corpus-wide top-20 terms with document frequency."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_c6_doc_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(len(list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> ''))), 6) AS avg_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_c6_doc_stats(spark, sf_dir):
+    """C6: per-language document statistics (the language-distribution
+    profile of a training corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(tokenize("text"))), 6).alias("avg_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@query(
+    "q_c7_tfidf",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored WHERE doc_id < 100)
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_c7_tfidf(spark, sf_dir):
+    """C7: TF-IDF — two aggregation passes (term frequency per doc,
+    document frequency per term) + a broadcast of the tiny DF side,
+    top-3 terms per doc (bounded to doc_id < 100 for the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; one lightweight count job
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@query(
+    "q_c10_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS distinct_ratio,
+           ROUND(CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks), 6)
+             AS avg_token_len,
+           (len(toks) BETWEEN 20 AND 1000
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3)
+             AS passes_quality
+    FROM t
+    """,
+)
+def q_c10_quality_score(spark, sf_dir):
+    """C10 (extension): per-doc quality metrics + a filter verdict —
+    the length/repetition gate of a training-data pipeline. (avg token
+    length derives from n_chars: single-space corpus => chars = sum(len)
+    + (n-1) separators.)"""
+    d = load_table(spark, sf_dir, "documents")
+    stats = token_stats(F.col("text"))
+    n = stats["n_tokens"]
+    distinct_ratio = F.round(stats["distinct_ratio"], 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        stats["n_distinct_tokens"].alias("n_distinct_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.round(
+            (F.col("n_chars") - n + 1).cast("double") / n, 6
+        ).alias("avg_token_len"),
+        (n.between(20, 1000) & (stats["distinct_ratio"] >= 0.3)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+@query(
+    "q_c11_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS BIGINT) AS n_bpe_ish,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                AS BIGINT) AS n_whitespace
+    FROM documents
+    """,
+)
+def q_c11_token_count_regex(spark, sf_dir):
+    """C11 (extension): token counting two ways — whitespace and a
+    BPE-ish lexer regex (letter runs / digit runs / single punct) —
+    the cost-estimation primitive for LLM data budgeting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.size(tokenize("text")).cast("long").alias("n_whitespace"),
+    )
+
+
+@query("q_c12_fingerprint")  # rows-only: xxhash64 family is Spark-specific
+def q_c12_fingerprint(spark, sf_dir):
+    """C12 (extension): rolling-hash document fingerprint over 3-token
+    shingles. Exact dups share fingerprints (asserted in tests) —
+    a cheap pre-cluster key before pairwise near-dup work."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint(tokenize("text"), 3).alias("fingerprint"),
+    )
+
+
+# Tiny per-language marker lexicons for the heuristic language scorer.
+# Real pipelines use char-n-gram models; the operator shape (score per
+# language, argmax) is identical, and this version is SQL-mirrorable.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+
+@query(
+    "q_c13_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+           CASE GREATEST(
+                  len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["en"])!r}, x))),
+                  len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["de"])!r}, x))),
+                  len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["es"])!r}, x))),
+                  len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["fr"])!r}, x))),
+                  len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["zh"])!r}, x))))
+             WHEN 0 THEN 'und'
+             WHEN len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["en"])!r}, x))) THEN 'en'
+             WHEN len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["de"])!r}, x))) THEN 'de'
+             WHEN len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["es"])!r}, x))) THEN 'es'
+             WHEN len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["fr"])!r}, x))) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+    FROM t
+    """,
+)
+def q_c13_lang_id(spark, sf_dir):
+    """C13 (extension): heuristic language ID — marker-token hit counts
+    per language, argmax with fixed precedence (en>de>es>fr>zh on ties,
+    'und' when no markers hit). The synthetic corpus shares vocabulary
+    across langs, so accuracy is meaningless here; the operator shape
+    and determinism are what's verified."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+
+    def marker_hits(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_hits(ms) for lang, ms in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "und")
+    for lang in ("en", "de", "es", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
+    )

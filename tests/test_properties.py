@@ -1,0 +1,71 @@
+"""Property-based algebraic identities (SURVEY §5.2 #5) on generated
+micro-tables: the operator algebra must hold for arbitrary inputs, not
+just the fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+keys = st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=30)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, xs, col="k"):
+    return spark.createDataFrame([(int(x),) for x in xs], f"{col} int")
+
+
+@given(a=keys, b=keys)
+@_settings
+def test_semi_plus_anti_partitions_left(spark, a, b):
+    """semi(A,B) ⊎ anti(A,B) == A — row-for-row, multiplicity preserved."""
+    da, db = _df(spark, a), _df(spark, b)
+    semi = da.join(db, "k", "left_semi")
+    anti = da.join(db, "k", "left_anti")
+    union = sorted(r["k"] for r in semi.unionAll(anti).collect())
+    assert union == sorted(a)
+
+
+@given(a=keys, b=keys)
+@_settings
+def test_union_all_counts_add(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.unionAll(db).count() == len(a) + len(b)
+
+
+@given(a=keys, b=keys)
+@_settings
+def test_intersect_within_both_except_disjoint(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    inter = {r["k"] for r in da.intersect(db).collect()}
+    assert inter == set(a) & set(b)
+    diff = {r["k"] for r in da.subtract(db).collect()}
+    assert diff == set(a) - set(b)
+
+
+@given(a=keys)
+@_settings
+def test_dropduplicates_is_set(spark, a):
+    da = _df(spark, a)
+    got = sorted(r["k"] for r in da.dropDuplicates().collect())
+    assert got == sorted(set(a))
+
+
+@given(a=keys, b=keys)
+@_settings
+def test_inner_join_cardinality(spark, a, b):
+    """|A ⋈ B| on key k = sum over keys of count_A(k) * count_B(k)."""
+    from collections import Counter
+
+    da, db = _df(spark, a), _df(spark, b)
+    expected = sum(
+        Counter(a)[k] * Counter(b)[k] for k in set(a) & set(b)
+    )
+    assert da.join(db, "k").count() == expected

@@ -1,0 +1,108 @@
+"""Tier C correctness properties that SQL oracles can't express
+(SURVEY §2 C8/C9/C12/C14/C15): candidate-superset guarantees, recall,
+fingerprint invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark import registry
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.text import tokenize
+from etl_spark_eks_spark.operators.similarity import knn_cosine_bruteforce
+
+registry.load_all()
+
+
+def exact_jaccard_pairs(spark, sf_dir, threshold: float):
+    """Ground truth: all-pairs token-set Jaccard >= threshold (no
+    blocking) — affordable at test scale only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(tokenize("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def test_minhash_candidates_superset_of_near_dups(spark, sf_dir):
+    """C8 contract: every pair with true Jaccard >= 0.85 must be an LSH
+    candidate (32 hashes / 16 bands / 2 rows: P(miss at 0.85) ~
+    (1-.7225)^16 ~ 1e-9 per pair)."""
+    truth = {
+        (r["d1"], r["d2"])
+        for r in exact_jaccard_pairs(spark, sf_dir, 0.85).collect()
+    }
+    cands = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in registry.QUERIES["q_c8_minhash_bands"](spark, sf_dir).collect()
+    }
+    assert truth, "fixture should contain near-dup pairs"
+    missed = truth - cands
+    assert not missed, f"LSH missed true near-dups: {sorted(missed)[:5]}"
+
+
+def test_exact_dups_share_fingerprint_and_simhash(spark, sf_dir):
+    """C12/C9: identical texts must collapse to identical fingerprints
+    and SimHash values (hash determinism). The fixture at sf0.001 has no
+    exact dups, so clone every doc under a shifted id first."""
+    from etl_spark_eks_spark.functions.text import rolling_fingerprint, simhash32
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cloned = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    fp = cloned.select(
+        "doc_id",
+        "text",
+        rolling_fingerprint(tokenize("text"), 3).alias("fingerprint"),
+        simhash32(tokenize("text")).alias("sh"),
+    )
+    bad = (
+        fp.groupBy("text")
+        .agg(
+            F.countDistinct("fingerprint").alias("nfp"),
+            F.countDistinct("sh").alias("nsh"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("n") > 1) & ((F.col("nfp") > 1) | (F.col("nsh") > 1)))
+    )
+    assert bad.count() == 0, "identical texts produced different signatures"
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """C14: LSH-bucketed ANN must achieve >= 40% top-5 recall vs brute
+    force on clustered fixture data (4-bit signature keeps ~1/16 of the
+    corpus per query; near vectors collide with high probability)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_cosine_bruteforce(queries, emb, k=5).collect()
+    approx = registry.QUERIES["q_c14_knn_ann_lsh"](spark, sf_dir).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"ANN recall too low: {recall:.2f}"
+
+
+def test_embedding_neardup_self_pairs_excluded(spark, sf_dir):
+    """C15: near-dup pair list has no self-pairs and no (b,a) flips,
+    and every returned pair really clears the threshold."""
+    rows = registry.QUERIES["q_c15_embedding_neardup"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["vec_id_1"] < r["vec_id_2"]
+        assert r["sim"] >= 0.95
+        key = (r["vec_id_1"], r["vec_id_2"])
+        assert key not in seen
+        seen.add(key)
