@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: time every declared query at the bench scale factor.
+
+Contract (driver): prints ONE JSON line
+    {"metric": "total_wall_clock", "value": N, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Scale dir comes from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+parallelism from $SPARK_GRAFT_CPUS (default 32, i.e. local[32]).
+
+Each query's DataFrame is fully materialized through the ``noop`` sink —
+an executed write with no output — so the timing includes every column
+and row the plan produces. A plain ``count()`` would let Catalyst prune
+the entire projection and under-measure expression-heavy queries.
+
+The per-query seconds recorded here are this repo's baseline (BASELINE.md:
+the reference publishes no numbers, so the first BENCH run *is* the bar).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only="):
+            only = set(arg.split("=", 1)[1].split(","))
+        elif arg.startswith("--sf-dir="):
+            sf_dir = arg.split("=", 1)[1]
+
+    # sf encoded in the dir name, e.g. .../sf0.1 -> 0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base[2:]) if base.startswith("sf") else None
+    except ValueError:
+        sf = None
+
+    from etl_spark_eks_spark import registry
+    from etl_spark_eks_spark.session import get_spark
+
+    registry.load_all()
+
+    spark = get_spark(
+        app_name="etl-spark-eks-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    keys = sorted(registry.QUERIES)
+    if only:
+        keys = [k for k in keys if k in only]
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session spin-up (at 100 TB footer reads amortize the same
+    # way: once per executor, not once per query).
+    from etl_spark_eks_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+
+    per_query: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for key in keys:
+        fn = registry.QUERIES[key]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # record the failure, keep benching
+            print(f"BENCH FAIL {key}: {exc}", file=sys.stderr)
+            per_query[key] = -1.0
+            continue
+        per_query[key] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    return 1 if any(v < 0 for v in per_query.values()) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -59,6 +59,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's full parallelism.
+
+    Compute-heavy per-row operators (MinHash signatures, SimHash,
+    shingle fingerprints, pairwise similarity) inherit their parallelism
+    from the scan. A 100 TB table scans as thousands of splits and needs
+    nothing; the small single-file fixtures scan as ONE partition, which
+    serializes interpreted higher-order expressions onto one core. This
+    is the explicit small-input/wide-compute escape hatch — a cheap
+    round-robin exchange of the (small) input, never of the pairwise
+    output.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table and register it as a temp view (SURVEY §2 B1).
 

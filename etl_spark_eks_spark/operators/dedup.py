@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import (
     hamming64,
     lsh_bands,
@@ -67,18 +67,69 @@ def jaccard_near_dedup(
     block_cols: list[str],
     threshold: float = 0.6,
     length_band: float = 0.2,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Blocked pairwise token-set Jaccard. Pairs are only compared within
     identical ``block_cols`` values and token counts within
     ``length_band`` relative difference (a true-near-dup necessary
-    condition, so blocking loses nothing above the threshold)."""
+    condition, so blocking loses nothing above the threshold).
+
+    Execution shape (the 100 TB concern): a naive self-join's only
+    equi-key is ``block_cols``, so join parallelism collapses to the
+    number of distinct blocks (5 languages => 5 busy cores of 32, and
+    the largest language dominates wall clock). Instead we generate
+    pairs with a **triangle bucket join**: every doc gets a stable hash
+    bucket i in [0, B); the self-join key becomes (block, i, j) where
+    the left side fans out to {(i, j) : j >= i} and the right side to
+    {(i, j) : i <= j}, so each unordered bucket pair is joined exactly
+    once and parallelism is B(B+1)/2 keys per block instead of 1.
+    Replication cost is B rows/side; pair count is unchanged; the
+    result set is identical (pairs are canonicalized with
+    least/greatest since cross-bucket pairs can arrive either way).
+
+    Tokens are xxhash64-hashed to longs BEFORE the pairwise stage:
+    ``array_intersect`` on primitive array<long> is ~2x the throughput
+    of array<string> (specialized hash set, no per-element object), and
+    the pairwise rows shrink from ~full text to 8 bytes/token. Set
+    sizes — hence Jaccard values — are preserved up to a 2^-64
+    collision, so the exact SQL oracle still matches.
+    """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
+        F.array_distinct(
+            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+        ).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
-    a, b = toks.alias("a"), toks.alias("b")
-    cond = (F.col(f"a.{'doc_id'}") < F.col("b.doc_id")) & (
+    toks = widen(toks)
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    toks = toks.withColumn("bucket", bucket)
+
+    left = toks.withColumn(
+        "pair",
+        F.explode(
+            F.transform(
+                F.sequence(F.col("bucket"), F.lit(n_buckets - 1)),
+                lambda j: F.struct(F.col("bucket").alias("i"), j.alias("j")),
+            )
+        ),
+    )
+    right = toks.withColumn(
+        "pair",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("bucket")),
+                lambda i: F.struct(i.alias("i"), F.col("bucket").alias("j")),
+            )
+        ),
+    )
+    a, b = left.alias("a"), right.alias("b")
+    cond = (F.col("a.pair") == F.col("b.pair")) & (
+        # same-bucket key (i==i): order by id to avoid self/dup pairs;
+        # cross-bucket keys join disjoint doc sets, any id order occurs.
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        | (F.col("a.bucket") != F.col("b.bucket"))
+    ) & (
         F.abs(F.col("a.n_toks") - F.col("b.n_toks"))
         <= length_band * F.greatest(F.col("a.n_toks"), F.col("b.n_toks"))
     )
@@ -89,8 +140,8 @@ def jaccard_near_dedup(
     return (
         a.join(b, cond)
         .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_2"),
             (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -145,7 +196,7 @@ def minhash_lsh_candidates(
     on a fixture pair at exactly J=0.8.)
     """
     rows = n_hashes // n_bands
-    sigs = df.select(
+    sigs = widen(df).select(
         F.col(id_col).alias("doc_id"),
         lsh_bands(
             minhash_signature(tokenize(F.col(text_col)), n_hashes), n_bands, rows
@@ -185,7 +236,7 @@ def simhash_near_dedup(
     """SimHash near-dup: 32-bit signature per doc, candidates bucketed by
     8-bit bands (4 bands; Hamming<=3 guarantees a shared band by
     pigeonhole), verified by exact Hamming distance."""
-    sh = df.select(
+    sh = widen(df).select(
         F.col(id_col).alias("doc_id"),
         simhash32(tokenize(F.col(text_col))).alias("sh"),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import (
     rolling_fingerprint,
     token_stats,
@@ -213,7 +213,7 @@ def q_c12_fingerprint(spark, sf_dir):
     """C12 (extension): rolling-hash document fingerprint over 3-token
     shingles. Exact dups share fingerprints (asserted in tests) —
     a cheap pre-cluster key before pairwise near-dup work."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         rolling_fingerprint(tokenize("text"), 3).alias("fingerprint"),

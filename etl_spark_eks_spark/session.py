@@ -54,6 +54,12 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # In local mode the driver JVM is the whole cluster; Spark's 1g
+    # default is sized for a thin cluster driver, not 32 executor threads
+    # sharing one heap. On a real cluster this maps to executor memory
+    # (reference sizes 4g+4g per 1-core executor,
+    # spark-operator-taxi.yaml:120-124).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
@@ -61,6 +67,7 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(ENGINE_CONF)
+    conf["spark.driver.memory"] = driver_mem
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf["spark.sql.files.maxPartitionBytes"] = max_partition_bytes
     if extra_conf:
