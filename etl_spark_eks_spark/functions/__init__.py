@@ -13,10 +13,12 @@ from etl_spark_eks_spark.functions.vector import (  # noqa: F401
     l2_normalize,
 )
 from etl_spark_eks_spark.functions.text import (  # noqa: F401
+    minhash_band_hashes,
     minhash_signature,
     rolling_fingerprint,
     shingles,
     simhash32,
+    token_hashes,
     token_stats,
     tokenize,
 )

@@ -36,6 +36,49 @@ def shingles(tokens: Column | str, k: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
 
 
+def token_hashes(tokens: Column | str) -> Column:
+    """Distinct tokens -> array<long> of xxhash64 values. Hashing to
+    longs FIRST means every downstream hash family re-hashes an 8-byte
+    primitive instead of re-reading (and re-allocating) the token
+    string; set sizes are preserved up to a 2^-64 collision."""
+    return F.array_distinct(F.transform(_c(tokens), lambda t: F.xxhash64(t)))
+
+
+def minhash_band_hashes(
+    token_hash_col: Column | str, n_hashes: int, n_bands: int
+) -> Column:
+    """LSH band hashes straight from a *materialized* token-hash column:
+    band b = xxhash64(minhash[b*r], .., minhash[b*r+r-1]) where
+    minhash[s] = min over tokens of xxhash64(s, token_hash).
+
+    Plan-shape contract (why this replaces the readable
+    ``lsh_bands(minhash_signature(tokenize(text)))`` composition): each
+    per-seed min appears EXACTLY ONCE in the expression tree, and the
+    argument must be a projected column, not an inline expression.
+    Composing from an inline signature array makes every
+    ``element_at(sig, i)`` duplicate the whole 32-min expression, and
+    Catalyst's InferFiltersFromGenerate then copies the duplicated tree
+    again below the explode — measured ~30x redundant tokenize+hash work
+    per row at sf0.1 (the plan string alone was 700 KB). Higher-order
+    lambdas are interpreted, not codegen'd, so common-subexpression
+    elimination never rescues the composed form. CollapseProject keeps
+    the token-hash projection intact because the alias is expensive and
+    referenced n_hashes times.
+    """
+    rows = n_hashes // n_bands
+    toks = _c(token_hash_col)
+
+    def mh(seed: int) -> Column:
+        return F.array_min(F.transform(toks, lambda h: F.xxhash64(F.lit(seed), h)))
+
+    return F.array(
+        *[
+            F.xxhash64(*[mh(b * rows + r) for r in range(rows)])
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_signature(tokens: Column | str, n_hashes: int = 16) -> Column:
     """MinHash signature: per seed s, min over distinct tokens of
     xxhash64('mh<s>|' || token) -> array<long> of length n_hashes.

@@ -22,9 +22,9 @@ from pyspark.sql import DataFrame, functions as F
 from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import (
     hamming64,
-    lsh_bands,
-    minhash_signature,
+    minhash_band_hashes,
     simhash32,
+    token_hashes,
     tokenize,
 )
 from etl_spark_eks_spark.registry import query
@@ -191,20 +191,29 @@ def minhash_lsh_candidates(
 
     With n_hashes=32 / n_bands=16 (2 rows per band) the candidate
     probability at Jaccard s is 1-(1-s^2)^16 — >0.9999 at s=0.8,
-    ~1-1e-9 at s=0.85. (16/8 proved too weak empirically: the
-    prefix-seeded xxhash64 family showed a 3.6-sigma-low agreement draw
-    on a fixture pair at exactly J=0.8.)
+    ~1-1e-9 at s=0.85. (16/8 proved too weak empirically: a 3.6-sigma-
+    low agreement draw on a fixture pair at exactly J=0.8 escaped it.)
+    The hash family is xxhash64(seed, xxhash64(token)) — seeded re-hash
+    of an 8-byte primitive; see minhash_band_hashes for why the bands
+    are built directly from the token-hash column.
     """
-    rows = n_hashes // n_bands
-    sigs = widen(df).select(
+    htoks = widen(df).select(
         F.col(id_col).alias("doc_id"),
-        lsh_bands(
-            minhash_signature(tokenize(F.col(text_col)), n_hashes), n_bands, rows
-        ).alias("bands"),
+        token_hashes(tokenize(F.col(text_col))).alias("htoks"),
+    )
+    sigs = htoks.select(
+        "doc_id", minhash_band_hashes("htoks", n_hashes, n_bands).alias("bands")
     )
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
+    # No explicit repartition here: banded is tiny relative to its pair
+    # output (rows = docs x n_bands), so Spark broadcasts one side and
+    # streams the other — and an explicit key-repartition is actively
+    # harmful (AQE coalesces the small exchange to ~1 partition, which
+    # then serializes the multi-10M-row join output AND the downstream
+    # distinct onto one core; measured 7s -> 45s at sf0.1). At cluster
+    # scale AQE picks a co-partitioned SMJ on the same keys by itself.
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

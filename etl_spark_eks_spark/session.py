@@ -30,6 +30,17 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
+    # below every explode; filter pushdown then substitutes the FULL
+    # generator-input expression through the projections, so an expensive
+    # array (e.g. 32-seed MinHash bands over tokenized text) is evaluated
+    # a second time per join side in a scan-adjacent Filter. Higher-order
+    # lambdas are interpreted (no codegen CSE), so this is pure overhead:
+    # measured 4x on q_c8_minhash_bands at sf0.1. The rule only ever ADDS
+    # redundant filters — excluding it never changes results.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Parquet: keep footer-based schema + vectorized reader defaults.
     "spark.sql.parquet.compression.codec": "snappy",
     # Deterministic float formatting across runs.
