@@ -279,8 +279,11 @@ def simhash_near_dedup(
             F.col("b.doc_id").alias("doc_id_2"),
             hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair, so every cross-band
+        # duplicate carries the same value: filtering BEFORE distinct is
+        # equivalent and shrinks the dedup shuffle ~10x at sf0.1.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -102,39 +102,36 @@ def q_c4_embedding_stats(spark, sf_dir):
     )
 
 
+def _plane_sign(b: int, j: int) -> float:
+    """Deterministic +-1 for plane b, coordinate j (sha256 parity —
+    stable across Python/Spark versions, no RNG state)."""
+    import hashlib
+
+    digest = hashlib.sha256(f"plane{b}_{j}".encode()).digest()
+    return 1.0 if digest[0] % 2 == 0 else -1.0
+
+
 def hyperplane_signature(vec, n_bits: int, dim: int):
-    """Random-hyperplane LSH signature as an int bucket id. Planes are
-    hash-derived (+-1 per coordinate, seeded by bit index) — fully
-    deterministic, no stored model. sign(dot(v, plane_b)) -> bit b."""
-    def signed_proj(b: int):
-        # closure factory: a default-arg lambda would be parsed by the
-        # HOF machinery as a 3-arg zip_with lambda
-        prefix = F.lit(f"plane{b}_")
+    """Random-hyperplane LSH signature as an int bucket id:
+    sign(dot(v, plane_b)) -> bit b.
 
-        def fn(x, j):
-            sign = F.when(
-                F.pmod(F.xxhash64(F.concat(prefix, j.cast("string"))), F.lit(2)) == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            return x.cast("double") * sign
-
-        return fn
-
-    bits = []
+    The planes are CONSTANTS, so they are baked into the plan as +-1
+    literal arrays at build time. The previous formulation derived each
+    sign per row via xxhash64 over a string concat — dim x n_bits string
+    allocations + hashes per row, re-deriving the same constant plane
+    for every vector; at corpus scale that's pure per-row overhead. Now
+    per-row work is one multiply-add fold per bit and nothing else."""
+    out = F.lit(0).cast("long")
     for b in range(n_bits):
+        plane = F.array(*[F.lit(_plane_sign(b, j)) for j in range(dim)])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed_proj(b)),
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(
-            F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+        out = out + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out.bitwiseOR(bcol)
     return out
 
 

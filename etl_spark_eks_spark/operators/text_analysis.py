@@ -116,8 +116,13 @@ def q_c7_tfidf(spark, sf_dir):
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar; one lightweight count job
+    # No broadcast hint on the doc-frequency side: its size is the corpus
+    # VOCABULARY, which grows with scale (and an unconditional broadcast
+    # of it is exactly what overflowed a default-sized heap here first).
+    # AQE sees the actual shuffle size at runtime and still picks a
+    # broadcast join whenever the vocabulary genuinely fits.
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
