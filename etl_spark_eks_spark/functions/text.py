@@ -29,11 +29,15 @@ def tokenize(text: Column | str, lowercase: bool = False) -> Column:
 
 def shingles(tokens: Column | str, k: int = 3) -> Column:
     """k-token shingles: array of space-joined consecutive k-grams.
-    Documents shorter than k tokens yield an empty array."""
+    Documents shorter than k tokens yield an empty array. (The short-doc
+    guard must wrap the whole expression: Spark's ``sequence(1, stop)``
+    turns DESCENDING when stop < 1, and ``slice`` rejects start 0.)"""
     t = _c(tokens)
     n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_hashes(tokens: Column | str) -> Column:

@@ -23,6 +23,7 @@ from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import (
     hamming64,
     minhash_band_hashes,
+    shingles,
     simhash32,
     token_hashes,
     tokenize,
@@ -68,11 +69,15 @@ def jaccard_near_dedup(
     threshold: float = 0.6,
     length_band: float = 0.2,
     n_buckets: int = 16,
+    shingle_k: int | None = None,
 ) -> DataFrame:
-    """Blocked pairwise token-set Jaccard. Pairs are only compared within
-    identical ``block_cols`` values and token counts within
-    ``length_band`` relative difference (a true-near-dup necessary
-    condition, so blocking loses nothing above the threshold).
+    """Blocked pairwise set Jaccard over tokens (default) or k-token
+    shingles (``shingle_k`` set — n-gram Jaccard, which is
+    order-sensitive: scrambled text that shares vocabulary stops
+    matching). Pairs are only compared within identical ``block_cols``
+    values and set sizes within ``length_band`` relative difference (a
+    true-near-dup necessary condition, so blocking loses nothing above
+    the threshold).
 
     Execution shape (the 100 TB concern): a naive self-join's only
     equi-key is ``block_cols``, so join parallelism collapses to the
@@ -94,11 +99,14 @@ def jaccard_near_dedup(
     sizes — hence Jaccard values — are preserved up to a 2^-64
     collision, so the exact SQL oracle still matches.
     """
+    units = tokenize(F.col(text_col))
+    if shingle_k is not None:
+        units = shingles(units, shingle_k)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(
-            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+            F.transform(units, lambda t: F.xxhash64(t))
         ).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
     toks = widen(toks)
@@ -136,7 +144,19 @@ def jaccard_near_dedup(
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.col("a.n_toks") + F.col("b.n_toks") - inter
+    s = F.col("a.n_toks") + F.col("b.n_toks")
+    # Algebraic prefilter, appended LAST in the AND chain: J >= t is
+    # equivalent to inter*(1+t) >= t*(n1+n2); with an epsilon of slack it
+    # is a strict superset of the exact predicate, and it references the
+    # intersect expression ONCE. ANDs short-circuit, so pairs rejected
+    # here never evaluate the exact division form that Catalyst's filter
+    # pushdown appends after it (which costs two more intersect builds
+    # per pair — the intersect is the entire pairwise cost).
+    bound = inter.cast("double") * (1.0 + threshold) >= (
+        threshold * s.cast("double") - 1e-6
+    )
+    cond = cond & bound
+    union = s - inter
     return (
         a.join(b, cond)
         .select(
@@ -177,6 +197,43 @@ def q_c2_near_dedup_jaccard(spark, sf_dir):
     blocking, so the comparison is exact)."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_near_dedup(d, "text", "doc_id", ["lang"], 0.6, 0.2)
+
+
+@query(
+    "q_c16_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    ), sized AS (
+      SELECT doc_id, lang, s, len(s) AS n_sh FROM sh
+    )
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (a.n_sh + b.n_sh - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sized a JOIN sized b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_sh - b.n_sh) <= 0.2 * greatest(a.n_sh, b.n_sh)
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (a.n_sh + b.n_sh - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+)
+def q_c16_ngram_jaccard(spark, sf_dir):
+    """C16 (extension): n-gram (3-token shingle) Jaccard near-dup pairs
+    at >= 0.5 — order-sensitive where C2's token-set Jaccard is not:
+    documents that share vocabulary but not phrasing stop matching.
+    Same triangle-bucket pairwise machinery and blocking as C2."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_near_dedup(
+        d, "text", "doc_id", ["lang"], 0.5, 0.2, shingle_k=3
+    )
 
 
 def minhash_lsh_candidates(

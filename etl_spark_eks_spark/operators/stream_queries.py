@@ -13,11 +13,16 @@ read-back equals the batch query exactly and carries a SQL oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.registry import query
 from etl_spark_eks_spark.sources.parquet_io import fresh_scratch
-from etl_spark_eks_spark.streaming.stream_ops import events_stream, run_available_now
+from etl_spark_eks_spark.streaming.stream_ops import (
+    events_stream,
+    events_stream_batched,
+    run_available_now,
+)
 
 
 def _tag(sf_dir: str) -> str:
@@ -77,6 +82,73 @@ def q_b49_stream_dedup(spark, sf_dir):
     )
     run_available_now(deduped, sink, ckpt)
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_b56_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_b56_stateful_user_stats(spark, sf_dir):
+    """B56 (extension): CUSTOM stateful streaming operator via
+    applyInPandasWithState — per-user running (count, total) carried in
+    GroupState across real micro-batches (the input is replayed as 4
+    files, one per trigger). Each batch emits the user's cumulative
+    stats; the final emission per user equals the batch aggregate, which
+    is the SQL oracle. This is the surface Spark offers for stateful
+    logic that windows/dropDuplicates can't express (custom counters,
+    sessionization variants, online features).
+
+    Scale: state lives in the state store keyed by user_id — partitioned
+    by the shuffle, incremental per batch, no global recomputation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b56", tag, "sink")
+    ckpt = fresh_scratch("q_b56", tag, "ckpt")
+
+    def update(key, pdfs, state):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    running = (
+        events_stream_batched(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, tot double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    run_available_now(running, sink, ckpt)
+    # Last emission per user = totals over the whole stream.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.read.parquet(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
 
 
 @query(

@@ -46,6 +46,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def events_stream_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """The events table as a MULTI-micro-batch stream: the single fixture
+    file is staged once as ``n_files`` splits and replayed with
+    ``maxFilesPerTrigger=1``, so stateful operators genuinely carry state
+    across batches (one symlinked file = one batch = no cross-batch state
+    to exercise). Mirrors a queue source delivering over time."""
+    from etl_spark_eks_spark.sources.parquet_io import scratch_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    tag = sf_dir.strip("/").replace("/", "_")
+    indir = scratch_path("stream_in_multi", tag, "events", "_")[: -len("/_")]
+    done = os.path.join(indir, "_STAGED")
+    if not os.path.exists(done):
+        spark.read.parquet(path).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(indir)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
 def run_available_now(
     df: DataFrame,
     sink_dir: str,

@@ -95,6 +95,57 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"ANN recall too low: {recall:.2f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """C17: IVF-Flat ANN (16 cells, nprobe=2) must achieve >= 40% top-5
+    recall vs brute force — probing 2/16 cells on clustered data keeps
+    most true neighbors in-probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_cosine_bruteforce(queries, emb, k=5).collect()
+    approx = registry.QUERIES["q_c17_knn_ivf"](spark, sf_dir).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+
+
+def test_shingles_short_docs(spark):
+    """shingles() on docs shorter than k must yield an empty array, not
+    a runtime error (sequence(1, stop<1) is DESCENDING in Spark and
+    slice rejects start 0 — the guard has to wrap the whole expression)."""
+    from etl_spark_eks_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b c",), ("a b",), ("a",), ("",)], ["text"]
+    )
+    rows = df.select(
+        F.size(shingles(tokenize("text"), 3)).alias("n")
+    ).collect()
+    assert [r["n"] for r in rows] == [2, 1, 0, 0, 0]
+
+
+def test_ngram_jaccard_order_sensitivity(spark):
+    """C16: token-set Jaccard treats a shuffled doc as a dup; shingle
+    Jaccard must not."""
+    from etl_spark_eks_spark.operators.dedup import jaccard_near_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog today"),
+            (2, "en", "dog lazy the over jumps fox brown quick the today"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    token_pairs = jaccard_near_dedup(
+        df, "text", "doc_id", ["lang"], 0.9, 1.0
+    ).collect()
+    assert len(token_pairs) == 1  # same vocabulary => token-set dup
+    ngram_pairs = jaccard_near_dedup(
+        df, "text", "doc_id", ["lang"], 0.5, 1.0, shingle_k=3
+    ).collect()
+    assert len(ngram_pairs) == 0  # no shared phrasing => not an n-gram dup
+
+
 def test_embedding_neardup_self_pairs_excluded(spark, sf_dir):
     """C15: near-dup pair list has no self-pairs and no (b,a) flips,
     and every returned pair really clears the threshold."""
