@@ -145,26 +145,26 @@ def jaccard_near_dedup(
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     s = F.col("a.n_toks") + F.col("b.n_toks")
-    # Algebraic prefilter, appended LAST in the AND chain: J >= t is
-    # equivalent to inter*(1+t) >= t*(n1+n2); with an epsilon of slack it
-    # is a strict superset of the exact predicate, and it references the
-    # intersect expression ONCE. ANDs short-circuit, so pairs rejected
-    # here never evaluate the exact division form that Catalyst's filter
-    # pushdown appends after it (which costs two more intersect builds
-    # per pair — the intersect is the entire pairwise cost).
+    # Threshold predicate in multiplied form, appended LAST in the AND
+    # chain: J >= t  <=>  inter*(1+t) >= t*(n1+n2). It references the
+    # intersect expression ONCE (the division form J >= t costs two
+    # intersect builds per pair, and the intersect is the entire
+    # pairwise cost); ANDs short-circuit, so rejected pairs do exactly
+    # one intersect. The 1e-6 slack makes fp rounding inclusive-only:
+    # attainable Jaccard values are ratios of set sizes, so the nearest
+    # value distinct from t differs by >= 1/(q*(n1+n2)) for t = p/q —
+    # orders of magnitude above both the slack and double rounding for
+    # q <= 100 and sets < 10^4 tokens. Within that domain this IS the
+    # exact predicate (the DuckDB oracles agree), so no post-filter.
     bound = inter.cast("double") * (1.0 + threshold) >= (
         threshold * s.cast("double") - 1e-6
     )
     cond = cond & bound
     union = s - inter
-    return (
-        a.join(b, cond)
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_1"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_2"),
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return a.join(b, cond).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_1"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_2"),
+        (inter.cast("double") / union).alias("jaccard"),
     )
 
 

@@ -58,3 +58,20 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     exchange — map-side combine is what keeps 100 TB aggs cheap."""
     plan = plan_of(registry.QUERIES["q_b17_pricing_summary"](spark, sf_dir), "simple")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_no_duplicated_signature_evaluation(spark, sf_dir):
+    """Regression guard for the q_c8 plan pathology (20x slowdown): the
+    MinHash band expression must appear in the plan a bounded number of
+    times — once per join side — not re-inlined into scan-adjacent
+    Filters by InferFiltersFromGenerate, and not expanded 32x by
+    element_at over an inline signature array. The tokenize fragment
+    (split on whitespace) is the marker: 2 sides x 1 projection each,
+    plus nothing. A duplicated plan is ~30x that count (and the old
+    plan string was 700 KB)."""
+    plan = plan_of(
+        registry.QUERIES["q_c8_minhash_bands"](spark, sf_dir), "extended"
+    )
+    n_tokenize = plan.count("split(text")
+    assert n_tokenize <= 8, f"signature expression duplicated: {n_tokenize} copies"
+    assert len(plan) < 200_000, f"plan blew up to {len(plan)} chars"
