@@ -15,7 +15,9 @@ from etl_spark_eks_spark.functions.vector import (  # noqa: F401
 from etl_spark_eks_spark.functions.text import (  # noqa: F401
     minhash_band_hashes,
     minhash_signature,
+    ordered_token_hashes,
     rolling_fingerprint,
+    shingle_hashes,
     shingles,
     simhash32,
     token_hashes,

@@ -18,12 +18,14 @@ Scale ladder (the 100 TB story):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import (
     hamming64,
     minhash_band_hashes,
-    shingles,
+    ordered_token_hashes,
+    shingle_hashes,
     simhash32,
     token_hashes,
     tokenize,
@@ -68,29 +70,55 @@ def jaccard_near_dedup(
     block_cols: list[str],
     threshold: float = 0.6,
     length_band: float = 0.2,
-    n_buckets: int = 16,
     shingle_k: int | None = None,
+    strategy: str = "prefix",
+    n_buckets: int = 16,
 ) -> DataFrame:
-    """Blocked pairwise set Jaccard over tokens (default) or k-token
-    shingles (``shingle_k`` set — n-gram Jaccard, which is
-    order-sensitive: scrambled text that shares vocabulary stops
-    matching). Pairs are only compared within identical ``block_cols``
-    values and set sizes within ``length_band`` relative difference (a
-    true-near-dup necessary condition, so blocking loses nothing above
-    the threshold).
+    """Exact-threshold set-similarity self-join: all pairs with Jaccard
+    >= ``threshold`` over tokens (default) or k-token shingles
+    (``shingle_k`` set — n-gram Jaccard, order-sensitive: scrambled
+    text that shares vocabulary stops matching). Pairs are only
+    compared within identical ``block_cols`` values and set sizes
+    within ``length_band`` relative difference — both part of the
+    operator's contract, mirrored exactly in the SQL oracle. Both
+    strategies return the identical pair set; they differ only in how
+    candidates are generated.
 
-    Execution shape (the 100 TB concern): a naive self-join's only
-    equi-key is ``block_cols``, so join parallelism collapses to the
-    number of distinct blocks (5 languages => 5 busy cores of 32, and
-    the largest language dominates wall clock). Instead we generate
-    pairs with a **triangle bucket join**: every doc gets a stable hash
-    bucket i in [0, B); the self-join key becomes (block, i, j) where
-    the left side fans out to {(i, j) : j >= i} and the right side to
-    {(i, j) : i <= j}, so each unordered bucket pair is joined exactly
-    once and parallelism is B(B+1)/2 keys per block instead of 1.
-    Replication cost is B rows/side; pair count is unchanged; the
-    result set is identical (pairs are canonicalized with
-    least/greatest since cross-bucket pairs can arrive either way).
+    ``strategy="prefix"`` — **prefix-filter join** (PPJoin-family,
+    Chaudhuri et al. 2006): under any global total order on set
+    elements, two sets with Jaccard >= t MUST share at least one
+    element among each set's first ``n - ceil(t*n) + 1`` elements
+    (pigeonhole on the overlap lower bound ceil(t*n)). Sort each
+    hashed set once, explode only that prefix, self-join on the prefix
+    element, distinct the surviving id pairs, fetch the full sets
+    back, verify exact Jaccard. No false negatives. At sf0.1 shingle
+    sets this admits 53k candidates where the length-band blocks alone
+    hold 757k (14x less pairwise work), and the gap widens with corpus
+    size: block sizes grow linearly with N (quadratic pairs) while a
+    prefix bucket only holds docs truly sharing that element. The
+    ceil() subtracts 1e-9 so fp can only lengthen the prefix (superset
+    of candidates), never shorten it (false negatives).
+
+    ``strategy="allpairs"`` — **triangle bucket join**: every doc gets
+    a stable hash bucket i in [0, B); the left side fans out to
+    {(i, j) : j >= i}, the right to {(i, j) : i <= j}, so each
+    unordered bucket pair joins exactly once and parallelism is
+    B(B+1)/2 keys per block instead of 1 (a plain block-key self-join
+    would collapse to one task per language). Every same-block pair
+    within the length band pays one intersect.
+
+    Choosing: prefix wins when elements are SELECTIVE (shingles,
+    rare-ish vocabulary) — its filter discards most block pairs before
+    any intersect. It degenerates when every element is frequent: on
+    this corpus's token sets (~23 tokens/doc drawn from a dense shared
+    vocabulary, hottest prefix bucket = 78% of docs) prefix candidates
+    ≈ block pairs, so the explode+distinct overhead buys nothing and
+    allpairs is 2x faster. Shingle sets are selective by construction
+    (3-gram hits are phrasing-specific; hottest bucket 24 of 5000
+    docs); q_c16 uses prefix, q_c2 uses allpairs. Document-frequency
+    prefix ordering (classic PPJoin) was measured and does NOT rescue
+    the dense case — with a uniformly dense vocabulary ALL elements
+    are frequent, so df-ordering just reorders equals.
 
     Tokens are xxhash64-hashed to longs BEFORE the pairwise stage:
     ``array_intersect`` on primitive array<long> is ~2x the throughput
@@ -99,20 +127,129 @@ def jaccard_near_dedup(
     sizes — hence Jaccard values — are preserved up to a 2^-64
     collision, so the exact SQL oracle still matches.
     """
-    units = tokenize(F.col(text_col))
-    if shingle_k is not None:
-        units = shingles(units, shingle_k)
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(
-            F.transform(units, lambda t: F.xxhash64(t))
-        ).alias("toks"),
-    ).withColumn("n_toks", F.size("toks"))
-    toks = widen(toks)
-    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
-    toks = toks.withColumn("bucket", bucket)
+    if shingle_k is None:
+        sets = F.array_distinct(
+            F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+        )
+        toks = widen(df).select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            F.array_sort(sets).alias("toks"),
+        )
+    else:
+        # Two projections on purpose: the ordered token-hash array must
+        # be a NAMED column before shingle_hashes element_at's into it
+        # (the q_c8 plan rule — CollapseProject leaves the expensive
+        # alias alone, an inline expression gets re-expanded k times).
+        th = widen(df).select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            ordered_token_hashes(tokenize(F.col(text_col))).alias("th"),
+        )
+        toks = th.select(
+            "doc_id",
+            *block_cols,
+            F.array_sort(
+                F.array_distinct(shingle_hashes("th", shingle_k))
+            ).alias("toks"),
+        )
+    # The signature table feeds multiple consumers (prefix explode +
+    # two array fetch-backs, or the triangle join's two sides) whose
+    # pruned schemas differ, so exchange reuse can never fire and each
+    # consumer would re-run the whole tokenize+hash+sort pipeline
+    # (measured 6.5x total runtime at sf0.1). Persist it: ids + hashed
+    # sets only — 5-6 orders of magnitude smaller than the text,
+    # MEMORY_AND_DISK so executors spill rather than OOM. This is also
+    # the production shape: at 100 TB the signature table is what you'd
+    # materialize (or write out) before any pairwise stage.
+    toks = toks.withColumn("n_toks", F.size("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if strategy == "allpairs":
+        return _allpairs_triangle_join(
+            toks, block_cols, threshold, length_band, n_buckets
+        )
+    if strategy != "prefix":
+        raise ValueError(f"unknown strategy: {strategy!r}")
 
+    prefix_len = (
+        F.col("n_toks")
+        - F.ceil(F.lit(threshold) * F.col("n_toks") - 1e-9)
+        + 1
+    ).cast("int")
+    pref = toks.select(
+        "doc_id",
+        *block_cols,
+        "n_toks",
+        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("p"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.col("a.n_toks") - F.col("b.n_toks"))
+            <= length_band * F.greatest(F.col("a.n_toks"), F.col("b.n_toks"))
+        )
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+    sa = toks.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("toks").alias("toks_1"),
+        F.col("n_toks").alias("n_1"),
+    )
+    sb = toks.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("toks").alias("toks_2"),
+        F.col("n_toks").alias("n_2"),
+    )
+    pairs = cand.join(sa, "doc_id_1").join(sb, "doc_id_2")
+    inter = F.size(F.array_intersect("toks_1", "toks_2"))
+    s = F.col("n_1") + F.col("n_2")
+    # Threshold predicate in multiplied form: J >= t <=>
+    # inter*(1+t) >= t*(n1+n2). It references the intersect expression
+    # ONCE (the division form costs two intersect builds per pair, and
+    # the intersect is the entire verify cost). The 1e-6 slack makes fp
+    # rounding inclusive-only: attainable Jaccard values are ratios of
+    # set sizes, so the nearest value distinct from t differs by
+    # >= 1/(q*(n1+n2)) for t = p/q — orders of magnitude above both the
+    # slack and double rounding for q <= 100 and sets < 10^4 tokens.
+    # Within that domain this IS the exact predicate (the DuckDB
+    # oracles agree), so no post-filter.
+    bound = inter.cast("double") * (1.0 + threshold) >= (
+        threshold * s.cast("double") - 1e-6
+    )
+    union = s - inter
+    return pairs.filter(bound).select(
+        "doc_id_1",
+        "doc_id_2",
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def _allpairs_triangle_join(
+    toks: DataFrame,
+    block_cols: list[str],
+    threshold: float,
+    length_band: float,
+    n_buckets: int,
+) -> DataFrame:
+    """All same-block pairs via the triangle bucket fan-out (see
+    ``jaccard_near_dedup``): bucket i joins bucket j >= i exactly once,
+    restoring parallelism that a plain block-key self-join loses."""
+    toks = toks.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    )
     left = toks.withColumn(
         "pair",
         F.explode(
@@ -145,17 +282,8 @@ def jaccard_near_dedup(
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     s = F.col("a.n_toks") + F.col("b.n_toks")
-    # Threshold predicate in multiplied form, appended LAST in the AND
-    # chain: J >= t  <=>  inter*(1+t) >= t*(n1+n2). It references the
-    # intersect expression ONCE (the division form J >= t costs two
-    # intersect builds per pair, and the intersect is the entire
-    # pairwise cost); ANDs short-circuit, so rejected pairs do exactly
-    # one intersect. The 1e-6 slack makes fp rounding inclusive-only:
-    # attainable Jaccard values are ratios of set sizes, so the nearest
-    # value distinct from t differs by >= 1/(q*(n1+n2)) for t = p/q —
-    # orders of magnitude above both the slack and double rounding for
-    # q <= 100 and sets < 10^4 tokens. Within that domain this IS the
-    # exact predicate (the DuckDB oracles agree), so no post-filter.
+    # Same multiplied-form threshold predicate as the prefix branch —
+    # one intersect per rejected pair, fp slack inclusive-only.
     bound = inter.cast("double") * (1.0 + threshold) >= (
         threshold * s.cast("double") - 1e-6
     )
@@ -196,7 +324,9 @@ def q_c2_near_dedup_jaccard(spark, sf_dir):
     language + 20% token-count band (oracle applies the identical
     blocking, so the comparison is exact)."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_near_dedup(d, "text", "doc_id", ["lang"], 0.6, 0.2)
+    return jaccard_near_dedup(
+        d, "text", "doc_id", ["lang"], 0.6, 0.2, strategy="allpairs"
+    )
 
 
 @query(
@@ -229,7 +359,9 @@ def q_c16_ngram_jaccard(spark, sf_dir):
     """C16 (extension): n-gram (3-token shingle) Jaccard near-dup pairs
     at >= 0.5 — order-sensitive where C2's token-set Jaccard is not:
     documents that share vocabulary but not phrasing stop matching.
-    Same triangle-bucket pairwise machinery and blocking as C2."""
+    Same blocking contract as C2, but candidates come from the
+    prefix-filter join — shingles are selective, so the filter admits
+    14x fewer pairs than the blocks contain."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_near_dedup(
         d, "text", "doc_id", ["lang"], 0.5, 0.2, shingle_k=3

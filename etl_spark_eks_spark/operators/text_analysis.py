@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import (
+    ordered_token_hashes,
     rolling_fingerprint,
     token_stats,
     tokenize,
@@ -219,9 +220,11 @@ def q_c12_fingerprint(spark, sf_dir):
     shingles. Exact dups share fingerprints (asserted in tests) —
     a cheap pre-cluster key before pairwise near-dup work."""
     d = widen(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        rolling_fingerprint(tokenize("text"), 3).alias("fingerprint"),
+    th = d.select(
+        "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
+    )
+    return th.select(
+        "doc_id", rolling_fingerprint("th", 3).alias("fingerprint")
     )
 
 

@@ -83,6 +83,7 @@ def run_available_now(
     sink_dir: str,
     checkpoint_dir: str,
     output_mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> None:
     """Run a streaming DataFrame to a parquet sink until all currently-
     available input is processed (Trigger.AvailableNow), then stop.
@@ -90,13 +91,31 @@ def run_available_now(
     Rerunning with the same checkpoint is a no-op over already-committed
     input — the exactly-once equivalent of the reference's at-least-once
     SQS trigger + overwrite sink (SURVEY §3.1).
-    """
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream (restored after). Unlike batch, this count is FROZEN into the
+    checkpoint at first start and is also the state-store instance count
+    and sink files-per-batch — every micro-batch pays it in state
+    commits and fsyncs regardless of data volume, and AQE does not
+    coalesce stateful exchanges. Deployment knob: set it to cluster
+    cores at scale; the default 8 sizes fixture-scale streams (a plain
+    200-partition session spends 25x the data's share of each batch on
+    empty state commits). None = leave the session value."""
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

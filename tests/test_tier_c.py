@@ -57,16 +57,22 @@ def test_exact_dups_share_fingerprint_and_simhash(spark, sf_dir):
     """C12/C9: identical texts must collapse to identical fingerprints
     and SimHash values (hash determinism). The fixture at sf0.001 has no
     exact dups, so clone every doc under a shifted id first."""
-    from etl_spark_eks_spark.functions.text import rolling_fingerprint, simhash32
+    from etl_spark_eks_spark.functions.text import (
+        ordered_token_hashes,
+        rolling_fingerprint,
+        simhash32,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     cloned = d.unionByName(
         d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
-    fp = cloned.select(
+    fp = cloned.withColumn(
+        "th", ordered_token_hashes(tokenize("text"))
+    ).select(
         "doc_id",
         "text",
-        rolling_fingerprint(tokenize("text"), 3).alias("fingerprint"),
+        rolling_fingerprint("th", 3).alias("fingerprint"),
         simhash32(tokenize("text")).alias("sh"),
     )
     bad = (
@@ -113,7 +119,11 @@ def test_shingles_short_docs(spark):
     """shingles() on docs shorter than k must yield an empty array, not
     a runtime error (sequence(1, stop<1) is DESCENDING in Spark and
     slice rejects start 0 — the guard has to wrap the whole expression)."""
-    from etl_spark_eks_spark.functions.text import shingles
+    from etl_spark_eks_spark.functions.text import (
+        ordered_token_hashes,
+        shingle_hashes,
+        shingles,
+    )
 
     df = spark.createDataFrame(
         [("a b c d",), ("a b c",), ("a b",), ("a",), ("",)], ["text"]
@@ -121,6 +131,13 @@ def test_shingles_short_docs(spark):
     rows = df.select(
         F.size(shingles(tokenize("text"), 3)).alias("n")
     ).collect()
+    assert [r["n"] for r in rows] == [2, 1, 0, 0, 0]
+    # the long-hash shingle path must agree on counts (and not error)
+    rows = (
+        df.withColumn("th", ordered_token_hashes(tokenize("text")))
+        .select(F.size(shingle_hashes("th", 3)).alias("n"))
+        .collect()
+    )
     assert [r["n"] for r in rows] == [2, 1, 0, 0, 0]
 
 
