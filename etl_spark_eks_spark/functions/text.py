@@ -154,21 +154,24 @@ def lsh_bands(signature: Column | str, n_bands: int, rows_per_band: int) -> Colu
     )
 
 
-def simhash32(tokens: Column | str) -> Column:
-    """32-bit SimHash: per bit position, sum +-1 over token hashes, take
-    the sign. Near-duplicate docs have small Hamming distance.
+def simhash32_from_hashes(token_hash_col: Column | str) -> Column:
+    """32-bit SimHash from a MATERIALIZED token-hash column: per bit
+    position, sum +-1 over token hashes, take the sign. Near-duplicate
+    docs have small Hamming distance.
 
-    Per-row, no shuffle: one sequential fold over the token array
+    Per-row, no shuffle: one sequential fold over the hash array
     accumulating a 32-int array, then Horner-packed into a long.
+    Taking pre-hashed longs matters: higher-order lambdas are
+    interpreted with no CSE, so an inline ``xxhash64(token)`` embedded
+    in the 32 bit-branches re-hashes every token string 32 times.
     Constant Python-side shifts only (Spark's shiftright wrapper does
     not take a Column shift), and 32 bits so Horner packing (acc*2+bit)
     can't overflow a signed long under ANSI arithmetic.
     """
-    toks = _c(tokens)
+    toks = _c(token_hash_col)
     n_bits = 32
 
-    def contrib(t: Column) -> Column:
-        h = F.xxhash64(t)
+    def contrib(h: Column) -> Column:
         return F.array(
             *[
                 F.when(
@@ -180,13 +183,23 @@ def simhash32(tokens: Column | str) -> Column:
 
     zeros = F.array(*[F.lit(0) for _ in range(n_bits)])
     counts = F.aggregate(
-        toks, zeros, lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b)
+        toks, zeros, lambda acc, h: F.zip_with(acc, contrib(h), lambda a, b: a + b)
     )
     # Horner pack, MSB first: acc = acc*2 + (count>0)
     return F.aggregate(
         F.reverse(counts),
         F.lit(0).cast("long"),
         lambda acc, c: acc * 2 + F.when(c > 0, 1).otherwise(0),
+    )
+
+
+def simhash32(tokens: Column | str) -> Column:
+    """32-bit SimHash over raw tokens. The inline ``transform`` is safe
+    here (unlike the old formulation that embedded ``xxhash64(token)``
+    inside all 32 bit-branches): it is the fold's input, evaluated once
+    per row, so each token is hashed exactly once."""
+    return simhash32_from_hashes(
+        F.transform(_c(tokens), lambda t: F.xxhash64(t))
     )
 
 

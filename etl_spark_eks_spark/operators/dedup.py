@@ -395,7 +395,11 @@ def minhash_lsh_candidates(
     )
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persisted because the self-join consumes it twice and the two
+    # sides' pruned plans differ enough that no exchange reuse fires —
+    # without it the whole signature pipeline (the dominant cost) runs
+    # once per side. 16 longs+id per doc, orders smaller than the text.
     # No explicit repartition here: banded is tiny relative to its pair
     # output (rows = docs x n_bands), so Spark broadcasts one side and
     # streams the other — and an explicit key-repartition is actively
@@ -454,7 +458,12 @@ def simhash_near_dedup(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_idx", "band.band_val")
+    ).select("doc_id", "sh", "band.band_idx", "band.band_val").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Persisted: the self-join consumes both sides, and the SimHash
+    # fold (interpreted 32-wide zip per token) is the entire cost —
+    # computing it once instead of twice halves the operator.
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
