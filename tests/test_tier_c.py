@@ -174,3 +174,21 @@ def test_embedding_neardup_self_pairs_excluded(spark, sf_dir):
         key = (r["vec_id_1"], r["vec_id_2"])
         assert key not in seen
         seen.add(key)
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """C18: min-label propagation must handle a chain (diameter > 1),
+    a clique, and leave singletons out of the label table (they join
+    back as their own keeper in the query)."""
+    from etl_spark_eks_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (pairwise non-adjacent ends), clique 10-11-12
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        ["a", "b"],
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
