@@ -81,6 +81,12 @@ def main() -> int:
             per_query[key] = -1.0
             continue
         per_query[key] = round(time.perf_counter() - t0, 3)
+        # Queries must be timed independently: several operators persist
+        # their signature tables (a correct choice inside one query),
+        # and letting those accumulate across 80+ queries turns later
+        # timings into a function of bench ORDER (storage-memory
+        # pressure + GC, measured as 2-3x noise on the pairwise ops).
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_total0, 3)
 
     print(

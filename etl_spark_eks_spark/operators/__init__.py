@@ -21,6 +21,7 @@ _FAMILIES = (
     "text_analysis",
     "multimodal",
     "stream_queries",
+    "pipeline",
 )
 
 
