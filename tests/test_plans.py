@@ -77,3 +77,22 @@ def test_minhash_no_duplicated_signature_evaluation(spark, sf_dir):
     n_tokenize = plan.count("split(text")
     assert n_tokenize <= 4, f"signature expression duplicated: {n_tokenize} copies"
     assert len(plan) < 100_000, f"plan blew up to {len(plan)} chars"
+
+
+def test_prefix_jaccard_no_duplicated_signature_evaluation(spark, sf_dir):
+    """Same guard as q_c8 for the prefix-filter Jaccard join (q_c16):
+    the persisted signature table must appear as cache scans, with the
+    tokenize pipeline only in the cache-build subtree — not re-inlined
+    per consumer (prefix explode + two fetch-backs would mean 3 full
+    recomputes, measured 6.5x)."""
+    df = registry.QUERIES["q_c16_ngram_jaccard"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_tokenize = plan.count("split(text")
+    # The exact render count varies with cache-substitution context
+    # (2 standalone, 8 when earlier tests already populated the cache —
+    # each InMemoryRelation site re-prints its build plan). The
+    # pathology being guarded is ~30x per-consumer re-expansion and a
+    # 700 KB plan string; a low teens count stays an order below it.
+    assert n_tokenize <= 12, f"signature expression duplicated: {n_tokenize} copies"
+    assert len(plan) < 100_000, f"plan blew up to {len(plan)} chars"
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan

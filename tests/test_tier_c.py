@@ -192,3 +192,29 @@ def test_connected_components_chain_clique_singleton(spark):
         for r in connected_components(edges, "a", "b").collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_jaccard_strategies_identical_pairs(spark, sf_dir):
+    """C2/C16: the prefix-filter join and the triangle all-pairs join
+    are different CANDIDATE generators around the same exact predicate
+    — they must return the identical pair set (the prefix filter has
+    no false negatives by the pigeonhole argument; this is the
+    executable form of that proof)."""
+    from etl_spark_eks_spark.operators.dedup import jaccard_near_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    for shingle_k in (None, 3):
+        got = {}
+        for strategy in ("prefix", "allpairs"):
+            rows = jaccard_near_dedup(
+                d, "text", "doc_id", ["lang"], 0.6, 0.2,
+                shingle_k=shingle_k, strategy=strategy,
+            ).collect()
+            got[strategy] = sorted(
+                (r["doc_id_1"], r["doc_id_2"], round(r["jaccard"], 9))
+                for r in rows
+            )
+        assert got["prefix"] == got["allpairs"], (
+            f"strategy mismatch for shingle_k={shingle_k}"
+        )
+        assert got["prefix"], "fixture should produce near-dup pairs"
