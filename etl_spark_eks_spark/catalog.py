@@ -69,10 +69,15 @@ def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     serializes interpreted higher-order expressions onto one core. This
     is the explicit small-input/wide-compute escape hatch — a cheap
     round-robin exchange of the (small) input, never of the pairwise
-    output.
+    output — and a literal no-op whenever the input already carries at
+    least session parallelism (a 100 TB scan must NOT be re-shuffled
+    just to run a per-row expression; the conditional is what makes
+    this safe to leave in the operators at scale).
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
     return df.repartition(partitions)
 
 

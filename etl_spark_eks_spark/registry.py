@@ -8,7 +8,15 @@ Every operator in SURVEY.md §2 registers here with:
 Rules enforced by convention (SURVEY §5.2):
 - alias every computed column identically in Spark and SQL;
 - ROUND(x, 6) any float *aggregate* on both sides (per-row IEEE
-  arithmetic is deterministic and left unrounded);
+  arithmetic is deterministic and left unrounded). Known limit: a
+  parallel SUM's addition ORDER differs between Spark partials and
+  DuckDB, so the result carries ~1 ulp of engine-dependent noise
+  (~2e-16 relative). At the sf0.01 oracle gate that is far below the
+  6-dp rounding; at sf0.1 a handful of 1e10-magnitude sums
+  (q_b17/b22/b25-class) can flip their 6th decimal and hash-mismatch —
+  measured, nondeterministic run to run, and inherent to cross-engine
+  FP comparison rather than a semantic divergence (counts, schemas,
+  and all other columns still match);
 - CAST integer sums to BIGINT in DuckDB (its native int sum is HUGEINT);
 - sort-key every LIMIT;
 - no plan-time now()/random() without a fixed literal.
