@@ -285,3 +285,66 @@ def q_c13_lang_id(spark, sf_dir):
     return d.select(
         "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
     )
+
+
+@query(
+    "q_c20_pii_scrub",
+    oracle="""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or http://ex.com/d/'
+                  || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, 'https?://[^ ]+'))
+                AS BIGINT) AS n_urls,
+           regexp_replace(
+             regexp_replace(t,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g') AS scrubbed
+    FROM pii
+    """,
+)
+def q_c20_pii_scrub(spark, sf_dir):
+    """C20 (extension): PII/URL scrubbing — the redaction pass of a
+    training-data pipeline. Emails and URLs are counted
+    (regexp_extract_all) and replaced with placeholder tags
+    (regexp_replace; Spark replaces all occurrences by default, the
+    oracle passes DuckDB's 'g' flag for the same semantics). The
+    fixture corpus contains no PII, so each doc gets one synthetic
+    email + URL injected deterministically from its doc_id on BOTH
+    sides — the regexes are exercised for real, the comparison stays
+    exact. Patterns are dialect-safe (shared by Java regex and RE2:
+    explicit classes, no lookaround). Scale: pure per-row regex,
+    no shuffle, whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[^ ]+"
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    return pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(url), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace("t", email, "<EMAIL>"), url, "<URL>"
+        ).alias("scrubbed"),
+    )

@@ -69,3 +69,52 @@ def test_inner_join_cardinality(spark, a, b):
         Counter(a)[k] * Counter(b)[k] for k in set(a) & set(b)
     )
     assert da.join(db, "k").count() == expected
+
+
+texts = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=15), min_size=0, max_size=12
+    ).map(lambda toks: " ".join(f"w{t}" for t in toks)),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(docs=texts, threshold=st.sampled_from([0.34, 0.5, 0.75]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_jaccard_matches_bruteforce(spark, docs, threshold):
+    """The prefix-filter join's no-false-negative theorem, checked
+    against a Python brute force on arbitrary generated corpora: every
+    pair with token-set Jaccard >= t (within the length band) must be
+    returned, with the right Jaccard value, and nothing else."""
+    from etl_spark_eks_spark.operators.dedup import jaccard_near_dedup
+
+    df = spark.createDataFrame(
+        [(i, "xx", t) for i, t in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in jaccard_near_dedup(
+            df, "text", "doc_id", ["lang"], threshold, 0.5, strategy="prefix"
+        ).collect()
+    }
+    sets = [set(t.split()) for t in docs]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            if abs(len(a) - len(b)) > 0.5 * max(len(a), len(b)):
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
