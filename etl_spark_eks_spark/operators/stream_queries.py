@@ -181,3 +181,70 @@ def q_b50_exactly_once_rerun(spark, sf_dir):
     run_available_now(pipeline(), sink, ckpt)  # first run: processes all files
     run_available_now(pipeline(), sink, ckpt)  # rerun: no-op (checkpoint)
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_b57_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_b57_stream_stream_join(spark, sf_dir):
+    """B57 (extension): watermarked stream-stream inner join — the
+    attribution query (purchase within 30 minutes of a view by the same
+    user) joining two live streams. Each side carries a 1-hour
+    watermark and the join predicate bounds purchase_ts to a window
+    after view_ts, so Spark can evict both sides' state as the
+    watermark advances — bounded memory on unbounded streams, the
+    whole point of the operator. With availableNow over at-rest files
+    every match is emitted, so the result equals the batch join and
+    carries an exact SQL oracle.
+
+    Scale: join state is partitioned by user_id across the cluster;
+    state size ~= events inside the watermark horizon, independent of
+    stream length."""
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b57", tag, "sink")
+    ckpt = fresh_scratch("q_b57", tag, "ckpt")
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    run_available_now(joined, sink, ckpt)
+    return spark.read.parquet(sink)
