@@ -288,3 +288,103 @@ def q_c17_knn_ivf(spark, sf_dir):
     asserted in tests alongside the LSH variant (C14)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_cosine_ivf(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+def knn_cosine_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 32,
+) -> DataFrame:
+    """Product-quantization ANN (PQ + ADC + exact rerank): the
+    compressed-domain scale path. The corpus is encoded once into m
+    sub-space codes (m bytes/vector here vs 256 bytes of float32 —
+    64x smaller scan); each query precomputes an asymmetric-distance
+    table (its dot product with every centroid of every sub-space,
+    m*n_codes doubles) and a candidate's approximate score is m table
+    LOOKUPS — plain Catalyst `element_at` arithmetic, no vector math
+    per pair, whole-stage codegen. The top-``rerank`` candidates per
+    query are then fetched back and re-scored with exact cosine.
+
+    Codebooks are ``n_codes`` deterministic corpus samples per
+    sub-space (same init policy as the IVF quantizer): collected once
+    driver-side, shipped in the two pandas-UDF closures; encode and
+    table-build are one numpy matmul per Arrow batch. At cluster scale
+    the code table (id + m small ints) is the only thing the candidate
+    stage scans, and PQ composes with IVF cells (encode residuals per
+    cell) — documented, not needed at fixture scale.
+
+    Candidate generation ranks by inner product (what ADC tables give);
+    the exact-cosine rerank restores the metric — standard FAISS-style
+    IVFADC shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    sample = (
+        corpus.orderBy("vec_id").limit(n_codes).select("embedding").collect()
+    )
+    smat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    dim = smat.shape[1]
+    sub = dim // m
+    books = [smat[:, i * sub : (i + 1) * sub] for i in range(m)]
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())
+        codes = [
+            np.argmax(mat[:, i * sub : (i + 1) * sub] @ books[i].T, axis=1)
+            for i in range(m)
+        ]
+        return pd.Series(list(np.stack(codes, axis=1).astype("int32")))
+
+    @pandas_udf("array<double>")
+    def adc_table(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())
+        tabs = [
+            mat[:, i * sub : (i + 1) * sub] @ books[i].T for i in range(m)
+        ]
+        return pd.Series(list(np.concatenate(tabs, axis=1)))
+
+    codes = widen(corpus).select(
+        F.col("vec_id").alias("cid"), encode("embedding").alias("codes")
+    )
+    qtabs = queries.select(
+        F.col("vec_id").alias("qid"), adc_table("embedding").alias("tab")
+    )
+    approx = None
+    for i in range(m):
+        term = F.element_at(
+            "tab", F.lit(i * n_codes + 1) + F.element_at("codes", i + 1)
+        )
+        approx = term if approx is None else approx + term
+    w_cand = Window.partitionBy("qid").orderBy(F.col("approx").desc(), "cid")
+    cand = (
+        F.broadcast(qtabs)
+        .crossJoin(codes)
+        .select("qid", "cid", approx.alias("approx"))
+        .withColumn("rnk", F.row_number().over(w_cand))
+        .filter(F.col("rnk") <= rerank)
+        .select("qid", "cid")
+    )
+    qe = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ce = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    sim = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select("qid", "cid", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "sim", "rnk")
+    )
+
+
+@query("q_c21_knn_pq")  # rows-only: codebook-sample-specific
+def q_c21_knn_pq(spark, sf_dir):
+    """C21 (extension): product-quantization ANN top-5 (ADC candidate
+    generation over m-byte codes + exact cosine rerank); recall vs
+    brute force asserted in tests alongside C14/C17."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine_pq(emb.filter(F.col("vec_id") < 5), emb, k=5)

@@ -218,3 +218,20 @@ def test_jaccard_strategies_identical_pairs(spark, sf_dir):
             f"strategy mismatch for shingle_k={shingle_k}"
         )
         assert got["prefix"], "fixture should produce near-dup pairs"
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """C21: PQ-ADC ANN (4 sub-spaces x 16 codes, rerank 32) must achieve
+    >= 40% top-5 recall vs brute force — same bar as the LSH and IVF
+    variants; the exact-cosine rerank means precision of the final
+    ranking is limited only by candidate recall."""
+    from etl_spark_eks_spark.operators.similarity import knn_cosine_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_cosine_bruteforce(queries, emb, k=5).collect()
+    approx = knn_cosine_pq(queries, emb, k=5).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"PQ recall too low: {recall:.2f}"
