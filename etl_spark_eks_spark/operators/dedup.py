@@ -499,34 +499,45 @@ def connected_components(
     max_iter: int = 25,
     loop_partitions: int | None = 8,
 ) -> DataFrame:
-    """Connected components over an undirected edge list by iterative
-    min-label propagation: every node starts labeled with itself; each
-    round, a node's label becomes the min of its own and its neighbors'
-    labels; at the fixpoint every node carries the minimum node id of
-    its component. Returns (node, label).
+    """Connected components over an undirected edge list by min-label
+    propagation WITH graph contraction: every node starts labeled with
+    itself; each round, (1) every node in the *contracted* graph takes
+    the min of itself and its neighbors, (2) the original-node label
+    table composes with those moves, and (3) the contracted graph is
+    remapped through the moves, dropping self-loops and duplicate
+    edges. At the fixpoint (no node can move) every node carries the
+    minimum node id of its component. Returns (node, label).
 
     Scale: this is the one operator family where a driver-side loop is
     the RIGHT shape — the algorithm is iterative by nature and each
-    iteration is a fully distributed join + map-side-combined min-agg
-    keyed on node id. Rounds needed = graph diameter; near-dup graphs
-    are dense clumps (diameter 2-4), and the convergence probe stops
-    the loop the first round nothing changes. Each round's label table
-    is ``localCheckpoint``-ed: without lineage truncation the logical
-    plan EMBEDS the previous round's plan twice (once under the union,
-    once under the join) — exponential tree growth that OOMs the
-    driver just *printing* the plan by round ~8. Checkpointing replaces
-    the plan with the materialized RDD, keeping every round's plan
-    O(1). On a real cluster use reliable ``checkpoint()`` (survives
-    executor loss; localCheckpoint trades that for speed). For
-    adversarial long-chain graphs, the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce") halves the
-    round count — same per-round plan shape, documented trade, not
-    needed for dedup clumps.
+    iteration is a fully distributed min-agg + joins keyed on node id.
+    Contraction is what makes it fit the workload: near-dup graphs are
+    dense clumps (a clump of k copies is ~a k-clique, k^2 edges), and
+    one min-label pass collapses a clique to its min node — so after
+    round 1 the contracted edge list drops from O(sum k^2) to just the
+    sparse bridges BETWEEN clumps (758k -> ~hundreds at sf0.1), and
+    every later round is trivially small. Without contraction each
+    round re-streams the full edge list (the old delta-frontier form
+    measured 6x slower here). Rounds needed = O(longest contracted
+    chain), bounded by component diameter; the convergence probe stops
+    the loop the first round nothing moves. For adversarial long-chain
+    graphs the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") guarantees O(log^2 n) rounds
+    — same per-round plan shape, documented trade, not needed for
+    dedup clumps.
+
+    Every per-round table is ``localCheckpoint``-ed: without lineage
+    truncation the logical plan EMBEDS the previous round's plan
+    several times — exponential tree growth that OOMs the driver just
+    *printing* the plan by round ~8. Checkpointing replaces the plan
+    with the materialized RDD, keeping every round's plan O(1). On a
+    real cluster use reliable ``checkpoint()`` (survives executor
+    loss; localCheckpoint trades that for speed).
 
     ``loop_partitions`` pins the shuffle width for the loop's many
     small jobs (restored after): every round pays per-partition
-    scheduling/commit overhead regardless of label-table size, the
-    same economics as streaming state partitions. Size it to the label
+    scheduling/commit overhead regardless of table size, the same
+    economics as streaming state partitions. Size it to the label
     table (node count), not the corpus.
     """
     spark = edges.sparkSession
@@ -546,47 +557,65 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        labels = (
+        # assign: ORIGINAL node -> current label (a label is always a
+        # node id in the same component, only ever decreasing).
+        assign = (
             sym.select("node")
             .distinct()
             .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        # Delta iteration: only labels that CHANGED last round are
-        # re-sent to neighbors (a label can only decrease, and an
-        # unchanged label was already delivered). On dense near-dup
-        # graphs the frontier collapses geometrically (3604 -> 3417 ->
-        # 1846 -> 280 -> 15 -> 0 at sf0.1) while the full-join form
-        # re-streams every edge every round.
-        frontier = labels
+        # g: symmetric edge list of the CONTRACTED graph, whose nodes
+        # are current labels. Invariant: (a, b) in g => components of
+        # a and b are connected in the input graph, and every input
+        # edge is represented by some g path — so CC(g) composed with
+        # assign is CC(input).
+        g = sym
         for _ in range(max_iter):
-            msgs = sym.join(
-                frontier.withColumnRenamed("node", "nbr").withColumnRenamed(
-                    "label", "nbr_label"
-                ),
-                "nbr",
-            ).select("node", F.col("nbr_label").alias("label"))
-            new_labels = (
-                labels.unionByName(msgs)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
+            # Min-label pass on the contracted graph. `moves` holds
+            # only label-nodes that improve; if none can, assign is
+            # the component-min fixpoint. (Nonempty g guarantees
+            # nonempty moves: the larger endpoint of any edge moves.)
+            moves = (
+                g.groupBy("node")
+                .agg(F.min("nbr").alias("m"))
+                .filter(F.col("m") < F.col("node"))
                 .localCheckpoint(eager=True)
             )
-            frontier = (
-                new_labels.join(
-                    labels.withColumnRenamed("label", "old_label"), "node"
-                )
-                .filter(F.col("label") < F.col("old_label"))
-                .select("node", "label")
-                .localCheckpoint(eager=True)
-            )
-            labels = new_labels
-            if frontier.count() == 0:
+            if moves.count() == 0:
                 break
+            assign = (
+                assign.join(
+                    moves.withColumnRenamed("node", "label"), "label", "left"
+                )
+                .select("node", F.coalesce("m", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            # Contract: remap both endpoints through the moves (tiny
+            # table -> broadcast joins, no shuffle), drop self-loops
+            # BEFORE distinct so the dedup shuffle sees only the
+            # surviving bridge edges.
+            g = (
+                g.join(F.broadcast(moves), "node", "left")
+                .select(F.coalesce("m", "node").alias("node"), "nbr")
+                .join(
+                    F.broadcast(
+                        moves.select(
+                            F.col("node").alias("nbr"), F.col("m").alias("m2")
+                        )
+                    ),
+                    "nbr",
+                    "left",
+                )
+                .select("node", F.coalesce("m2", "nbr").alias("nbr"))
+                .filter(F.col("node") != F.col("nbr"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return labels
+    return assign
 
 
 @query(
