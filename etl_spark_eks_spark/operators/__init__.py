@@ -22,6 +22,7 @@ _FAMILIES = (
     "multimodal",
     "stream_queries",
     "pipeline",
+    "sampling",
 )
 
 

@@ -242,3 +242,41 @@ def q_b25_revenue_by_nation(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "q_b58_percentiles",
+    oracle="""
+    SELECT lang,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.90), 6) AS p90
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_b58_percentiles(spark, sf_dir):
+    """B58 (extension): EXACT linear-interpolated percentiles per group
+    — the distribution profile a curation pass reads before choosing
+    length cutoffs. Spark's `percentile` and DuckDB's `quantile_cont`
+    share the same interpolation contract, so this is value-exact
+    (unlike `approx_percentile`, which q_b19-style rows-only checks
+    would need). Scale note: exact percentile buffers each group's
+    values on the reducer — right up to millions of rows per group;
+    beyond that switch to `approx_percentile` (t-digest, mergeable
+    map-side) and accept the documented error bound.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = F.expr("percentile(n_chars, array(0.25, 0.50, 0.90))")
+    return (
+        d.groupBy("lang")
+        .agg(p.alias("ps"))
+        .select(
+            "lang",
+            F.round(F.element_at("ps", 1), 6).alias("p25"),
+            F.round(F.element_at("ps", 2), 6).alias("p50"),
+            F.round(F.element_at("ps", 3), 6).alias("p90"),
+        )
+        .orderBy("lang")
+    )

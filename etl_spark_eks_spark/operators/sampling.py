@@ -1,0 +1,257 @@
+"""Sampling, corpus mixing, shard packing, and decontamination for
+LLM-training-data pipelines (SURVEY §2 C22-C25).
+
+These are the corpus-assembly operators that sit downstream of the
+dedup/quality ladder (C1-C21): pick a reproducible subset (C22), rebalance
+domains to a target mixture (C23), pack the survivors into token-budgeted
+shards for the trainer (C24), and hold out anything that overlaps an
+evaluation benchmark (C25).
+
+Design rules shared by the family:
+- **Determinism over RNG.** Every "random" choice is a pure function of
+  the row key (an md5-derived bucket), never ``rand()``: reruns, retried
+  tasks, and different engines all agree row-by-row, which is what makes
+  the operators oracle-checkable and makes incremental re-ingestion stable
+  (a document's keep/drop fate never changes when the corpus around it
+  does). ``rand(seed)`` cannot give that: it is seeded per-PARTITION, so
+  any repartitioning reshuffles every fate.
+- **Per-row, shuffle-free where possible.** C22/C23 are pure
+  projection+filter — they pipeline into whatever scan precedes them at
+  any scale. The only shuffles in the family are C24's two tiny
+  aggregations and C25's semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.text import shingles, tokenize
+from etl_spark_eks_spark.registry import query
+
+# Keep-rate buckets are permille (0-999) carved from the top 32 bits of
+# md5(key) — the same expression DuckDB evaluates, so oracles match bit
+# for bit: Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB
+# `('0x' || substr(md5(x),1,8))::BIGINT`.
+_BUCKETS = 1000
+
+
+def hash_bucket(key, buckets: int = _BUCKETS):
+    """Deterministic engine-portable bucket in [0, buckets) from md5 of
+    the (stringified) key column."""
+    col = key if not isinstance(key, str) else F.col(key)
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return h.cast("bigint") % buckets
+
+
+def _bucket_sql(expr: str, buckets: int = _BUCKETS) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+@query(
+    "q_c22_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, {_bucket_sql("doc_id")} AS bucket
+    FROM documents
+    WHERE {_bucket_sql("doc_id")} < 100
+    ORDER BY doc_id
+    """,
+)
+def q_c22_hash_sample(spark, sf_dir):
+    """C22 (extension): deterministic 10% Bernoulli sample by hash
+    bucket. The idiomatic way to sample a 100 TB corpus reproducibly:
+    bucket = md5(doc_id) mod 1000, keep bucket < 100. Unlike
+    ``df.sample()`` the subset is a pure function of the keys — stable
+    under retries, repartitioning, engine changes, and incremental
+    appends — and widening the sample to 20% (bucket < 200) is a
+    strict SUPERSET of the 10% sample, so experiments nest.
+
+    Scale: per-row projection + filter, zero shuffle; pipelines into
+    the scan on every executor."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return (
+        d.select("doc_id", "lang", b.alias("bucket"))
+        .filter(b < 100)
+        .orderBy("doc_id")
+    )
+
+
+# Target permille keep-rates per language for the mixture query — the
+# kind of rebalancing a multilingual training mix applies (keep all the
+# low-resource languages, downsample the dominant one). A literal table
+# so the Spark dim and the SQL VALUES stay in sync.
+_MIX_RATES = [("en", 400), ("de", 1000), ("es", 1000), ("fr", 1000), ("zh", 700)]
+_MIX_DEFAULT = 1000
+
+
+@query(
+    "q_c23_domain_mix",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, {_bucket_sql("d.doc_id")} AS bucket,
+           COALESCE(r.keep_permille, {_MIX_DEFAULT}) AS keep_permille
+    FROM documents d
+    LEFT JOIN (VALUES {", ".join(f"('{l}', {r})" for l, r in _MIX_RATES)})
+           AS r(lang, keep_permille)
+      ON d.lang = r.lang
+    WHERE {_bucket_sql("d.doc_id")} < COALESCE(r.keep_permille, {_MIX_DEFAULT})
+    ORDER BY d.doc_id
+    """,
+)
+def q_c23_domain_mix(spark, sf_dir):
+    """C23 (extension): rebalance the corpus to a target per-domain
+    mixture by deterministic downsampling — each language keeps
+    ``keep_permille``/1000 of its documents, chosen by the same
+    md5-bucket as C22 (so the mixture sample of a language IS the
+    hash-sample of that language: the subsets compose).
+
+    Scale: the rate table is a handful of rows — broadcast join, so the
+    operator stays a per-row map over the scan with no shuffle of the
+    corpus. Unmatched domains default to keep-all rather than silently
+    dropping data."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(_MIX_RATES, ["lang", "keep_permille"])
+    b = hash_bucket("doc_id")
+    return (
+        d.join(F.broadcast(rates), "lang", "left")
+        .withColumn(
+            "keep_permille",
+            F.coalesce("keep_permille", F.lit(_MIX_DEFAULT)),
+        )
+        .filter(b < F.col("keep_permille"))
+        .select("doc_id", "lang", b.alias("bucket"), "keep_permille")
+        .orderBy("doc_id")
+    )
+
+
+_SHARD_BUDGET = 1000  # tokens per shard
+_CUMSUM_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+@query(
+    "q_c24_pack_shards",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                      / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+    FROM (SELECT doc_id,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '')) AS n_tokens
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_c24_pack_shards(spark, sf_dir):
+    """C24 (extension): pack documents into token-budgeted shards —
+    shard_id = floor(running_token_count_before_me / budget), the
+    greedy next-fit packing a trainer's data loader expects
+    (doc order preserved, every shard ~budget tokens).
+
+    Scale: the naive form is a single global window (`SUM OVER (ORDER
+    BY doc_id)`) — ONE task no matter the cluster size. This
+    implementation is a distributed two-phase prefix sum instead:
+    (1) bucket docs by doc_id range and aggregate per-bucket token
+    totals (tiny table, map-side combined); (2) window the bucket
+    table alone to get each bucket's starting offset; (3) broadcast
+    the offsets back and compute the within-bucket running sum with a
+    window PARTITIONED by bucket — parallel across the cluster. The
+    only serial step is the window over the bucket table
+    (corpus_size / {_CUMSUM_BUCKET} rows), the classic scan-then-
+    propagate prefix-sum shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("n_tokens"),
+        (F.col("doc_id") / _CUMSUM_BUCKET).cast("bigint").alias("bucket"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_b), F.lit(0)).alias(
+            "offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("offset") + F.coalesce(
+        F.sum("n_tokens").over(w_in), F.lit(0)
+    )
+    return (
+        toks.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before.cast("double") / _SHARD_BUDGET)
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_c25_decontaminate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '') AS t
+            FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT c.doc_id, COUNT(DISTINCT x.shingle) AS n_shared
+    FROM sh c, unnest(c.s) AS x(shingle)
+    JOIN bench b ON x.shingle = b.shingle
+    WHERE c.doc_id % 97 <> 0
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_c25_decontaminate(spark, sf_dir):
+    """C25 (extension): benchmark decontamination — flag training
+    documents that share any 3-token shingle with a held-out benchmark
+    set (stand-in: doc_id % 97 == 0), reporting how many distinct
+    shingles leak. Downstream, `anti-join on doc_id` removes them;
+    this query keeps the evidence so the cut is auditable.
+
+    Scale: the benchmark side is small by construction (eval sets are
+    thousands of docs, the corpus is billions) — its distinct shingle
+    set broadcasts, so the corpus side stays a map-side explode +
+    broadcast-hash semi-probe with ONE shuffle: the per-doc count
+    aggregation. The corpus is never self-joined."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize("text"), 3)).alias("s"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("s").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,125 @@
+"""Sampling / mixing / packing / decontamination invariants (SURVEY §2
+C22-C25) that the SQL oracles don't express: sample nesting, mixture
+composition, shard budget bounds, and the no-self-join plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_eks_spark import registry
+from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.operators.sampling import (
+    _SHARD_BUDGET,
+    hash_bucket,
+)
+
+registry.load_all()
+
+
+def test_hash_sample_nests_and_is_stable(spark, sf_dir):
+    """C22: the 10% sample must be a strict subset of the 20% sample
+    (same bucket function, wider cut), and re-evaluation must return
+    the identical id set (no RNG anywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    s10 = {r[0] for r in d.filter(b < 100).select("doc_id").collect()}
+    s20 = {r[0] for r in d.filter(b < 200).select("doc_id").collect()}
+    s10_again = {r[0] for r in d.filter(b < 100).select("doc_id").collect()}
+    assert s10 == s10_again
+    assert s10 < s20
+    n = d.count()
+    # md5 buckets are uniform enough that 10% +/- 5pp holds at 500 docs
+    assert 0.05 * n <= len(s10) <= 0.15 * n
+
+
+def test_domain_mix_composes_with_hash_sample(spark, sf_dir):
+    """C23: the mixture's per-language subset IS the hash-sample of
+    that language at the language's rate — per-row fates don't depend
+    on the rest of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = registry.QUERIES["q_c23_domain_mix"](spark, sf_dir)
+    got_en = {
+        r[0] for r in mixed.filter(F.col("lang") == "en").select("doc_id").collect()
+    }
+    want_en = {
+        r[0]
+        for r in d.filter(
+            (F.col("lang") == "en") & (hash_bucket("doc_id") < 400)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got_en == want_en
+
+
+def test_pack_shards_budget_and_order(spark, sf_dir):
+    """C24: shard ids are nondecreasing in doc order, start at 0, skip
+    nothing, and every shard except possibly the last holds >= budget
+    tokens counting its first doc's overflow (next-fit guarantee:
+    a shard closes only once its running total reaches the budget)."""
+    rows = (
+        registry.QUERIES["q_c24_pack_shards"](spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    )
+    shard_tokens: dict[int, int] = {}
+    prev_shard = 0
+    for r in rows:
+        assert r["shard_id"] >= prev_shard
+        assert r["shard_id"] - prev_shard <= max(
+            1, r["n_tokens"] // _SHARD_BUDGET + 1
+        )
+        prev_shard = r["shard_id"]
+        shard_tokens[r["shard_id"]] = (
+            shard_tokens.get(r["shard_id"], 0) + r["n_tokens"]
+        )
+    assert min(shard_tokens) == 0
+    assert sorted(shard_tokens) == list(range(max(shard_tokens) + 1))
+    for sid, tot in shard_tokens.items():
+        if sid != max(shard_tokens):
+            # the doc that OPENS the next shard pushed this one over
+            assert tot + max(r["n_tokens"] for r in rows) >= _SHARD_BUDGET
+
+def test_decontaminate_flags_exact_leaks(spark, sf_dir):
+    """C25: a doc sharing zero shingles with the benchmark set never
+    appears; every flagged doc genuinely shares >= 1 shingle (checked
+    against an independent python recomputation on a sample)."""
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in registry.QUERIES["q_c25_decontaminate"](spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def sh3(text):
+        t = [x for x in text.split() if x]
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    bench = set()
+    for did, text in docs.items():
+        if did % 97 == 0:
+            bench |= sh3(text)
+    for did, text in docs.items():
+        if did % 97 == 0:
+            assert did not in out
+            continue
+        n = len(sh3(text) & bench)
+        assert out.get(did, 0) == n
+
+
+def test_mix_and_decontaminate_plans_broadcast(spark, sf_dir):
+    """C23/C25 scale shape: the rate dim and the benchmark shingle set
+    must broadcast — the corpus side must not shuffle into a sort-merge
+    join (at 100 TB that shuffle IS the cost)."""
+    for key in ("q_c23_domain_mix", "q_c25_decontaminate"):
+        plan = (
+            registry.QUERIES[key](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, key
+        assert "SortMergeJoin" not in plan, key
