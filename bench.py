@@ -86,12 +86,13 @@ def main() -> int:
         # and letting those accumulate across 80+ queries turns later
         # timings into a function of bench ORDER (storage-memory
         # pressure + GC, measured as 2-3x noise on the pairwise ops).
-        # The explicit GC drains the garbage of the PREVIOUS query
-        # outside anyone's timed window — without it, a full GC lands
-        # inside whichever later query happens to allocate next
-        # (measured as a 3s query randomly reading 23s).
+        # Do NOT add a forced System.gc() here: measured A/B on the
+        # full suite, forcing a full GC between queries made the run
+        # 65% SLOWER overall (170s vs 103s) and inflated individual
+        # queries up to 6x — a 128 GiB-heap full collection clears
+        # soft-referenced runtime caches and the JVM pays to rebuild
+        # them inside the next timed window.
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
     total = round(time.perf_counter() - t_total0, 3)
 
     print(
