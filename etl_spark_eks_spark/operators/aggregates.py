@@ -280,3 +280,35 @@ def q_b58_percentiles(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_b59_pivot",
+    oracle="""
+    SELECT source,
+           COUNT(*) FILTER (WHERE lang = 'de') AS de,
+           COUNT(*) FILTER (WHERE lang = 'en') AS en,
+           COUNT(*) FILTER (WHERE lang = 'es') AS es,
+           COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+           COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_b59_pivot(spark, sf_dir):
+    """B59 (extension): PIVOT — long-to-wide reshape (documents per
+    source x language). The pivot VALUES are declared literally, which
+    is the scale-correct form: with explicit values Spark runs ONE
+    groupBy pass with conditional aggregates (map-side combined);
+    leaving them implicit costs an extra distinct-values job over the
+    full input first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("source")
+    )

@@ -682,3 +682,100 @@ def q_c18_dedup_clusters(spark, sf_dir):
         cluster.alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("is_keeper"),
     )
+
+
+@query(
+    "q_c27_incremental_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) AS toks
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, lang, text, toks, len(toks) AS n FROM toks
+    ), corpus AS (SELECT * FROM sized WHERE doc_id % 10 <> 7),
+       batch  AS (SELECT * FROM sized WHERE doc_id % 10 = 7),
+    ex AS (
+      SELECT b.doc_id, MIN(c.doc_id) AS match_doc_id
+      FROM batch b JOIN corpus c ON sha256(b.text) = sha256(c.text)
+      GROUP BY b.doc_id
+    ), nr AS (
+      SELECT b.doc_id, MIN(c.doc_id) AS match_doc_id
+      FROM batch b JOIN corpus c
+        ON b.lang = c.lang
+       AND abs(b.n - c.n) <= 0.2 * greatest(b.n, c.n)
+      WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+              / (b.n + c.n - len(list_intersect(b.toks, c.toks))) >= 0.8
+      GROUP BY b.doc_id
+    )
+    SELECT COALESCE(ex.doc_id, nr.doc_id) AS doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact' ELSE 'near' END
+             AS dup_kind,
+           COALESCE(ex.match_doc_id, nr.match_doc_id) AS match_doc_id
+    FROM ex FULL OUTER JOIN nr ON ex.doc_id = nr.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_c27_incremental_dedup(spark, sf_dir):
+    """C27 (extension): incremental ingestion dedup — check an arriving
+    BATCH (stand-in: doc_id % 10 == 7) against the standing CORPUS
+    without ever self-joining the corpus: exact content-hash matches
+    first, then blocked token-set Jaccard >= 0.8 (same contract as C2)
+    for near-dups; 'exact' wins when both hold, and the reported
+    match_doc_id is the smallest matching corpus doc.
+
+    Scale: this is the shape that keeps dedup O(batch x candidates)
+    instead of O(corpus^2) on every ingest. The batch side is small by
+    construction, so BOTH probes broadcast the batch and stream the
+    corpus past it — the corpus is scanned once per probe and never
+    shuffled. At 100 TB the exact probe becomes a join against the
+    corpus's persisted hash INDEX (one narrow column), and the near
+    probe against its persisted signature table (the C8 banding), not
+    recomputed from text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.array_distinct(tokenize("text")).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    corpus = toks.filter(F.col("doc_id") % 10 != 7)
+    batch = toks.filter(F.col("doc_id") % 10 == 7)
+
+    ex = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(batch.select(F.col("doc_id").alias("b_id"), "h")),
+            "h",
+        )
+        .groupBy("b_id")
+        .agg(F.min("doc_id").alias("ex_match"))
+    )
+    b, c = batch.alias("b"), corpus.alias("c")
+    inter = F.size(F.array_intersect(F.col("b.toks"), F.col("c.toks")))
+    jac = inter.cast("double") / (F.col("b.n") + F.col("c.n") - inter)
+    nr = (
+        c.join(
+            F.broadcast(b),
+            (F.col("b.lang") == F.col("c.lang"))
+            & (
+                F.abs(F.col("b.n") - F.col("c.n"))
+                <= 0.2 * F.greatest(F.col("b.n"), F.col("c.n"))
+            ),
+        )
+        .filter(jac >= 0.8)
+        .groupBy(F.col("b.doc_id").alias("b_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("nr_match"))
+    )
+    return (
+        ex.join(nr, "b_id", "full")
+        .select(
+            F.col("b_id").alias("doc_id"),
+            F.when(F.col("ex_match").isNotNull(), "exact")
+            .otherwise("near")
+            .alias("dup_kind"),
+            F.coalesce("ex_match", "nr_match").alias("match_doc_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -348,3 +348,56 @@ def q_c20_pii_scrub(spark, sf_dir):
             F.regexp_replace("t", email, "<EMAIL>"), url, "<URL>"
         ).alias("scrubbed"),
     )
+
+
+@query(
+    "q_c26_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(CAST(f.n AS DOUBLE) / tot.total)), 6)
+             AS avg_logprob
+    FROM tok t JOIN freq f ON t.token = f.token CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_c26_unigram_logprob(spark, sf_dir):
+    """C26 (extension): unigram language-model scoring — each document's
+    mean log-probability under the corpus's own unigram distribution,
+    the cheap stand-in for perplexity filtering (cut the tail of
+    out-of-distribution / gibberish documents before training).
+
+    Scale: two passes over the token stream. Pass 1 builds the term
+    frequency table (groupBy token, map-side combined) — its size is
+    the VOCABULARY, orders of magnitude smaller than the corpus, so
+    pass 2 joins it back token->freq as a broadcast (or shuffle join
+    once vocab outgrows the broadcast threshold — Catalyst/AQE picks)
+    and aggregates per doc. The global total is a scalar cross join,
+    never collected to the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -123,3 +123,25 @@ def test_mix_and_decontaminate_plans_broadcast(spark, sf_dir):
         )
         assert "BroadcastHashJoin" in plan, key
         assert "SortMergeJoin" not in plan, key
+
+
+def test_incremental_dedup_broadcasts_batch(spark, sf_dir):
+    """C27 scale shape: both probes must broadcast the BATCH side and
+    stream the corpus — a sort-merge join here means the corpus got
+    shuffled, which is exactly what incremental dedup exists to avoid."""
+    plan = (
+        registry.QUERIES["q_c27_incremental_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    # The single allowed sort-merge join is the final FULL OUTER merge
+    # of the two per-batch match sets (broadcast hash join cannot build
+    # a full-outer result) — it joins on b_id, never a corpus column.
+    smj = [
+        line
+        for line in plan.splitlines()
+        if "SortMergeJoin" in line
+    ]
+    assert len(smj) == 1 and "b_id" in smj[0], smj
