@@ -734,12 +734,29 @@ def q_c27_incremental_dedup(spark, sf_dir):
     probe against its persisted signature table (the C8 banding), not
     recomputed from text."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.sha2(F.col("text"), 256).alias("h"),
-        F.array_distinct(tokenize("text")).alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    # widen: the fixture scans as one split; hashing+tokenizing must
+    # not serialize onto one core (no-op at real scale). persist: the
+    # exact and near probes prune different columns, so without it each
+    # probe re-runs tokenize+sha2 over the corpus.
+    toks = (
+        widen(d)
+        .select(
+            "doc_id",
+            "lang",
+            F.sha2(F.col("text"), 256).alias("h"),
+            # tokens hashed to longs: set sizes (hence Jaccard) are
+            # preserved up to a 2^-64 collision, and array_intersect on
+            # primitive longs is ~2x string arrays (the
+            # jaccard_near_dedup argument — same oracle contract).
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(tokenize("text"), lambda t: F.xxhash64(t))
+                )
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     corpus = toks.filter(F.col("doc_id") % 10 != 7)
     batch = toks.filter(F.col("doc_id") % 10 == 7)
 

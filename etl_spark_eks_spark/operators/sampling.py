@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import shingles, tokenize
 from etl_spark_eks_spark.registry import query
 
@@ -238,7 +238,7 @@ def q_c25_decontaminate(spark, sf_dir):
     broadcast-hash semi-probe with ONE shuffle: the per-doc count
     aggregation. The corpus is never self-joined."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    sh = widen(d).select(
         "doc_id",
         F.array_distinct(shingles(tokenize("text"), 3)).alias("s"),
     )

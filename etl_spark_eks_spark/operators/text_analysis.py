@@ -386,7 +386,9 @@ def q_c26_unigram_logprob(spark, sf_dir):
     and aggregates per doc. The global total is a scalar cross join,
     never collected to the driver."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tok = widen(d).select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
     return (
