@@ -286,3 +286,79 @@ def q_b16_cross_small(spark, sf_dir):
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+def bucketed_table(
+    spark, df: DataFrame, name: str, key: str, buckets: int, path: str
+) -> DataFrame:
+    """Materialize ``df`` as a bucketed+sorted parquet table and return it.
+
+    ``bucketBy(n, key).sortBy(key)`` records HashPartitioning(key, n) in
+    the catalog, so every later join/agg on ``key`` reads the table
+    already co-located: EnsureRequirements inserts NO Exchange and (with
+    sortBy) no Sort. This is the production pattern for fact tables that
+    are joined on the same key repeatedly — pay one shuffle at write
+    time, amortize it over every subsequent query. Bucket metadata lives
+    in the session catalog (not parquet footers), hence saveAsTable with
+    an explicit path rather than a bare .parquet() write.
+    """
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+@query(
+    "q_b60_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_b60_bucketed_join(spark, sf_dir):
+    """B60: shuffle-free co-located fact-fact join via bucketed tables.
+
+    Both fact sides are materialized once as 8-bucket tables hashed and
+    sorted on their join key; the join plan then contains no Exchange on
+    either side (asserted in tests/test_plans.py). At 100 TB this is the
+    difference between re-shuffling the biggest table on every query and
+    never shuffling it again. Only the columns the join needs are
+    bucketed (column pruning at materialization time).
+    """
+    from etl_spark_eks_spark.sources.parquet_io import scratch_path
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lib = bucketed_table(
+        spark, li, f"li_bkt_{tag}", "l_orderkey", 8,
+        scratch_path("q_b60", tag, "lineitem_bkt"),
+    )
+    ob = bucketed_table(
+        spark, orders, f"ord_bkt_{tag}", "o_orderkey", 8,
+        scratch_path("q_b60", tag, "orders_bkt"),
+    )
+    return (
+        lib.join(ob, lib.l_orderkey == ob.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -96,3 +96,28 @@ def test_prefix_jaccard_no_duplicated_signature_evaluation(spark, sf_dir):
     assert n_tokenize <= 12, f"signature expression duplicated: {n_tokenize} copies"
     assert len(plan) < 100_000, f"plan blew up to {len(plan)} chars"
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """B60: both sides bucketed on the join key -> the join itself needs
+    no Exchange and no Sort (bucketBy + sortBy satisfy the SMJ's
+    requirements straight off the scan). Broadcast is disabled so the
+    assertion exercises the co-located sort-merge path, not a broadcast
+    that would also hide a shuffle."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["q_b60_bucketed_join"](spark, sf_dir)
+        plan = plan_of(df)
+        # the tree prints top-down, so everything AFTER the SortMergeJoin
+        # line is the join's subtree: it must contain no Exchange (the
+        # buckets satisfy the join's distribution straight off the scan);
+        # the only exchanges allowed are above the join (agg + final sort)
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        below_join = tree.split("SortMergeJoin")[1]
+        assert "Exchange" not in below_join
+        assert plan.count("Bucketed: true") == 2
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
