@@ -6,9 +6,12 @@ partial state), never raw rows. Group-by keys here are low-cardinality
 (returnflag/linestatus/nation), so the final agg is tiny regardless of
 input size; AQE coalesces the post-shuffle partitions.
 
-Float discipline: aggregates over doubles are ROUND(x, 6)-ed on both the
-Spark and oracle side (double addition order differs per engine);
-per-row arithmetic is IEEE-deterministic and stays unrounded.
+Float discipline: large-magnitude double SUMs accumulate in
+DECIMAL(38,6) and cast back to double (exact + associative, so Spark's
+partial-sum order and DuckDB's sequential order agree bit-for-bit; see
+functions/exact.py). AVGs stay ROUND(AVG, 6) — small magnitude, and
+decimal AVG types diverge across engines. Per-row arithmetic is
+IEEE-deterministic and stays unrounded.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table, register_views
+from etl_spark_eks_spark.functions.exact import dsum
 from etl_spark_eks_spark.registry import query
 
 Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -25,10 +29,12 @@ Q1_CUTOFF = "1998-09-02 00:00:00"
     "q_b17_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 6)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)           AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)      AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE)                      AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(38,6))) AS DOUBLE)                      AS sum_charge,
            ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
            ROUND(AVG(l_discount), 6)                                        AS avg_disc,
@@ -55,10 +61,10 @@ def q_b17_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(charge), 6).alias("sum_charge"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -85,16 +91,46 @@ def q_b18_count_distinct(spark, sf_dir):
     )
 
 
-@query("q_b19_approx_cd")  # rows-only: HLL estimate is engine-specific
+@query(
+    "q_b19_approx_cd",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey)  AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_bound,
+           TRUE AS orders_within_bound
+    FROM lineitem
+    """,
+)
 def q_b19_approx_cd(spark, sf_dir):
     """B19: HyperLogLog++ approximate count-distinct — the 100 TB path
-    (single pass, fixed memory, no expand). Tests assert <5% error vs
-    exact; the driver's check is rows-only because the estimate is
-    engine-specific."""
+    (single pass, fixed memory, mergeable sketch, no expand).
+
+    The raw HLL estimate is engine-specific, so it cannot be hashed
+    against DuckDB directly. Instead the query EMITS ITS OWN VERDICT as
+    data: it computes both the approximate and the exact count and
+    returns (exact, |approx-exact|/exact <= 5% boolean). The oracle is
+    the exact count plus literal TRUE — the hash gate then verifies
+    both the exact value and that the sketch met its error contract.
+    (The exact countDistinct is affordable here because it is only the
+    verification harness; the operator under demonstration remains
+    approx_count_distinct.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
+    return (
+        li.agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "exact_parts",
+            "exact_orders",
+            within("approx_parts", "exact_parts").alias("parts_within_bound"),
+            within("approx_orders", "exact_orders").alias("orders_within_bound"),
+        )
     )
 
 
@@ -102,7 +138,7 @@ def q_b19_approx_cd(spark, sf_dir):
     "q_b20_having",
     oracle="""
     SELECT o_custkey,
-           ROUND(SUM(o_totalprice), 6) AS total_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -117,7 +153,7 @@ def q_b20_having(spark, sf_dir):
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+            dsum("o_totalprice").alias("total_spend"),
             F.count("*").alias("n_orders"),
         )
         .filter(F.col("n_orders") >= 8)
@@ -129,7 +165,7 @@ def q_b20_having(spark, sf_dir):
     "q_b21_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -139,7 +175,7 @@ def q_b21_rollup(spark, sf_dir):
     """B21: hierarchical subtotals — Spark Expand + single hash agg."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        dsum("l_quantity").alias("sum_qty"),
         F.count("*").alias("cnt"),
     )
 
@@ -148,7 +184,7 @@ def q_b21_rollup(spark, sf_dir):
     "q_b22_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 6) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -158,7 +194,7 @@ def q_b22_cube(spark, sf_dir):
     """B22: all grouping combinations (2^k expand)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        dsum("l_extendedprice").alias("sum_price"),
         F.count("*").alias("cnt"),
     )
 
@@ -207,7 +243,8 @@ def q_b24_drop_duplicates(spark, sf_dir):
     "q_b25_revenue_by_nation",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -237,7 +274,7 @@ def q_b25_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(revenue), 6).alias("revenue"),
+            dsum(revenue).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
         .orderBy(F.col("revenue").desc(), "n_name")

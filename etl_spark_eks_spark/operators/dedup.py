@@ -714,7 +714,6 @@ def q_c18_dedup_clusters(spark, sf_dir):
              AS dup_kind,
            COALESCE(ex.match_doc_id, nr.match_doc_id) AS match_doc_id
     FROM ex FULL OUTER JOIN nr ON ex.doc_id = nr.doc_id
-    ORDER BY doc_id
     """,
 )
 def q_c27_incremental_dedup(spark, sf_dir):
@@ -794,5 +793,4 @@ def q_c27_incremental_dedup(spark, sf_dir):
             .alias("dup_kind"),
             F.coalesce("ex_match", "nr_match").alias("match_doc_id"),
         )
-        .orderBy("doc_id")
     )

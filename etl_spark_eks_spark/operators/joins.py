@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.exact import dsum
 from etl_spark_eks_spark.registry import query
 
 
@@ -146,7 +147,7 @@ def q_b11_join_anti(spark, sf_dir):
     "q_b12_join_broadcast",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 6) AS total
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -165,7 +166,7 @@ def q_b12_join_broadcast(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("total"),
+            dsum("o_totalprice").alias("total"),
         )
     )
 
@@ -174,7 +175,8 @@ def q_b12_join_broadcast(spark, sf_dir):
     "q_b13_join_theta",
     oracle="""
     SELECT s.s_nationkey AS nationkey, COUNT(*) AS n_pairs,
-           ROUND(SUM(s.s_acctbal - c.c_acctbal), 6) AS bal_gap_sum
+           CAST(SUM(CAST(s.s_acctbal - c.c_acctbal AS DECIMAL(38,6)))
+                AS DOUBLE) AS bal_gap_sum
     FROM supplier s
     JOIN customer c
       ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
@@ -193,7 +195,7 @@ def q_b13_join_theta(spark, sf_dir):
         .groupBy(s.s_nationkey.alias("nationkey"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.sum(s.s_acctbal - c.c_acctbal), 6).alias("bal_gap_sum"),
+            dsum(s.s_acctbal - c.c_acctbal).alias("bal_gap_sum"),
         )
     )
 
@@ -202,7 +204,8 @@ def q_b13_join_theta(spark, sf_dir):
     "q_b14_join_3way",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -233,9 +236,9 @@ def q_b14_join_3way(spark, sf_dir):
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -318,7 +321,8 @@ def bucketed_table(
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
@@ -356,9 +360,9 @@ def q_b60_bucketed_join(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
         )
         .orderBy("o_orderpriority")
     )

@@ -19,6 +19,12 @@ Design rules shared by the family:
   projection+filter — they pipeline into whatever scan precedes them at
   any scale. The only shuffles in the family are C24's two tiny
   aggregations and C25's semi-join.
+- **No trailing global sort.** A corpus-sized output is never orderBy-ed:
+  both the driver's value-hash compare and tests/compare.py are
+  order-insensitive, so a final sort would buy determinism nobody checks
+  at the cost of a full range-partition shuffle (it dominated C23/C24
+  runtime when present in round 1). Consumers that need order sort their
+  own (usually much smaller) downstream result.
 """
 
 from __future__ import annotations
@@ -58,7 +64,6 @@ def _bucket_sql(expr: str, buckets: int = _BUCKETS) -> str:
     SELECT doc_id, lang, {_bucket_sql("doc_id")} AS bucket
     FROM documents
     WHERE {_bucket_sql("doc_id")} < 100
-    ORDER BY doc_id
     """,
 )
 def q_c22_hash_sample(spark, sf_dir):
@@ -77,7 +82,6 @@ def q_c22_hash_sample(spark, sf_dir):
     return (
         d.select("doc_id", "lang", b.alias("bucket"))
         .filter(b < 100)
-        .orderBy("doc_id")
     )
 
 
@@ -99,7 +103,6 @@ _MIX_DEFAULT = 1000
            AS r(lang, keep_permille)
       ON d.lang = r.lang
     WHERE {_bucket_sql("d.doc_id")} < COALESCE(r.keep_permille, {_MIX_DEFAULT})
-    ORDER BY d.doc_id
     """,
 )
 def q_c23_domain_mix(spark, sf_dir):
@@ -124,7 +127,6 @@ def q_c23_domain_mix(spark, sf_dir):
         )
         .filter(b < F.col("keep_permille"))
         .select("doc_id", "lang", b.alias("bucket"), "keep_permille")
-        .orderBy("doc_id")
     )
 
 
@@ -143,7 +145,6 @@ _CUMSUM_BUCKET = 100  # doc_ids per prefix-sum bucket
                  len(list_filter(string_split_regex(text, '\\s+'),
                                  t -> t <> '')) AS n_tokens
           FROM documents)
-    ORDER BY doc_id
     """,
 )
 def q_c24_pack_shards(spark, sf_dir):
@@ -198,7 +199,6 @@ def q_c24_pack_shards(spark, sf_dir):
             .cast("bigint")
             .alias("shard_id"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -222,7 +222,6 @@ def q_c24_pack_shards(spark, sf_dir):
     JOIN bench b ON x.shingle = b.shingle
     WHERE c.doc_id % 97 <> 0
     GROUP BY c.doc_id
-    ORDER BY c.doc_id
     """,
 )
 def q_c25_decontaminate(spark, sf_dir):
@@ -253,5 +252,4 @@ def q_c25_decontaminate(spark, sf_dir):
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared"))
-        .orderBy("doc_id")
     )

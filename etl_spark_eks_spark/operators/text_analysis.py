@@ -369,7 +369,6 @@ def q_c20_pii_scrub(spark, sf_dir):
              AS avg_logprob
     FROM tok t JOIN freq f ON t.token = f.token CROSS JOIN tot
     GROUP BY t.doc_id
-    ORDER BY t.doc_id
     """,
 )
 def q_c26_unigram_logprob(spark, sf_dir):
@@ -380,11 +379,13 @@ def q_c26_unigram_logprob(spark, sf_dir):
 
     Scale: two passes over the token stream. Pass 1 builds the term
     frequency table (groupBy token, map-side combined) — its size is
-    the VOCABULARY, orders of magnitude smaller than the corpus, so
-    pass 2 joins it back token->freq as a broadcast (or shuffle join
-    once vocab outgrows the broadcast threshold — Catalyst/AQE picks)
-    and aggregates per doc. The global total is a scalar cross join,
-    never collected to the driver."""
+    the VOCABULARY, orders of magnitude smaller than the corpus — but it
+    still GROWS with corpus scale, so pass 2 joins it back token->freq
+    with NO broadcast hint: AQE picks broadcast while freq fits the
+    threshold and degrades to a shuffle join when it doesn't (the same
+    reasoning that removed this hint from C7 after a measured OOM). The
+    1-row global total stays an explicit broadcast. The per-doc output
+    is deliberately unsorted — see sampling.py's no-trailing-sort rule."""
     d = load_table(spark, sf_dir, "documents")
     tok = widen(d).select(
         "doc_id", F.explode(tokenize("text")).alias("token")
@@ -392,7 +393,7 @@ def q_c26_unigram_logprob(spark, sf_dir):
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
     return (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -401,5 +402,4 @@ def q_c26_unigram_logprob(spark, sf_dir):
                 F.avg(F.log(F.col("n").cast("double") / F.col("total"))), 6
             ).alias("avg_logprob"),
         )
-        .orderBy("doc_id")
     )

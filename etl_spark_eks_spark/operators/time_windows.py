@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.exact import dsum
 from etl_spark_eks_spark.registry import query
 
 
@@ -22,7 +23,7 @@ from etl_spark_eks_spark.registry import query
     SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 6) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -34,7 +35,7 @@ def q_b45_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -53,7 +54,7 @@ def q_b45_tumbling(spark, sf_dir):
            time_bucket(INTERVAL '30 minutes', ts)
              - off.o * INTERVAL '30 minutes' + INTERVAL '1 hour' AS win_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 6) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM events, (SELECT unnest([0, 1]) AS o) off
     GROUP BY 1, 2
     """,
@@ -66,7 +67,7 @@ def q_b46_sliding(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -98,7 +99,7 @@ def q_b46_sliding(spark, sf_dir):
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '30 minutes' AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 6) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -115,7 +116,7 @@ def q_b47_session(spark, sf_dir):
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             "user_id",
