@@ -23,6 +23,7 @@ _FAMILIES = (
     "stream_queries",
     "pipeline",
     "sampling",
+    "catalog_queries",
 )
 
 

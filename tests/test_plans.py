@@ -121,3 +121,30 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         assert "SelectedBucketsCount: 8 out of 8" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_persistent_catalog_partition_pruning(spark, sf_dir):
+    """B61: the IN-filter on the partition column must become partition
+    pruning at the catalog-table scan — 2 of 5 priority partitions read,
+    the rest never opened. This is what the durable catalog buys over a
+    bare path read."""
+    df = registry.QUERIES["q_b61_persistent_catalog"](spark, sf_dir)
+    plan = plan_of(df)
+    scan_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "o_orderpriority" in scan_line
+    assert "wh_orders_" in plan  # reading through the catalog table
+
+
+def test_schema_drift_merges_and_prunes(spark, sf_dir):
+    """B62: the crawler view reconciles the drifted column as nullable;
+    the pinned projection over the same prefix still prunes to its fixed
+    columns (ReadSchema excludes the drifted column)."""
+    df = registry.QUERIES["q_b62_schema_drift"](spark, sf_dir)
+    assert dict(df.dtypes)["o_orderpriority"] == "string"
+    pinned = df.sparkSession.read.option("mergeSchema", "true").parquet(
+        df.inputFiles()[0].rsplit("/", 1)[0]
+    ).select("o_orderkey", "o_totalprice")
+    read_schema = [
+        l for l in plan_of(pinned).splitlines() if "ReadSchema" in l
+    ][0]
+    assert "o_orderpriority" not in read_schema
