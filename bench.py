@@ -101,6 +101,7 @@ def main() -> int:
                 "metric": "total_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(per_query),
                 "queries": per_query,
                 "sf": sf,
             }
