@@ -1,4 +1,4 @@
-"""UDF / UDAF / UDTF surface (SURVEY §2 B51-B55).
+"""UDF / UDAF / UDTF surface (SURVEY §2 B51-B55, B63).
 
 The performance ladder, worst to best, all demonstrated:
 row-at-a-time Python UDF (B51 — correctness reference only; never the
@@ -147,4 +147,59 @@ def q_b55_udtf_explode(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
     return p.select(
         "p_partkey", F.explode(slots("p_size")).alias("slot")
+    )
+
+
+@query(
+    "q_b63_salted_grouped_map",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_b63_salted_grouped_map(spark, sf_dir):
+    """B63: the skew-safe form of B53/B54's grouped pandas work — salted
+    two-stage aggregation.
+
+    B53's documented hazard: applyInPandas materializes each GROUP as
+    one pandas frame on one executor, so a skewed key (3 returnflags
+    over 100 TB of lineitem) is an OOM by construction. When the
+    per-group computation decomposes into mergeable partials (here:
+    weighted mean = sum(p*q) and sum(q)), the fix is to salt the key —
+    groupBy(key, salt) runs the pandas stage on key-fraction-sized
+    groups spread across the cluster (16x finer, tunable), and a plain
+    Catalyst agg combines the tiny per-salt partials. No single pandas
+    frame ever holds a full key's rows; the big shuffle is on
+    (key, salt). The final ratio rounds to 4 decimals (partial-sum
+    order differs from the oracle's; ~1e-14 noise on a ~1e2 ratio).
+    """
+    _N_SALT = 16
+
+    def partial_wsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "sum_pq": [float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum())],
+                "sum_q": [float(pdf["l_quantity"].sum())],
+                "n_rows": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.pmod(F.col("l_orderkey"), F.lit(_N_SALT)).alias("salt"),
+    )
+    partials = li.groupBy("l_returnflag", "salt").applyInPandas(
+        partial_wsum,
+        schema="l_returnflag string, sum_pq double, sum_q double, n_rows long",
+    )
+    return partials.groupBy("l_returnflag").agg(
+        F.round(F.sum("sum_pq") / F.sum("sum_q"), 4).alias("weighted_avg_price"),
+        F.sum("n_rows").alias("n_rows"),
     )

@@ -118,3 +118,73 @@ def test_prefix_jaccard_matches_bruteforce(spark, docs, threshold):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9
+
+
+asof_side = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),
+              st.integers(min_value=0, max_value=50)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(l=asof_side, r=asof_side)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_duckdb_and_bruteforce(spark, l, r):
+    """As-of tie-break parity (SURVEY §7 watch list: 'the most likely
+    silent-mismatch operator') on arbitrary generated tables, including
+    duplicate right timestamps (ties) and users missing from either
+    side: asof_join must equal both a Python brute force (greatest
+    right ts <= left ts per key, else NULL) and DuckDB's native ASOF
+    LEFT JOIN — the same oracle q_b15 is checked against, here driven
+    across the whole input space instead of one fixture shape."""
+    import duckdb
+    import pandas as pd
+
+    from etl_spark_eks_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, int(ts), int(u)) for i, (u, ts) in enumerate(l)],
+        "event_id long, ts long, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(int(u), int(ts)) for u, ts in r], "user_id long, ts long"
+    )
+    got = {
+        (row["event_id"], row["r_ts"])
+        for row in asof_join(
+            ldf, rdf, on="user_id", left_ts="ts", right_ts="ts",
+            left_id="event_id", right_cols=["ts"],
+        ).collect()
+    }
+
+    want = set()
+    for i, (u, ts) in enumerate(l):
+        cands = [rts for (ru, rts) in r if ru == u and rts <= ts]
+        want.add((i, max(cands) if cands else None))
+    assert got == want
+
+    lp = pd.DataFrame(
+        [(i, ts, u) for i, (u, ts) in enumerate(l)],
+        columns=["event_id", "ts", "user_id"],
+    ).astype("int64")
+    rp = pd.DataFrame(r, columns=["user_id", "ts"]).astype("int64")
+    con = duckdb.connect()
+    con.register("lp", lp)
+    con.register("rp", rp)
+    duck = {
+        (int(a), None if b is None else int(b))
+        for a, b in con.execute(
+            """
+            SELECT p.event_id, c.ts FROM lp p
+            ASOF LEFT JOIN rp c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == duck
