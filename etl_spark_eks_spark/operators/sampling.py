@@ -253,3 +253,34 @@ def q_c25_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared"))
     )
+
+
+@query(
+    "q_c29_content_split",
+    oracle=f"""
+    SELECT doc_id, {_bucket_sql("sha256(text)")} AS bucket,
+           CASE WHEN {_bucket_sql("sha256(text)")} < 900 THEN 'train'
+                WHEN {_bucket_sql("sha256(text)")} < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_c29_content_split(spark, sf_dir):
+    """C29 (extension): leakage-safe train/val/test split, keyed by
+    CONTENT hash rather than doc id — byte-identical documents (the ones
+    exact dedup would merge) always land in the same split, so a val
+    document can never have a verbatim twin in train no matter how the
+    ids were assigned. 90/5/5 via the same md5-permille bucket as C22.
+
+    Scale: pure per-row projection, zero shuffle. For NEAR-duplicate
+    safety, compose with C18: key the bucket on the dedup cluster_id
+    instead of sha256(text) and the whole near-dup cluster moves as one
+    unit — same one-line expression, cluster join paid once upstream."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.sha2(F.col("text"), 256))
+    return d.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
+        .alias("split"),
+    )

@@ -388,3 +388,64 @@ def q_c21_knn_pq(spark, sf_dir):
     brute force asserted in tests alongside C14/C17."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_cosine_pq(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+def kmeans_lloyd(
+    corpus: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the clustering pass a
+    curation pipeline runs for topic balancing / diversity sampling.
+
+    Init is the first ``k`` vectors by id (deterministic; same policy as
+    the IVF/PQ quantizers). Each iteration: (1) ASSIGN — vectorized
+    pandas UDF, one numpy argmin of squared L2 per Arrow batch, centroid
+    matrix shipped in the closure (k x dim doubles, a tiny model
+    broadcast); (2) UPDATE — posexplode + groupBy(cluster, pos) avg runs
+    JVM-side with map-side combine, then k x dim rows collect to the
+    driver to become the next closure. The driver-side loop is the
+    right shape for an iterative fixpoint (same argument as C18's
+    connected components): per-round driver state is k x dim floats,
+    never corpus-sized, and each round's plan starts fresh from literal
+    centroids so there is no plan growth to checkpoint away. Empty
+    clusters keep their previous centroid."""
+    from pyspark.sql.functions import pandas_udf
+
+    sample = corpus.orderBy("vec_id").limit(k).select("embedding").collect()
+    cmat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    wide = widen(corpus).select("vec_id", "embedding")
+
+    assigned = None
+    for _ in range(iters):
+        closure = cmat
+
+        @pandas_udf("int")
+        def nearest(col: pd.Series) -> pd.Series:
+            m = np.stack(col.to_numpy())
+            d2 = ((m * m).sum(1, keepdims=True)
+                  - 2.0 * (m @ closure.T)
+                  + (closure * closure).sum(1))
+            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+        assigned = wide.select(
+            "vec_id", "embedding", nearest("embedding").alias("cluster")
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        cmat = cmat.copy()
+        for r in means:
+            cmat[r["cluster"], r["pos"]] = r["m"]
+    return assigned.select("vec_id", "cluster")
+
+
+@query("q_c30_kmeans")  # rows-only: iterative, centroid-init-specific
+def q_c30_kmeans(spark, sf_dir):
+    """C30 (extension): k-means clustering of the embedding corpus
+    (k=8, 3 Lloyd iterations). Invariants — every vector assigned
+    exactly once, clusters in range, inertia non-increasing with more
+    iterations, deterministic rerun — are asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iters=3)

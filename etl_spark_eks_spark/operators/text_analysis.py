@@ -16,6 +16,7 @@ from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import (
     ordered_token_hashes,
     rolling_fingerprint,
+    shingles,
     token_stats,
     tokenize,
 )
@@ -402,4 +403,75 @@ def q_c26_unigram_logprob(spark, sf_dir):
                 F.avg(F.log(F.col("n").cast("double") / F.col("total"))), 6
             ).alias("avg_logprob"),
         )
+    )
+
+
+@query(
+    "q_c28_repetition_metrics",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct, t
+      FROM tok
+    ), bg AS (
+      SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS bigram
+      FROM base, UNNEST(range(1, greatest(n_tokens - 1, 0) + 1)) AS r(i)
+    ), bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), bga AS (
+      SELECT doc_id, MAX(c) AS top_bg, CAST(SUM(c) AS BIGINT) AS n_bg
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           ROUND(1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6)
+             AS dup_token_frac,
+           ROUND(CAST(a.top_bg AS DOUBLE) / a.n_bg, 6) AS top_bigram_frac,
+           (1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens) < 0.7
+             AND CAST(a.top_bg AS DOUBLE) / a.n_bg < 0.2 AS keep
+    FROM base b JOIN bga a ON b.doc_id = a.doc_id
+    WHERE b.n_tokens >= 2
+    """,
+)
+def q_c28_repetition_metrics(spark, sf_dir):
+    """C28 (extension): intra-document repetition metrics — the
+    Gopher/RefinedWeb-style quality rules that cut machine-generated or
+    boilerplate-looping text before training: fraction of duplicated
+    tokens (1 - distinct/total) and the share of all bigrams taken by
+    the single most frequent bigram, with a keep verdict at the
+    published-style thresholds (dup < 0.7, top-bigram < 0.2).
+
+    Scale: tokenization and bigram construction are per-row expressions
+    pipelined into the scan; the only shuffle is the (doc_id, bigram)
+    count — keyed by doc, so it is skew-free by construction (a doc's
+    bigrams are bounded by its length, and the aggregation is map-side
+    combined). Docs shorter than 2 tokens have no bigram distribution
+    and are excluded on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    base = widen(d).select(
+        "doc_id",
+        tokenize("text").alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.explode(shingles("t", 2)).alias("bigram"),
+    ).filter(F.col("n_tokens") >= 2)
+    bga = (
+        base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
+        .count()
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("count").alias("top_bg"), F.sum("count").alias("n_bg"))
+    )
+    dup_frac = 1 - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_bg").cast("double") / F.col("n_bg")
+    return bga.select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        ((dup_frac < 0.7) & (top_frac < 0.2)).alias("keep"),
     )

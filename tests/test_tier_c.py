@@ -235,3 +235,37 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     approx_set = {(r["qid"], r["cid"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, f"PQ recall too low: {recall:.2f}"
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """C30 contract: every vector assigned exactly once to a cluster in
+    [0, k); Lloyd monotonicity — inertia after 3 iterations <= inertia
+    after 1 (computed in numpy against each assignment's own centroid
+    means); deterministic rerun."""
+    import numpy as np
+
+    from etl_spark_eks_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def inertia(assign: dict[int, int]) -> float:
+        total = 0.0
+        for c in set(assign.values()):
+            pts = np.stack([vecs[v] for v, cc in assign.items() if cc == c])
+            total += ((pts - pts.mean(axis=0)) ** 2).sum()
+        return total
+
+    a1 = {r["vec_id"]: r["cluster"]
+          for r in kmeans_lloyd(emb, k=8, iters=1).collect()}
+    a3 = {r["vec_id"]: r["cluster"]
+          for r in kmeans_lloyd(emb, k=8, iters=3).collect()}
+    assert set(a1) == set(vecs) and set(a3) == set(vecs)
+    assert all(0 <= c < 8 for c in a3.values())
+    assert inertia(a3) <= inertia(a1) + 1e-9
+    rerun = {r["vec_id"]: r["cluster"]
+             for r in kmeans_lloyd(emb, k=8, iters=3).collect()}
+    assert rerun == a3
