@@ -459,7 +459,12 @@ def q_c28_repetition_metrics(spark, sf_dir):
         F.size("t").alias("n_tokens"),
         F.size(F.array_distinct("t")).alias("n_distinct"),
         F.explode(shingles("t", 2)).alias("bigram"),
-    ).filter(F.col("n_tokens") >= 2)
+    )
+    # No explicit n_tokens >= 2 filter: docs shorter than 2 tokens have
+    # no bigrams, so the (non-outer) explode already drops them — and an
+    # explicit filter on the projected alias gets predicate-pushed below
+    # the projection, re-evaluating the tokenize expression a second
+    # time at the scan (verified in the plan).
     bga = (
         base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
         .count()
