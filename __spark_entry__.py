@@ -46,8 +46,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- changed/added this round --
     "q_b60_bucketed_join", "q_b19_approx_cd", "q_b61_persistent_catalog",
     "q_b62_schema_drift", "q_a9_compat_current_date",
-    "q_b63_salted_grouped_map", "q_c28_repetition_metrics",
-    "q_c29_content_split",
+    "q_b63_salted_grouped_map", "q_b64_window_navigation",
+    "q_c28_repetition_metrics", "q_c29_content_split",
     "q_b17_pricing_summary", "q_b12_join_broadcast", "q_b13_join_theta",
     "q_b14_join_3way", "q_b20_having", "q_b21_rollup", "q_b22_cube",
     "q_b25_revenue_by_nation",

@@ -118,19 +118,24 @@ def q_b19_approx_cd(spark, sf_dir):
     within = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
     )
-    return (
-        li.agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-        )
-        .select(
-            "exact_parts",
-            "exact_orders",
-            within("approx_parts", "exact_parts").alias("parts_within_bound"),
-            within("approx_orders", "exact_orders").alias("orders_within_bound"),
-        )
+    # The two halves run as SEPARATE aggregates joined on their 1-row
+    # results: putting countDistinct (Expand-planned) and the HLL
+    # sketches into one agg makes Spark evaluate the sketches over the
+    # expanded (3x) row stream — measured 6.0 s vs 1.5 s for the two
+    # independent passes at sf0.1.
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return approx.crossJoin(exact).select(
+        "exact_parts",
+        "exact_orders",
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
+        within("approx_orders", "exact_orders").alias("orders_within_bound"),
     )
 
 

@@ -174,3 +174,46 @@ def q_b31_ntile(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@query(
+    "q_b64_window_navigation",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           FIRST_VALUE(value) OVER w AS first_val,
+           LAST_VALUE(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING)
+             AS last_val,
+           NTH_VALUE(value, 2) OVER w AS second_val,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_b64_window_navigation(spark, sf_dir):
+    """B64: window navigation — first/last/nth value and cume_dist per
+    user's time-ordered event stream (session entry value, latest
+    value, second touch, position quantile).
+
+    The frame matters and is explicit on both sides: with the default
+    RANGE frame `last_value` sees only rows up to CURRENT ROW, so the
+    whole-partition navigation requires UNBOUNDED PRECEDING..UNBOUNDED
+    FOLLOWING; `first_value`/`nth_value` are frame-insensitive here
+    because the defaults already include the partition head. Same
+    single shuffle on user_id as every other window in this module —
+    all four functions share one Window spec pair, so Spark computes
+    them in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -7,16 +7,13 @@ Every operator in SURVEY.md §2 registers here with:
 
 Rules enforced by convention (SURVEY §5.2):
 - alias every computed column identically in Spark and SQL;
-- ROUND(x, 6) any float *aggregate* on both sides (per-row IEEE
-  arithmetic is deterministic and left unrounded). Known limit: a
-  parallel SUM's addition ORDER differs between Spark partials and
-  DuckDB, so the result carries ~1 ulp of engine-dependent noise
-  (~2e-16 relative). At the sf0.01 oracle gate that is far below the
-  6-dp rounding; at sf0.1 a handful of 1e10-magnitude sums
-  (q_b17/b22/b25-class) can flip their 6th decimal and hash-mismatch —
-  measured, nondeterministic run to run, and inherent to cross-engine
-  FP comparison rather than a semantic divergence (counts, schemas,
-  and all other columns still match);
+- large-magnitude float SUMs accumulate in DECIMAL(38,6) and cast back
+  to double on BOTH sides (functions/exact.py: exact + associative, so
+  Spark's partial-sum order and DuckDB's sequential order agree
+  bit-for-bit — ROUND(SUM(double), 6) was measured to flip its 6th
+  decimal cross-engine on ~6e8-magnitude sums, q_b60 round 1);
+- small-magnitude float aggregates (AVG, ratios) ROUND(x, 6) on both
+  sides; per-row IEEE arithmetic is deterministic and stays unrounded;
 - CAST integer sums to BIGINT in DuckDB (its native int sum is HUGEINT);
 - sort-key every LIMIT;
 - no plan-time now()/random() without a fixed literal.
