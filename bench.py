@@ -112,6 +112,12 @@ def main() -> int:
     wall = round(time.perf_counter() - t_total0, 3)
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
 
+    # Driver contract: the FINAL stdout line is one compact JSON object
+    # and the exit code is 0 even when individual queries failed (those
+    # carry -1.0 markers) — a nonzero rc made round 2's report record
+    # "parsed": null. Flush stderr first so interleaved executor noise
+    # can't land after the JSON line.
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -119,14 +125,17 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(per_query),
+                "n_failed": sum(1 for v in per_query.values() if v < 0),
                 "reps": reps,
                 "wall_clock": wall,
                 "queries": per_query,
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
-    return 1 if any(v < 0 for v in per_query.values()) else 0
+    return 0
 
 
 if __name__ == "__main__":

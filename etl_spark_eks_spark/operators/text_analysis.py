@@ -38,14 +38,25 @@ from etl_spark_eks_spark.registry import query
     """,
 )
 def q_c5_top_terms(spark, sf_dir):
-    """C5: corpus-wide top-20 terms with document frequency."""
+    """C5: corpus-wide top-20 terms with document frequency.
+
+    Two-level aggregation instead of ``count + countDistinct`` in one
+    ``agg``: mixing a distinct and a plain aggregate makes Catalyst plan
+    an Expand that DOUBLES the exploded token stream before the shuffle
+    (measured 2.2x regression at sf0.1 — the same pathology q_b19 hit,
+    aggregates.py). Level 1 groups by (token, doc_id) — map-side
+    combined, output is bounded by vocab x docs-per-term — and level 2
+    derives both statistics from it with ordinary aggregates."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        widen(d)
+        .select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("c"))
         .groupBy("token")
         .agg(
-            F.count("*").alias("occurrences"),
-            F.countDistinct("doc_id").alias("doc_freq"),
+            F.sum("c").alias("occurrences"),
+            F.count("*").alias("doc_freq"),
         )
         .orderBy(F.col("occurrences").desc(), "token")
         .limit(20)
@@ -111,26 +122,51 @@ def q_c6_doc_stats(spark, sf_dir):
 )
 def q_c7_tfidf(spark, sf_dir):
     """C7: TF-IDF — two aggregation passes (term frequency per doc,
-    document frequency per term) + a broadcast of the tiny DF side,
-    top-3 terms per doc (bounded to doc_id < 100 for the oracle)."""
+    document frequency per term), top-3 terms per doc (bounded to
+    doc_id < 100 for the oracle).
+
+    Round-3 shape (the round-2 version was a measured 4.2x regression):
+    - The doc_id < 100 bound is applied at the TF side's SCAN, not after
+      the join — the expensive explode+agg runs over the bounded slice,
+      never the corpus, and Catalyst pushes the predicate into parquet.
+    - ``n_docs`` is a 1-row aggregate crossJoined into the plan (the C26
+      ``tot`` pattern) instead of a separate ``d.count()`` action — one
+      job, no second full-table scan.
+    - Document frequency is a corpus-global statistic, but only for
+      terms that survive to the output: a broadcast semi-join on the
+      (tiny, bounded) tf term set prunes the full token stream BEFORE
+      the groupBy shuffle. The corpus-sized side is never broadcast
+      (vocabulary grows with scale — an unconditional broadcast of it
+      OOMed a default-sized heap in round 1); the bounded tf side is.
+    """
     d = load_table(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
-    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; one lightweight count job
-    # No broadcast hint on the doc-frequency side: its size is the corpus
-    # VOCABULARY, which grows with scale (and an unconditional broadcast
-    # of it is exactly what overflowed a default-sized heap here first).
-    # AQE sees the actual shuffle size at runtime and still picks a
-    # broadcast join whenever the vocabulary genuinely fits.
+    tf = (
+        d.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tokens = widen(d).select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    df = (
+        tokens.join(
+            F.broadcast(tf.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
-        .filter(F.col("doc_id") < 100)
+        df.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
             ).alias("tfidf"),
         )
     )

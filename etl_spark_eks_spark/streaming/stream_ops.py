@@ -18,12 +18,37 @@ from pyspark.sql import functions as F
 from etl_spark_eks_spark.catalog import table_path
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Force an event-time column to ``TimestampType`` regardless of how
+    the fixture encodes it on disk.
+
+    Watermarking hard-requires TIMESTAMP (``withWatermark`` raises
+    ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`` on anything else), but the
+    physical encoding of ``events.ts`` is an upstream choice that has
+    already changed twice: parquet TIMESTAMP(NANOS) (read as int64 via
+    the legacy conf, ns -> µs DIV), and timestamp[us] with
+    isAdjustedToUTC=false (Spark 4 infers TIMESTAMP_NTZ). Batch windowed
+    aggregation accepts NTZ so the batch path never noticed; only the
+    watermark path breaks. Normalizing here — after the source, before
+    any watermark — makes every downstream streaming operator
+    encoding-agnostic. NTZ -> TIMESTAMP reinterprets the wall clock in
+    the session timezone, which the engine pins to UTC (session.py), so
+    values are preserved exactly and oracle comparisons are unaffected.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":  # legacy TIMESTAMP(NANOS) read as int64 nanos
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif dt is not None and dt != "timestamp":  # e.g. timestamp_ntz
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream.
 
     Streaming sources need an explicit schema; we take it from the batch
     reader (which also handles the TIMESTAMP(NANOS) -> int64 legacy read)
-    and apply the same ns -> µs conversion.
+    and normalize ``ts`` to TIMESTAMP (watermark requirement).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
@@ -41,9 +66,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(path, link)
     stream = spark.readStream.schema(raw_schema).parquet(indir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return normalize_event_time(stream)
 
 
 def events_stream_batched(
@@ -73,9 +96,7 @@ def events_stream_batched(
         .option("maxFilesPerTrigger", 1)
         .parquet(indir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return normalize_event_time(stream)
 
 
 def run_available_now(

@@ -38,3 +38,54 @@ def test_exactly_once_rerun_stable(spark, sf_dir):
     first = registry.QUERIES["q_b50_exactly_once_rerun"](spark, sf_dir).count()
     again = registry.QUERIES["q_b50_exactly_once_rerun"](spark, sf_dir).count()
     assert first == again
+
+
+def test_event_time_normalized_for_every_fixture_encoding(spark, tmp_path):
+    """The stream source must yield ts: TIMESTAMP no matter how the
+    fixture encodes it on disk — the upstream generator has already
+    switched encodings twice (timestamp[ns] in round 1, timestamp[us]
+    NTZ in round 2, which silently broke every withWatermark query).
+    Covers: µs-NTZ, ns (legacy int64 read), and tz-adjusted µs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from etl_spark_eks_spark.streaming.stream_ops import events_stream
+
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["view", "purchase"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k":1}', '{"k":2}'], pa.string()),
+    }
+    ts_us = [1704067200_000_000, 1704070800_000_000]  # 2024-01-01 wall clock
+    encodings = {
+        "ntz_us": pa.array(ts_us, pa.timestamp("us")),
+        "nanos": pa.array([t * 1000 for t in ts_us], pa.timestamp("ns")),
+        "utc_us": pa.array(ts_us, pa.timestamp("us", tz="UTC")),
+    }
+    for name, ts_arr in encodings.items():
+        sf = tmp_path / name
+        sf.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": ts_arr}), str(sf / "events.parquet")
+        )
+        stream = events_stream(spark, str(sf))
+        assert stream.schema["ts"].dataType == TimestampType(), (
+            f"encoding {name}: got {stream.schema['ts'].dataType}"
+        )
+        # And the values survive the normalization (wall clock under UTC).
+        batch = spark.read.parquet(str(sf / "events.parquet"))
+        from etl_spark_eks_spark.streaming.stream_ops import (
+            normalize_event_time,
+        )
+
+        vals = [
+            r["ts"]
+            for r in normalize_event_time(batch).orderBy("event_id").collect()
+        ]
+        assert [v.replace(tzinfo=None) for v in vals] == [
+            __import__("datetime").datetime(2024, 1, 1, 0, 0),
+            __import__("datetime").datetime(2024, 1, 1, 1, 0),
+        ]
