@@ -148,3 +148,31 @@ def test_schema_drift_merges_and_prunes(spark, sf_dir):
         l for l in plan_of(pinned).splitlines() if "ReadSchema" in l
     ][0]
     assert "o_orderpriority" not in read_schema
+
+
+def test_unigram_freq_join_adaptive_broadcast(spark, sf_dir):
+    """C26: the token->freq join carries NO broadcast hint in code (the
+    vocabulary grows with corpus scale; an unconditional broadcast OOMed
+    in round 1), but at fixture scale AQE must still pick a broadcast
+    hash join from the observed shuffle size — the design relies on that
+    runtime downgrade path, so pin it. The executed plan is inspected
+    after the action because AQE finalizes join strategies at runtime."""
+    df = registry.QUERIES["q_c26_unigram_logprob"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "AQE did not broadcast the freq side"
+    # The 1-row global total is the only *hinted* broadcast (nested-loop
+    # cross join); it must not have degraded to a cartesian SMJ.
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_tfidf_tf_bound_reaches_scan(spark, sf_dir):
+    """C7: the doc_id < 100 oracle bound must be pushed into the TF
+    side's parquet scan (round 2 applied it after the join, re-running
+    the explode+agg over the whole corpus — a measured 4.2x), and the
+    bounded tf side — not the corpus-sized df side — is the broadcast
+    build."""
+    df = registry.QUERIES["q_c7_tfidf"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LessThan(doc_id,100)" in plan, "tf bound not pushed to scan"
+    assert "BroadcastHashJoin" in plan

@@ -188,3 +188,47 @@ def test_asof_join_matches_duckdb_and_bruteforce(spark, l, r):
     }
     con.close()
     assert got == duck
+
+
+asof_tie_heavy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),
+              st.integers(min_value=0, max_value=4)),
+    min_size=4,
+    max_size=30,
+)
+
+
+@given(l=asof_tie_heavy, r=asof_tie_heavy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_tie_heavy(spark, l, r):
+    """As-of under maximal tie pressure (SURVEY §7: 'the most likely
+    silent mismatch'): 3 users x 5 timestamps with up to 30 rows per
+    side guarantees duplicate (user, ts) rows on BOTH sides. Contract:
+    exactly ONE output row per left event (tied right rows must not
+    fan out), and its matched ts is the brute-force greatest-<=."""
+    from etl_spark_eks_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, int(ts), int(u)) for i, (u, ts) in enumerate(l)],
+        "event_id long, ts long, user_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(int(u), int(ts)) for u, ts in r], "user_id long, ts long"
+    )
+    rows = asof_join(
+        ldf, rdf, on="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", right_cols=["ts"],
+    ).collect()
+    assert len(rows) == len(l), (
+        f"tied right rows fanned out: {len(rows)} rows for {len(l)} events"
+    )
+    got = {(row["event_id"], row["r_ts"]) for row in rows}
+    want = set()
+    for i, (u, ts) in enumerate(l):
+        cands = [rts for (ru, rts) in r if ru == u and rts <= ts]
+        want.add((i, max(cands) if cands else None))
+    assert got == want

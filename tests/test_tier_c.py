@@ -269,3 +269,26 @@ def test_kmeans_invariants(spark, sf_dir):
     rerun = {r["vec_id"]: r["cluster"]
              for r in kmeans_lloyd(emb, k=8, iters=3).collect()}
     assert rerun == a3
+
+
+def test_pq_recall_second_codebook(spark, sf_dir):
+    """C21 at a second codebook geometry (8 sub-spaces x 8 codes,
+    rerank 16): the recall floor must hold away from the default
+    m=4/k*=16 point — guards against the implementation being tuned to
+    one shape (sub-space slicing, ADC table lookup, and rerank must all
+    generalize over m and n_codes)."""
+    from etl_spark_eks_spark.operators.similarity import (
+        knn_cosine_bruteforce,
+        knn_cosine_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_cosine_bruteforce(queries, emb, k=5).collect()
+    approx = knn_cosine_pq(
+        queries, emb, k=5, m=8, n_codes=8, rerank=16
+    ).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"PQ recall too low at m=8/k8: {recall:.2f}"
