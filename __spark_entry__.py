@@ -56,9 +56,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_c30_kmeans",
     # -- (3) the r2 FAIL, fixed this round (NTZ watermark) --
     "q_b57_stream_stream_join",
-    # -- (4) implementation touched this round (perf work) --
+    # -- (4) NEW this round (need first official rows) --
+    "q_b65_range_join_bucketed", "q_c31_length_quantiles",
+    "q_c32_doc_chunking",
+    # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
-    # -- (5) already green; refresh newest-first --
+    # -- (6) already green; refresh newest-first --
     "q_b60_bucketed_join", "q_b19_approx_cd", "q_b61_persistent_catalog",
     "q_b62_schema_drift", "q_a9_compat_current_date",
     "q_b63_salted_grouped_map", "q_b64_window_navigation",

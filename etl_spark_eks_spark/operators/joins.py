@@ -366,3 +366,96 @@ def q_b60_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+def bucketized_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join (point BETWEEN lo AND hi) as an EQUI-join on coarse
+    buckets — the scale path for interval predicates.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin (fine
+    while one side broadcasts) or, worse, a cartesian product — at
+    100 TB with two large sides that is quadratic work. Bucketization
+    makes it linear: every range row is exploded to the fixed-width
+    buckets it overlaps (``sequence(floor(lo/w), floor(hi/w))``), every
+    point row computes its single bucket, and the join becomes a plain
+    hash equi-join on the bucket id with the exact BETWEEN re-checked as
+    a post-filter. Each (point, range) match is produced exactly once —
+    the point lives in exactly one bucket, and the range has exactly one
+    copy in that bucket — so no dedup pass is needed.
+
+    ``bucket_width`` trades explode fan-out (ranges spanning many
+    buckets) against join selectivity (many ranges sharing a bucket);
+    set it near the typical range width. This is the manual form of the
+    bin-packed range-join optimization some engines apply automatically;
+    stock Spark does not, so the engine provides it as an operator.
+    """
+    w = F.lit(float(bucket_width))
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
+    return (
+        p.join(r, "__bucket")
+        .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
+@query(
+    "q_b65_range_join_bucketed",
+    oracle="""
+    WITH bands AS (
+      SELECT s_nationkey,
+             MIN(s_acctbal) - 100 AS lo,
+             MAX(s_acctbal) + 100 AS hi
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c.c_acctbal), 6) AS avg_bal
+    FROM bands b
+    JOIN nation n ON b.s_nationkey = n.n_nationkey
+    JOIN customer c ON c.c_acctbal BETWEEN b.lo AND b.hi
+    GROUP BY n.n_name
+    """,
+)
+def q_b65_range_join_bucketed(spark, sf_dir):
+    """B65: interval/range join via bucketization — for each nation's
+    supplier account-balance band [min, max], count the customers (of
+    any nation) whose balance falls inside it. Bands overlap, so a
+    customer can match many nations — a genuine many-to-many interval
+    join, not an as-of. The equi-join runs on 1000-unit balance buckets;
+    the exact BETWEEN is a post-filter (bucketized_range_join docstring
+    has the scale argument). Bands are padded ±100 so they stay
+    non-degenerate at the smallest fixture scale (1 supplier/nation =>
+    a point range)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    bands = sup.groupBy("s_nationkey").agg(
+        (F.min("s_acctbal") - 100).alias("lo"),
+        (F.max("s_acctbal") + 100).alias("hi"),
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    bands = bands.join(
+        F.broadcast(nat), bands.s_nationkey == nat.n_nationkey
+    ).select("n_name", "lo", "hi")
+    cust = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    return (
+        bucketized_range_join(cust, bands, "c_acctbal", "lo", "hi", 1000.0)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )

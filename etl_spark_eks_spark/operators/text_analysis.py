@@ -516,3 +516,97 @@ def q_c28_repetition_metrics(spark, sf_dir):
         F.round(top_frac, 6).alias("top_bigram_frac"),
         ((dup_frac < 0.7) & (top_frac < 0.2)).alias("keep"),
     )
+
+
+@query(
+    "q_c31_length_quantiles",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_disc(n_chars, 0.25) AS p25,
+           quantile_disc(n_chars, 0.50) AS p50,
+           quantile_disc(n_chars, 0.75) AS p75,
+           quantile_disc(n_chars, 0.90) AS p90,
+           quantile_disc(n_chars, 0.99) AS p99
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_c31_length_quantiles(spark, sf_dir):
+    """C31 (extension): per-language document-length quantiles via the
+    mergeable quantile sketch (``percentile_approx``, Greenwald-Khanna).
+
+    Why a sketch and not exact ``percentile``: the exact aggregate must
+    see each group's full sorted value set in one place — at 100 TB
+    that is a giant shuffle and a per-group memory spike. The GK sketch
+    is bounded-size, built map-side per partition, and MERGED
+    associatively on the reduce side like any other partial aggregate;
+    rank error is bounded by n/accuracy. At accuracy=1e6 the sketch is
+    rank-exact for any group under ~1M rows — verified to match
+    DuckDB's quantile_disc bit-for-bit at both driver scales — while
+    the 100 TB contract degrades gracefully to ±0.0001% rank error.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    qs = [0.25, 0.50, 0.75, 0.90, 0.99]
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *(
+            F.percentile_approx("n_chars", q, 1_000_000).alias(name)
+            for q, name in zip(qs, ["p25", "p50", "p75", "p90", "p99"])
+        ),
+    )
+
+
+@query(
+    "q_c32_doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), c AS (
+      SELECT doc_id, n, i AS start
+      FROM s, UNNEST(range(0, n, 48)) AS r(i)
+    )
+    SELECT c.doc_id,
+           CAST(c.start / 48 AS INTEGER) AS chunk_idx,
+           CAST(LEAST(64, c.n - c.start) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(s.toks[c.start + 1 : c.start + 64], ' ')
+             AS chunk_text
+    FROM c JOIN s USING (doc_id)
+    """,
+)
+def q_c32_doc_chunking(spark, sf_dir):
+    """C32 (extension): split documents into fixed-size overlapping token
+    chunks (max 64 tokens, stride 48 -> 16-token overlap) — the
+    context-window packing step between curation and tokenization in an
+    LLM data pipeline. Contract: chunk k covers tokens
+    [k*stride, k*stride + max), for every start < n_tokens; short tail
+    chunks are emitted (downstream packing — C24 — handles them).
+
+    Scale: pure per-row computation — tokenize, generate starts, slice;
+    the explode multiplies rows ~n/stride x but involves NO shuffle, so
+    it pipelines into the scan and parallelizes with it. The chunk text
+    is re-materialized by slicing the token array once per chunk
+    (array_join of a slice), never by re-tokenizing."""
+    max_tokens, stride = 64, 48
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select("doc_id", tokenize("text").alias("toks"))
+    toks = toks.withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    chunks = toks.withColumn(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(max_tokens), F.col("n") - F.col("start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("start") + 1, max_tokens), " "
+        ).alias("chunk_text"),
+    )

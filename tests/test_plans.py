@@ -176,3 +176,15 @@ def test_tfidf_tf_bound_reaches_scan(spark, sf_dir):
     plan = plan_of(df)
     assert "LessThan(doc_id,100)" in plan, "tf bound not pushed to scan"
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """B65: the whole point of bucketization is that the interval
+    predicate executes as a HASH equi-join on the bucket id — the plan
+    must contain no BroadcastNestedLoopJoin and no CartesianProduct
+    (what Spark falls back to for a bare BETWEEN join condition)."""
+    df = registry.QUERIES["q_b65_range_join_bucketed"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -292,3 +292,90 @@ def test_pq_recall_second_codebook(spark, sf_dir):
     approx_set = {(r["qid"], r["cid"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, f"PQ recall too low at m=8/k8: {recall:.2f}"
+
+
+def test_bucketized_range_join_equals_theta(spark, sf_dir):
+    """B65: the bucketized equi-join must produce the IDENTICAL match
+    set as a direct theta join for several bucket widths (including one
+    far smaller and one far larger than the typical range width) — each
+    (point, range) pair exactly once, no edge-of-bucket loss at
+    negative values or bucket boundaries."""
+    from etl_spark_eks_spark.operators.joins import bucketized_range_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    bands = sup.groupBy("s_nationkey").agg(
+        (F.min("s_acctbal") - 500).alias("lo"),
+        (F.max("s_acctbal") + 500).alias("hi"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    direct = cust.join(
+        bands, F.col("c_acctbal").between(F.col("lo"), F.col("hi"))
+    )
+    want = sorted(
+        (r["c_custkey"], r["s_nationkey"]) for r in direct.collect()
+    )
+    assert want, "fixture should produce range matches"
+    for w in (37.0, 1000.0, 50000.0):
+        got = sorted(
+            (r["c_custkey"], r["s_nationkey"])
+            for r in bucketized_range_join(
+                cust, bands, "c_acctbal", "lo", "hi", w
+            ).collect()
+        )
+        assert got == want, f"bucket width {w} broke the match set"
+
+
+def test_doc_chunking_covers_and_overlaps(spark, sf_dir):
+    """C32 contract: chunk k starts at k*stride; consecutive chunks of a
+    long doc overlap by max-stride tokens; concatenating chunk tokens at
+    stride boundaries reconstructs the document exactly; docs shorter
+    than max_tokens yield a single chunk equal to the document."""
+    from etl_spark_eks_spark import registry
+
+    rows = (
+        registry.QUERIES["q_c32_doc_chunking"](spark, sf_dir)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    max_tokens, stride = 64, 48
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c["chunk_idx"] * stride
+            want = toks[start : start + max_tokens]
+            assert c["chunk_text"].split() == want
+            assert c["n_chunk_tokens"] == len(want)
+        # reconstruction from stride-sized prefixes
+        rebuilt = []
+        for c in chunks:
+            rebuilt.extend(c["chunk_text"].split()[:stride])
+        assert rebuilt[: len(toks)] == toks
+
+
+def test_quantile_sketch_values_are_data_points(spark, sf_dir):
+    """C31: every reported quantile must be an actual n_chars value of
+    its language group (discrete sketch, no interpolation), and the
+    quantile vector must be monotone p25 <= p50 <= ... <= p99."""
+    from etl_spark_eks_spark import registry
+
+    rows = registry.QUERIES["q_c31_length_quantiles"](spark, sf_dir).collect()
+    vals = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        vals.setdefault(r["lang"], set()).add(r["n_chars"])
+    assert rows
+    for r in rows:
+        qs = [r["p25"], r["p50"], r["p75"], r["p90"], r["p99"]]
+        assert qs == sorted(qs)
+        for q in qs:
+            assert q in vals[r["lang"]]
