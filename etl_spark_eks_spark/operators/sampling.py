@@ -284,3 +284,41 @@ def q_c29_content_split(spark, sf_dir):
         F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "q_c33_domain_caps",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_c33_domain_caps(spark, sf_dir):
+    """C33 (extension): per-domain document caps — keep at most K=10
+    documents per source, chosen by CONTENT-hash rank, not arrival
+    order. The hash ranking makes the kept set a pure function of the
+    corpus (stable under re-partitioning, re-ingestion order, and
+    incremental appends) — the determinism property C22 establishes for
+    row sampling, applied to the per-domain balancing step that stops a
+    handful of giant crawl domains from dominating the training mix.
+
+    Scale: rank <= K over a window is executed with WindowGroupLimit
+    (asserted in tests/test_plans.py): each task pre-limits its
+    partition to K rows per key BEFORE the shuffle, so a domain with
+    10M documents moves only ~K x n_input_partitions rows, not 10M.
+    Skewed domains are therefore bounded by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        widen(d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+    )

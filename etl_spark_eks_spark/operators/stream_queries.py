@@ -248,3 +248,44 @@ def q_b57_stream_stream_join(spark, sf_dir):
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
     run_available_now(joined, sink, ckpt)
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_b66_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_b66_stream_static_join(spark, sf_dir):
+    """B66 (extension): stream-static join — live events enriched
+    against a slowly-changing dimension table. The static side is a
+    plain batch DataFrame; Spark re-plans it per micro-batch (picking
+    up dimension updates between triggers) and, being dimension-sized,
+    it broadcasts — the stream side never shuffles and carries NO state,
+    unlike a stream-stream join (B57). This is the reference's
+    enrich-on-ingest path: the SQS-triggered job joining landed events
+    to a catalog table (reference: addons.tf:299-365 exposes exactly
+    such a dimension surface).
+
+    Scale: per-batch cost = broadcast build of the dim + a map-side
+    hash probe of the batch; state size zero. The dim must fit the
+    broadcast threshold — for a 100 TB dim you'd pre-bucket both sides
+    instead (B60's pattern)."""
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b66", tag, "sink")
+    ckpt = fresh_scratch("q_b66", tag, "ckpt")
+    from etl_spark_eks_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "value", "c_mktsegment")
+    )
+    run_available_now(enriched, sink, ckpt)
+    return spark.read.parquet(sink)

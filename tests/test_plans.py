@@ -188,3 +188,14 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_domain_caps_window_group_limit(spark, sf_dir):
+    """C33: rank <= K over the per-source window must execute with
+    WindowGroupLimit — each task pre-limits to K rows per key BEFORE
+    the shuffle, which is what bounds skewed domains at scale. Executed
+    plan inspected because the rule applies post-AQE."""
+    df = registry.QUERIES["q_c33_domain_caps"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
