@@ -157,3 +157,64 @@ def q_b62_schema_drift(spark, sf_dir):
         .parquet(prefix)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@query(
+    "q_b67_dynamic_partition_pruning",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders
+          WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%') d
+      ON o.o_orderpriority = d.pr
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_b67_dynamic_partition_pruning(spark, sf_dir):
+    """B67: DYNAMIC partition pruning — the partition filter arrives
+    from a JOIN at runtime, not from a literal predicate (that static
+    case is B61). The fact table is laid out partitioned by priority;
+    the dimension side carries the selective filter; Spark broadcasts
+    the dim, collects its join-key values, and injects them as a
+    partition filter into the fact SCAN (``dynamicpruningexpression``
+    in the plan, asserted in tests/test_plans.py) — directories for
+    non-qualifying priorities are never listed or read.
+
+    At 100 TB this is THE mechanism that makes star-schema queries over
+    date/tenant-partitioned facts cheap: the fact scan is bounded by
+    the dim filter's selectivity without the query author naming
+    partitions. Works through the same catalog surface the reference
+    exposes via Glue/Athena (reference addons.tf:299-365)."""
+    tag = _tag(sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    fact_path = scratch_path("q_b67", tag, "fact")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(fact_path)
+    )
+    dim_path = scratch_path("q_b67", tag, "dim")
+    write_parquet(
+        orders.select(
+            F.col("o_orderpriority").alias("pr")
+        ).distinct(),
+        dim_path,
+        mode="overwrite",
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(
+        F.col("pr").startswith("1-") | F.col("pr").startswith("2-")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.pr)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )

@@ -199,3 +199,12 @@ def test_domain_caps_window_group_limit(spark, sf_dir):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
+    """B67: the fact scan's PartitionFilters must contain a
+    dynamicpruning expression fed by the dim join — the runtime
+    counterpart of B61's static IN-pruning."""
+    df = registry.QUERIES["q_b67_dynamic_partition_pruning"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), "no DPP in fact scan"
