@@ -794,3 +794,64 @@ def q_c27_incremental_dedup(spark, sf_dir):
             F.coalesce("ex_match", "nr_match").alias("match_doc_id"),
         )
     )
+
+
+@query(
+    "q_c34_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 <> 4
+    ), v2 AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 11 = 0
+                         THEN text || ' [rev2]' ELSE text END) AS h
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'modified'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def q_c34_snapshot_diff(spark, sf_dir):
+    """C34 (extension): corpus snapshot diff — classify every document
+    across two corpus versions as added / removed / modified / unchanged
+    by comparing content hashes under a full outer join on the document
+    key. This is the audit step of incremental corpus refresh: what an
+    ingestion run actually changed, computed from the data itself (the
+    two snapshots here are deterministic slices of the fixture, one with
+    simulated edits).
+
+    Scale: both sides reduce to (doc_id, 32-byte hash) projections
+    before the join — the shuffle moves narrow rows, never text; the
+    join is a plain hash full-outer on the key. 100 TB corpora diff at
+    the cost of two hash scans + one narrow-key shuffle, and at that
+    scale both hash projections would be the PERSISTED hash indexes the
+    incremental-dedup path (C27) already maintains."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id1"), F.sha2("text", 256).alias("h1")
+    )
+    v2 = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            F.col("doc_id").alias("id2"),
+            F.sha2(
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text")),
+                256,
+            ).alias("h2"),
+        )
+    )
+    return v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

@@ -459,3 +459,75 @@ def q_b65_range_join_bucketed(spark, sf_dir):
             F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_src: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with manual key salting — the hot-key treatment when
+    the small side is too big to broadcast and AQE's skew split cannot
+    help (it splits SORT-MERGE partitions after the fact; a
+    pathologically hot key still hashes every row to one reducer
+    first).
+
+    The big side derives a DETERMINISTIC salt from a high-cardinality
+    column it already carries (never ``rand()`` — task retries must
+    re-derive the same salt or the join silently duplicates/drops
+    rows); the small side is replicated once per salt value. The join
+    key becomes (key, salt), spreading each hot key over ``n_salts``
+    reducers. Cost: small side x n_salts — bounded, chosen, and paid
+    on the SMALL side only.
+    """
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    )
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
+    )
+    return (
+        b.join(
+            s,
+            (F.col(big_key) == F.col(small_key))
+            & (b["__salt"] == s["__salt"]),
+        )
+        .drop("__salt")
+    )
+
+
+@query(
+    "q_b68_salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(AVG(e.value), 6) AS avg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_b68_salted_skew_join(spark, sf_dir):
+    """B68: skew-safe salted equi-join — events concentrate on ~150 hot
+    user keys (every key is hot relative to reducer count), so a plain
+    shuffle join puts entire users on single reducers. Salting spreads
+    each user's events over 8 reducers via a deterministic salt from
+    event_id and replicates the (narrow) customer side 8x. Result is
+    oracle-identical to the plain join; the companion test asserts
+    equality against the unsalted plan too. B63 is the same treatment
+    for aggregation; this is the join-side counterpart, for when the
+    small side exceeds the broadcast threshold (here it would
+    broadcast — the salt path is exercised explicitly with the hint
+    suppressed by the (key, salt) compound condition)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", "c_custkey", "event_id", 8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

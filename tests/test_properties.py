@@ -232,3 +232,31 @@ def test_asof_join_tie_heavy(spark, l, r):
         cands = [rts for (ru, rts) in r if ru == u and rts <= ts]
         want.add((i, max(cands) if cands else None))
     assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    """B68: the salted (key, salt) join must return exactly the plain
+    join's multiset for every n_salts — including rows whose key has no
+    match (dropped in both) and keys with multiple matches on the small
+    side (every (big, small) pair must appear exactly once, not once
+    per salt)."""
+    from etl_spark_eks_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(97)],
+        "row_id long, k long, v double",
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c"), (2, "d"), (9, "z")],
+        "sk long, tag string",
+    )
+    want = sorted(
+        (r["row_id"], r["tag"])
+        for r in big.join(small, big.k == small.sk).collect()
+    )
+    for n in (1, 3, 8):
+        got = sorted(
+            (r["row_id"], r["tag"])
+            for r in salted_join(big, small, "k", "sk", "row_id", n).collect()
+        )
+        assert got == want, f"n_salts={n} changed the join result"
