@@ -150,3 +150,47 @@ def q_m2_frame_sample(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return sample_frames(d, "payload", "doc_id", every_n=4)
+
+
+@query(
+    "q_m3_media_shard_pack",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(FLOOR(CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_bytes AS DOUBLE)
+                      / 4096) AS BIGINT) AS shard_id
+    FROM p
+    """,
+)
+def q_m3_media_shard_pack(spark, sf_dir):
+    """M3 (extension): WebDataset-style shard assembly for multimodal
+    payloads — pack binary media rows into ~4 KiB-budget shards in key
+    order (shard_id = floor(bytes_before_me / budget)). This is how a
+    training pipeline lays raw media out for sequential-read dataloaders:
+    size-bounded archive shards, order preserved so (doc, shard)
+    assignment is deterministic and resumable.
+
+    Scale: byte sizes come from the Arrow-batched metadata extractor
+    (mapInPandas — the payload bytes never leave the executor), and the
+    running total is the SAME distributed two-phase prefix sum as the
+    token packer (running_total_before, sampling.py): no single-task
+    global window, serial work ~ n_rows / bucket_size."""
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = extract_media_metadata(d, "payload", "doc_id").select(
+        "doc_id", "n_bytes"
+    )
+    return running_total_before(meta, "doc_id", "n_bytes").select(
+        "doc_id",
+        "n_bytes",
+        F.floor(F.col("__cum_before").cast("double") / 4096)
+        .cast("bigint")
+        .alias("shard_id"),
+    )

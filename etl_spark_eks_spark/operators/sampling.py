@@ -134,6 +134,53 @@ _SHARD_BUDGET = 1000  # tokens per shard
 _CUMSUM_BUCKET = 100  # doc_ids per prefix-sum bucket
 
 
+def running_total_before(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    bucket_size: int = _CUMSUM_BUCKET,
+) -> DataFrame:
+    """Distributed two-phase prefix sum: appends ``__cum_before`` =
+    SUM(weight) over all rows with a smaller ``id_col`` — WITHOUT the
+    single-task global window (`SUM OVER (ORDER BY id)` is ONE task at
+    any cluster size). Phase 1 aggregates per-id-range bucket totals
+    (map-side combined, tiny table); phase 2 windows the bucket table
+    alone for starting offsets, broadcasts them back, and runs the
+    within-bucket running sum with a window PARTITIONED by bucket —
+    parallel across the cluster. The only serial step is proportional
+    to n_rows / bucket_size. Shared by the token packer (C24) and the
+    media shard assembler (M3)."""
+    b = df.withColumn(
+        "__bucket", (F.col(id_col) / bucket_size).cast("bigint")
+    )
+    per_bucket = b.groupBy("__bucket").agg(
+        F.sum(weight_col).alias("__bucket_total")
+    )
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("__bucket_total").over(w_b), F.lit(0)).alias(
+            "__offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "__cum_before",
+            F.col("__offset")
+            + F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)),
+        )
+        .drop("__bucket", "__offset")
+    )
+
+
 @query(
     "q_c24_pack_shards",
     oracle=f"""
@@ -163,42 +210,17 @@ def q_c24_pack_shards(spark, sf_dir):
     window PARTITIONED by bucket — parallel across the cluster. The
     only serial step is the window over the bucket table
     (corpus_size / {_CUMSUM_BUCKET} rows), the classic scan-then-
-    propagate prefix-sum shape."""
+    propagate prefix-sum shape (running_total_before)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
+        "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    return running_total_before(toks, "doc_id", "n_tokens").select(
         "doc_id",
-        F.size(tokenize("text")).alias("n_tokens"),
-        (F.col("doc_id") / _CUMSUM_BUCKET).cast("bigint").alias("bucket"),
-    )
-    per_bucket = toks.groupBy("bucket").agg(
-        F.sum("n_tokens").alias("bucket_tokens")
-    )
-    w_b = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = per_bucket.select(
-        "bucket",
-        F.coalesce(F.sum("bucket_tokens").over(w_b), F.lit(0)).alias(
-            "offset"
-        ),
-    )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.col("offset") + F.coalesce(
-        F.sum("n_tokens").over(w_in), F.lit(0)
-    )
-    return (
-        toks.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(cum_before.cast("double") / _SHARD_BUDGET)
-            .cast("bigint")
-            .alias("shard_id"),
-        )
+        "n_tokens",
+        F.floor(F.col("__cum_before").cast("double") / _SHARD_BUDGET)
+        .cast("bigint")
+        .alias("shard_id"),
     )
 
 
