@@ -260,3 +260,92 @@ def test_salted_join_equals_plain_join(spark):
             for r in salted_join(big, small, "k", "sk", "row_id", n).collect()
         )
         assert got == want, f"n_salts={n} changed the join result"
+
+
+range_points = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=0, max_size=25
+)
+range_intervals = st.lists(
+    st.tuples(st.integers(min_value=-50, max_value=50),
+              st.integers(min_value=0, max_value=40)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(
+    pts=range_points,
+    ivs=range_intervals,
+    w=st.sampled_from([1.0, 7.0, 100.0]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucketized_range_join_property(spark, pts, ivs, w):
+    """B65 on arbitrary inputs: negative values, zero-width intervals,
+    duplicate points, overlapping intervals, and bucket widths from
+    finer-than-interval to coarser-than-domain must all reproduce the
+    brute-force match multiset exactly once per (point, interval)."""
+    from etl_spark_eks_spark.operators.joins import bucketized_range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(pts)], "pid long, x double"
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(lo), float(lo + width)) for j, (lo, width) in enumerate(ivs)],
+        "rid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in bucketized_range_join(pdf, rdf, "x", "lo", "hi", w).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (lo, width) in enumerate(ivs)
+        if lo <= p <= lo + width
+    )
+    assert got == want
+
+
+filter_ops = st.sampled_from([">", ">=", "<", "<=", "=", "<>"])
+micro_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),
+              st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=micro_rows, op1=filter_ops, c1=st.integers(-100, 100),
+       op2=filter_ops, c2=st.integers(-100, 100))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_agg_differential_vs_duckdb(spark, rows, op1, c1, op2, c2):
+    """Differential fuzz of the filter->groupBy-aggregate core: a random
+    conjunctive integer predicate + SUM/COUNT/MIN/MAX per key must
+    agree with DuckDB on the same rows — the same gate the driver
+    applies to fixture queries, driven across generated inputs."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).astype("int64")
+    sql = (
+        f"SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s, "
+        f"MIN(v) AS lo, MAX(v) AS hi FROM t "
+        f"WHERE v {op1} {c1} AND v {op2} {c2} GROUP BY k"
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    con.close()
+    df = spark.createDataFrame(pdf.itertuples(index=False), "k long, v long") \
+        if len(pdf) else spark.createDataFrame([], "k long, v long")
+    df.createOrReplaceTempView("t")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert got == want
