@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c32_doc_chunking", "q_b66_stream_static_join", "q_c33_domain_caps",
     "q_b67_dynamic_partition_pruning", "q_c34_snapshot_diff",
     "q_b68_salted_skew_join", "q_m3_media_shard_pack",
+    "q_b69_corrupt_json_audit",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

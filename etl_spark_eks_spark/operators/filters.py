@@ -180,3 +180,63 @@ def q_b7_case_when(spark, sf_dir):
             "status_norm"
         ),
     )
+
+
+@query(
+    "q_b69_corrupt_json_audit",
+    oracle="""
+    WITH landed AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 0
+                  THEN substr(props, 1, len(props) - 2) ELSE props
+             END AS props
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(MAX(CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                    END) AS INTEGER) AS max_k
+    FROM landed
+    GROUP BY event_type
+    """,
+)
+def q_b69_corrupt_json_audit(spark, sf_dir):
+    """B69: corrupt-payload audit — schema-on-read resilience for the
+    landing zone. The reference ingests raw JSON bodies straight off a
+    queue (``jsonBody: true``, reference eventsource-sqs.yaml:13) with
+    no validation anywhere; at 100 TB some fraction of landed payloads
+    WILL be malformed, and a pipeline that either crashes on them or
+    silently nulls them loses data either way. The engine's contract:
+    parse with ``from_json`` (returns NULL on malformed input — never
+    throws), count the corrupt rows per slice so the loss is AUDITED,
+    and let clean rows flow. Corruption is simulated deterministically
+    (every 13th event is truncated mid-object — trailing-garbage
+    corruption would NOT do: PERMISSIVE from_json tolerates it) so the
+    oracle can mirror it with DuckDB's json_valid.
+
+    Scale: pure per-row parse + one aggregation — the audit costs
+    nothing beyond the parse the pipeline already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    landed = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = landed.withColumn(
+        "m", F.from_json("props", "map<string,int>")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.max(F.element_at("m", "k")).cast("int").alias("max_k"),
+    )
