@@ -145,3 +145,29 @@ def test_incremental_dedup_broadcasts_batch(spark, sf_dir):
         if "SortMergeJoin" in line
     ]
     assert len(smj) == 1 and "b_id" in smj[0], smj
+
+
+def test_running_total_before_matches_bruteforce(spark):
+    """The shared two-phase prefix sum (running_total_before — C24 token
+    packing and M3 media shards both build on it) must equal the naive
+    cumulative sum for arbitrary sparse/duplicate-free ids, across
+    bucket sizes smaller than, comparable to, and larger than the id
+    range — including ids that leave buckets empty."""
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    ids = [0, 1, 5, 7, 99, 100, 101, 250, 999, 1000]
+    weights = [3, 0, 7, 1, 10, 2, 5, 8, 4, 6]
+    df = spark.createDataFrame(
+        list(zip(ids, weights)), "id long, w long"
+    )
+    cum = {}
+    running = 0
+    for i, w in sorted(zip(ids, weights)):
+        cum[i] = running
+        running += w
+    for bucket in (1, 3, 100, 10_000):
+        got = {
+            r["id"]: r["__cum_before"]
+            for r in running_total_before(df, "id", "w", bucket).collect()
+        }
+        assert got == cum, f"bucket_size={bucket} broke the prefix sum"
