@@ -61,7 +61,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_c32_doc_chunking", "q_b66_stream_static_join", "q_c33_domain_caps",
     "q_b67_dynamic_partition_pruning", "q_c34_snapshot_diff",
     "q_b68_salted_skew_join", "q_m3_media_shard_pack",
-    "q_b69_corrupt_json_audit",
+    "q_b69_corrupt_json_audit", "q_b70_range_frame", "q_b71_array_hof",
+    "q_b72_foreachbatch_upsert", "q_c35_sorted_layout",
+    "q_c36_stratified_sample",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

@@ -24,6 +24,7 @@ _FAMILIES = (
     "pipeline",
     "sampling",
     "catalog_queries",
+    "layout",
 )
 
 

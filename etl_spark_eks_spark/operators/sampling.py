@@ -344,3 +344,73 @@ def q_c33_domain_caps(spark, sf_dir):
         .filter(F.col("rk") <= 10)
         .select("doc_id", "source", "rk")
     )
+
+
+_STRAT_RATE = 0.2
+_STRAT_VBUCKETS_SHIFT = 22  # 2^32 hash space >> 22 = 1024 value-range buckets
+
+
+@query(
+    "q_c36_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk, n_lang
+    FROM (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(text), doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n_lang
+          FROM documents) t
+    WHERE rk <= CAST(CEIL({_STRAT_RATE} * n_lang) AS BIGINT)
+    """,
+)
+def q_c36_stratified_sample(spark, sf_dir):
+    """C36 (extension): EXACT stratified sampling — exactly
+    ceil(20% x n_s) documents per language, chosen by content-hash
+    order. C22's Bernoulli bucket gives each stratum ~rate in
+    expectation; experiment designs that need exact per-stratum sizes
+    (matched eval slices, fixed annotation budgets) need the order
+    statistic, and the kept set is still a pure function of the corpus
+    (md5 order, doc_id tie-break), not of arrival order or RNG.
+
+    Scale: the naive form — ROW_NUMBER over each stratum — sorts every
+    stratum in ONE task (a 60%-English corpus puts 60% of 100 TB
+    through a single window partition; the oracle states that form
+    because DuckDB only needs to be correct at fixture scale). This
+    implementation is a distributed selection instead, the prefix-sum
+    shape shared with C24: (1) bucket rows by hash-value range (top 10
+    bits, monotone in md5 order); (2) aggregate per-(stratum, bucket)
+    counts — a tiny table — and window IT for each bucket's starting
+    offset; (3) broadcast offsets back and rank only WITHIN each
+    bucket (bounded ~n_s/1024 rows per task), so global rank =
+    bucket offset + within-bucket rank. No stratum is ever sorted on
+    one task; skew is bounded by the hash, not the language mix."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    base = widen(d).select(
+        "doc_id",
+        "lang",
+        h.alias("__h"),
+        F.shiftright(h32, _STRAT_VBUCKETS_SHIFT).alias("__vb"),
+    )
+    counts = base.groupBy("lang", "__vb").agg(F.count("*").alias("__cnt"))
+    w_vb = Window.partitionBy("lang").orderBy("__vb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "lang",
+        "__vb",
+        F.coalesce(F.sum("__cnt").over(w_vb), F.lit(0)).alias("__before"),
+    )
+    totals = counts.groupBy("lang").agg(F.sum("__cnt").alias("n_lang"))
+    w_in = Window.partitionBy("lang", "__vb").orderBy("__h", "doc_id")
+    k = F.ceil(F.lit(_STRAT_RATE) * F.col("n_lang")).cast("bigint")
+    return (
+        base.join(F.broadcast(offsets), ["lang", "__vb"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn(
+            "rk",
+            (F.col("__before") + F.row_number().over(w_in)).cast("int"),
+        )
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", "rk", "n_lang")
+    )

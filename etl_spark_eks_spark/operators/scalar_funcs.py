@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.text import tokenize
 from etl_spark_eks_spark.registry import query
 
 
@@ -174,4 +175,59 @@ def q_b42_props_map(spark, sf_dir):
         "event_id",
         F.col("m")["k"].alias("k"),
         ((F.col("m")["k"] % 10) == 0).alias("k_round"),
+    )
+
+
+@query(
+    "q_b71_array_hof",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT)
+             AS max_token_len,
+           ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t), 6) AS avg_token_len
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents)
+    """,
+)
+def q_b71_array_hof(spark, sf_dir):
+    """B71: higher-order array functions — transform / filter /
+    aggregate over the token array, entirely inside Catalyst (no
+    explode, no UDF, no shuffle). The lambda surface is how array-typed
+    columns (token lists, embeddings) are processed per-row at scale:
+    explode-then-groupBy pays a corpus-sized generate plus a shuffle to
+    reassemble what a fold computes in place.
+
+    The transform(length) result is bound to one projected column and
+    referenced by sum/max — mirroring the materialize-expensive-arrays
+    rule from the MinHash path (functions/text.py:84): higher-order
+    lambdas are interpreted (no codegen CSE), so repeated inline copies
+    of the same transform would each re-evaluate.
+
+    Scale: pure per-row projection pipelined into the scan; zero
+    shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    withs = d.select("doc_id", toks.alias("t")).withColumn(
+        "lens", F.transform("t", lambda x: F.length(x))
+    )
+    total = F.aggregate("lens", F.lit(0), lambda a, x: a + x)
+    return withs.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        total.cast("long").alias("total_chars"),
+        F.size(F.filter("t", lambda x: F.length(x) > 4))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.array_max("lens").cast("long").alias("max_token_len"),
+        F.round(
+            total.cast("double") / F.size("t"), 6
+        ).alias("avg_token_len"),
     )

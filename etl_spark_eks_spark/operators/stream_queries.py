@@ -289,3 +289,95 @@ def q_b66_stream_static_join(spark, sf_dir):
     )
     run_available_now(enriched, sink, ckpt)
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_b72_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           value AS last_value
+    FROM (SELECT user_id, event_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def q_b72_foreachbatch_upsert(spark, sf_dir):
+    """B72 (extension): streaming keyed UPSERT via foreachBatch — the
+    MERGE-into-a-keyed-table pattern parquet sinks cannot express
+    (append-only). The events table is replayed as 4 micro-batches;
+    each batch reduces to its newest row per user_id (max ts,
+    event_id tie-break), merges with the standing keyed table, and
+    atomically swaps the new snapshot in (write-to-temp + rename —
+    the local-FS stand-in for a transactional table format's commit).
+    Latest-per-key is associative, so the final table is independent
+    of how the stream was batched and equals the batch query — the
+    exact SQL oracle.
+
+    Exactly-once: the checkpoint records committed batch ids; on
+    restart foreachBatch re-delivers only uncommitted batches, and the
+    per-batch swap is idempotent (re-merging a batch already folded in
+    changes nothing) — at-least-once delivery + idempotent merge =
+    effective exactly-once, the upsert analogue of B50.
+
+    Scale: per batch, one shuffle of the BATCH on user_id (micro-batch
+    sized, not corpus sized) + a keyed merge against the standing
+    table. On a cluster the standing table is a partitioned/bucketed
+    catalog table and the merge co-partitions batch with table (B60's
+    bucketing) or goes through a format with native MERGE
+    (Delta/Iceberg); the full-snapshot rewrite here is the fixture-
+    scale stand-in for that commit, with the same observable
+    semantics."""
+    import os
+    import shutil
+
+    tag = _tag(sf_dir)
+    state = fresh_scratch("q_b72", tag, "state")
+    ckpt = fresh_scratch("q_b72", tag, "ckpt")
+    os.makedirs(state, exist_ok=True)
+    cur = os.path.join(state, "cur")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_per_key(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def upsert(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        merged = latest_per_key(batch_df)
+        if os.path.exists(cur):
+            merged = latest_per_key(
+                sp.read.parquet(cur).unionByName(merged)
+            )
+        tmp = os.path.join(state, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(state, f"old_{batch_id}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = events_stream_batched(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(cur).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )

@@ -217,3 +217,56 @@ def q_b64_window_navigation(spark, sf_dir):
         F.nth_value("value", 2).over(w).alias("second_val"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "q_b70_range_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           COUNT(*) OVER w AS n_trailing_1h,
+           ROUND(SUM(value) OVER w, 6) AS value_trailing_1h
+    FROM (SELECT user_id, event_id, ts, value,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_b70_range_frame(spark, sf_dir):
+    """B70: event-time RANGE frame — trailing 1-hour count and sum of
+    ``value`` per user at every event. The frame is defined by a VALUE
+    distance on the ordering key (all events within 3600 s before this
+    one), not a row count — the semantics ROWS frames (B29/B30) cannot
+    express when events arrive irregularly. This is the per-event
+    rolling-feature query of an online feature store (activity in the
+    last hour at each interaction).
+
+    The ordering key is whole epoch seconds (timestamp->long cast =
+    floor), computed identically in DuckDB via FLOOR(epoch(ts)) — an
+    integer key sidesteps the engines' sub-second precision divergence
+    (parquet ns: Spark truncates to µs, DuckDB keeps ns), and RANGE
+    frames include all peer rows of equal key, so tie order within a
+    second cannot change the result.
+
+    Scale: one shuffle on user_id + per-partition sort — identical cost
+    shape to every other window here; the frame bound evaluation is a
+    per-row binary search within the sorted partition. No state beyond
+    the frame's rows is held; skewed users bound the frame by time, not
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts arrives as TIMESTAMP_NTZ (fixture is timestamp[us], no tz) which
+    # cannot cast straight to BIGINT; the session tz is pinned UTC so the
+    # NTZ->TIMESTAMP->epoch-seconds route preserves the wall clock exactly.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 6).alias("value_trailing_1h"),
+    )

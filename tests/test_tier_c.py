@@ -379,3 +379,23 @@ def test_quantile_sketch_values_are_data_points(spark, sf_dir):
         assert qs == sorted(qs)
         for q in qs:
             assert q in vals[r["lang"]]
+
+
+def test_sorted_layout_zone_maps_disjoint(spark, sf_dir):
+    """C35: after the range-clustered rewrite, per-file footer min/max
+    ranges of the cluster column must be non-overlapping (equal
+    boundary values allowed — a shipdate can straddle two files only
+    at the cut point), so a zone-map scanner prunes exactly."""
+    from etl_spark_eks_spark import registry
+    from etl_spark_eks_spark.operators.layout import file_ranges
+    from etl_spark_eks_spark.sources.parquet_io import scratch_path
+
+    registry.QUERIES["q_c35_sorted_layout"](spark, sf_dir).count()
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = scratch_path("q_c35", tag, "out")
+    ranges = file_ranges(out, "l_shipdate")
+    assert len(ranges) > 1, "layout should produce multiple files"
+    for (_, _, prev_max), (_, next_min, _) in zip(ranges, ranges[1:]):
+        assert prev_max <= next_min, (
+            f"overlapping zone maps: {prev_max} > {next_min}"
+        )
