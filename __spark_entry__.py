@@ -63,7 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_b68_salted_skew_join", "q_m3_media_shard_pack",
     "q_b69_corrupt_json_audit", "q_b70_range_frame", "q_b71_array_hof",
     "q_b72_foreachbatch_upsert", "q_c35_sorted_layout",
-    "q_c36_stratified_sample",
+    "q_c36_stratified_sample", "q_b73_python_udtf",
+    "q_b74_stream_outer_join",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

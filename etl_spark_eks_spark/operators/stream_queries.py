@@ -21,6 +21,7 @@ from etl_spark_eks_spark.sources.parquet_io import fresh_scratch
 from etl_spark_eks_spark.streaming.stream_ops import (
     events_stream,
     events_stream_batched,
+    events_stream_time_ordered,
     run_available_now,
 )
 
@@ -246,6 +247,64 @@ def q_b57_stream_stream_join(spark, sf_dir):
         ),
         "inner",
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    run_available_now(joined, sink, ckpt)
+    return spark.read.parquet(sink)
+
+
+@query("q_b74_stream_outer_join")  # rows-only: outer results emit on
+# watermark advance; windows still open at end-of-stream are withheld
+def q_b74_stream_outer_join(spark, sf_dir):
+    """B74 (extension): watermarked stream-stream LEFT OUTER join — B57's
+    attribution query, but views with NO purchase inside the 30-minute
+    window must still come out (with NULL purchase columns) so the
+    funnel can count non-converting impressions. Outer semantics on two
+    unbounded streams only work because the watermark + time bound give
+    Spark a point of certainty: once the watermark passes view_ts + 30
+    minutes, no future purchase can match, so the unmatched view is
+    emitted with NULLs and its state evicted. The input is replayed as
+    4 micro-batches so the watermark genuinely advances mid-stream and
+    most NULL rows emit before the final batch; views still inside the
+    horizon at end-of-stream are withheld (append semantics — the same
+    containment contract as B48, asserted in tests/test_streaming.py:
+    matched rows equal the batch inner join exactly; NULL rows are a
+    subset of the batch anti-join side).
+
+    Scale: state is partitioned by user_id and bounded by the watermark
+    horizon on BOTH sides, exactly as B57; the outer variant adds no
+    state — only the deferred NULL emission."""
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b74", tag, "sink")
+    ckpt = fresh_scratch("q_b74", tag, "ckpt")
+    views = (
+        events_stream_time_ordered(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events_stream_time_ordered(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
     run_available_now(joined, sink, ckpt)
     return spark.read.parquet(sink)
 

@@ -203,3 +203,55 @@ def q_b63_salted_grouped_map(spark, sf_dir):
         F.round(F.sum("sum_pq") / F.sum("sum_q"), 4).alias("weighted_avg_price"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+@query(
+    "q_b73_python_udtf",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id < 20)
+    SELECT d.doc_id,
+           CAST(r.i - 1 AS INTEGER) AS pos,
+           d.t[CAST(r.i AS INTEGER)] AS token
+    FROM d, unnest(range(1, len(d.t) + 1)) AS r(i)
+    """,
+)
+def q_b73_python_udtf(spark, sf_dir):
+    """B73: a REAL Python UDTF — Spark 4's class-based ``@udtf`` table
+    function (eval yields N output rows per input row), invoked via
+    LATERAL join in SQL. B55 emulates the one-row->N-rows shape with an
+    array UDF + explode; this is the declared API for it, needed when
+    the expansion logic is imperative Python (parsers, tokenizers,
+    format sniffers) rather than an array expression. Arrow-optimized
+    (``useArrow``): rows cross the Python boundary in Arrow batches,
+    not pickled one at a time.
+
+    Scale: UDTFs run per-partition like any generator — no shuffle; the
+    fan-out pipelines into the scan exactly like explode. The Python
+    boundary cost is the same class as B51/B52's, paid per row crossed,
+    which is why the array-expression form (B55) stays preferred when
+    the logic fits Catalyst expressions.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string", useArrow=True)
+    class PosTokens:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split()):
+                    yield i, tok
+
+    spark.udtf.register("pos_tokens", PosTokens)
+    from etl_spark_eks_spark.catalog import load_table as _lt
+
+    _lt(spark, sf_dir, "documents").createOrReplaceTempView("b73_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM b73_docs d, LATERAL pos_tokens(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )

@@ -99,6 +99,73 @@ def events_stream_batched(
     return normalize_event_time(stream)
 
 
+def events_stream_time_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """The events table as a TIME-ORDERED multi-micro-batch stream:
+    file k holds the k-th event-time quantile, and file modification
+    times increase with k, so the file source (which processes oldest
+    files first) replays the table in event-time order — one quantile
+    per trigger.
+
+    This is the variant watermark-driven operators must replay against:
+    ``events_stream_batched`` splits round-robin, which replays a month
+    of data in arbitrary time order, and a 1-hour watermark then
+    (correctly!) drops nearly every batch as late — fine for
+    order-insensitive state (B56's counters, B72's upsert fold), wrong
+    for testing eviction semantics. A real queue delivers
+    approximately in event order; this staging reproduces that."""
+    import time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    tag = sf_dir.strip("/").replace("/", "_")
+    from etl_spark_eks_spark.sources.parquet_io import scratch_path
+
+    indir = scratch_path("stream_in_ordered", tag, "events", "_")[: -len("/_")]
+    done = os.path.join(indir, "_STAGED")
+    if not os.path.exists(done):
+        import glob
+        import shutil
+
+        from pyspark.sql import Window
+
+        # Stage RAW columns (whatever encoding the fixture uses) so the
+        # streaming read's schema matches the batch-read schema; the
+        # stream normalizes after the source like every other variant.
+        # The global ntile window is test staging at fixture scale, not
+        # an operator.
+        ev = spark.read.parquet(path).withColumn(
+            "__q",
+            F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+        )
+        os.makedirs(indir, exist_ok=True)
+        now = time.time()
+        for k in range(1, n_files + 1):
+            part_dir = os.path.join(indir, f"__stage_{k}")
+            (
+                ev.filter(F.col("__q") == k)
+                .drop("__q")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            dst = os.path.join(indir, f"{k:02d}.parquet")
+            shutil.move(src, dst)
+            shutil.rmtree(part_dir)
+            os.utime(dst, (now + k, now + k))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    return normalize_event_time(stream)
+
+
 def run_available_now(
     df: DataFrame,
     sink_dir: str,

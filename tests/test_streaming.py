@@ -89,3 +89,52 @@ def test_event_time_normalized_for_every_fixture_encoding(spark, tmp_path):
             __import__("datetime").datetime(2024, 1, 1, 0, 0),
             __import__("datetime").datetime(2024, 1, 1, 1, 0),
         ]
+
+
+def test_stream_outer_join_containment(spark, sf_dir):
+    """B74: matched rows must equal the batch inner join exactly;
+    NULL-purchase rows must be views the batch join also leaves
+    unmatched (subset — views still inside the watermark horizon at
+    end-of-stream are withheld)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.catalog import load_table
+
+    rows = registry.QUERIES["q_b74_stream_outer_join"](spark, sf_dir)
+    matched = {
+        (r["view_id"], r["purchase_id"])
+        for r in rows.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    null_views = {
+        r["view_id"]
+        for r in rows.filter(F.col("purchase_id").isNull()).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch_matched = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(p, cond, "inner").collect()
+    }
+    batch_unmatched = {
+        r["view_id"] for r in v.join(p, cond, "left_anti").collect()
+    }
+    assert matched == batch_matched
+    assert null_views, "watermark advance should emit some NULL rows"
+    assert null_views <= batch_unmatched
+    # no view may appear both matched and as a NULL row
+    assert null_views.isdisjoint({vid for vid, _ in matched})
