@@ -399,3 +399,37 @@ def test_sorted_layout_zone_maps_disjoint(spark, sf_dir):
         assert prev_max <= next_min, (
             f"overlapping zone maps: {prev_max} > {next_min}"
         )
+
+
+def test_media_phash_neardup_invariants(spark, sf_dir):
+    """M4: identical payloads must collapse to identical perceptual
+    hashes (and so appear as Hamming-0 candidate pairs when cloned);
+    the operator is deterministic run to run; every reported pair
+    respects the Hamming threshold."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.operators.multimodal import perceptual_hashes
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    h1 = {r["doc_id"]: r["phash"]
+          for r in perceptual_hashes(d, "payload", "doc_id").collect()}
+    h2 = {r["doc_id"]: r["phash"]
+          for r in perceptual_hashes(d, "payload", "doc_id").collect()}
+    assert h1 == h2, "perceptual hash must be deterministic"
+
+    rows = registry.QUERIES["q_m4_media_phash_neardup"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 6
+        assert r["doc_id_1"] < r["doc_id_2"]
+    # clone every doc under a shifted id: each clone pair must be a
+    # Hamming-0 pair of identical hashes
+    n = max(h1) + 1
+    cloned = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(n))
+    )
+    ch = {r["doc_id"]: r["phash"]
+          for r in perceptual_hashes(cloned, "payload", "doc_id").collect()}
+    for doc_id, ph in h1.items():
+        assert ch[doc_id + n] == ph
