@@ -855,3 +855,64 @@ def q_c34_snapshot_diff(spark, sf_dir):
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+@query(
+    "q_c37_shared_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), c AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i + 1 : i + 16], ' ')) AS chunk_hash
+      FROM t, UNNEST(range(0, len(toks) - 16 + 1, 8)) AS r(i)
+    )
+    SELECT chunk_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM c GROUP BY chunk_hash HAVING COUNT(*) >= 2
+    """,
+)
+def q_c37_shared_chunks(spark, sf_dir):
+    """C37 (extension): verbatim shared-passage detection — every full
+    16-token run (stride 8) that appears in 2+ distinct documents,
+    with its document count. This is the passage-granular dedup signal
+    C1 (whole-doc) and C8 (whole-doc similarity) both miss: quoted
+    boilerplate, licence headers, templated intros. Downstream, low
+    n_docs pairs feed near-dup review; high n_docs chunks ARE the
+    boilerplate list (the C4/RefinedWeb-style line-dedup rule at
+    passage granularity).
+
+    Scale: tokenize + chunk + hash is per-row (explode, no shuffle);
+    only 32-hex chunk hashes shuffle, never chunk text. The count is
+    an explicit two-level aggregate — distinct (hash, doc) pairs
+    map-side combine first, so a chunk repeated 1000x inside ONE
+    document costs its duplicates at the mapper, and no
+    count-distinct Expand doubles the exploded stream (the q_b19/q_c5
+    lesson). A chunk shared by millions of docs produces one hot
+    group in the FINAL count agg only — bounded, no pairwise work."""
+    k, stride = 16, 8
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select("doc_id", tokenize("text").alias("toks"))
+    toks = toks.withColumn("n", F.size("toks")).filter(F.col("n") >= k)
+    chunks = toks.withColumn(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.col("n") - k, F.lit(stride))),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("toks", F.col("start") + 1, k), " ")
+        ).alias("chunk_hash"),
+    )
+    per_doc = chunks.distinct()
+    return (
+        per_doc.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

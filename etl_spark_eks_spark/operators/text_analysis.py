@@ -610,3 +610,78 @@ def q_c32_doc_chunking(spark, sf_dir):
             F.slice("toks", F.col("start") + 1, max_tokens), " "
         ).alias("chunk_text"),
     )
+
+
+@query(
+    "q_c38_bigram_lm",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), p AS (
+      SELECT toks[CAST(r.i AS INTEGER)] AS w1,
+             toks[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM t, UNNEST(range(1, len(toks))) AS r(i)
+    ), c AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM p GROUP BY w1, w2
+    ), r AS (
+      SELECT w1, w2, n_pair,
+             SUM(n_pair) OVER (PARTITION BY w1) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY w1
+                                ORDER BY n_pair DESC, w2) AS rk
+      FROM c
+    )
+    SELECT w1, w2, n_pair,
+           ROUND(CAST(n_pair AS DOUBLE) / tot, 6) AS prob,
+           CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def q_c38_bigram_lm(spark, sf_dir):
+    """C38 (extension): count-based bigram LM table — for every token,
+    its top-5 continuations with conditional probability
+    P(w2|w1) = count(w1,w2) / count(w1,·). This is the count-collection
+    pass of n-gram LM training (KenLM-style) and the model behind
+    corpus-level repetition/novelty diagnostics; C26 consumes the
+    unigram analogue for per-doc scoring.
+
+    Scale: bigram extraction is a per-row explode over consecutive
+    token pairs (no shuffle); the (w1, w2) count aggregates with
+    map-side combine — corpus size enters ONLY that one shuffle, whose
+    output is vocabulary-squared-bounded, not corpus-bounded. The
+    normalizing window then runs on the counts table: each w1
+    partition holds at most |vocab| rows no matter how hot the word
+    is ("the" costs vocab-sized work, never corpus-sized), and the
+    rank<=5 filter executes as WindowGroupLimit on it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(tokenize("text").alias("t"))
+    n = F.size("t")
+    pairs = toks.filter(n >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    w = Window.partitionBy("w1")
+    w_rk = Window.partitionBy("w1").orderBy(F.col("n_pair").desc(), "w2")
+    return (
+        counts.withColumn("tot", F.sum("n_pair").over(w))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("tot"), 6).alias(
+                "prob"
+            ),
+            "rk",
+        )
+    )

@@ -208,3 +208,20 @@ def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
     df = registry.QUERIES["q_b67_dynamic_partition_pruning"](spark, sf_dir)
     plan = plan_of(df)
     assert "dynamicpruning" in plan.lower(), "no DPP in fact scan"
+
+
+def test_shared_chunks_no_expand(spark, sf_dir):
+    """C37: the distinct-doc count must plan as a two-level aggregate —
+    an Expand node would double the exploded chunk stream (the
+    q_b19/q_c5 regression class)."""
+    plan = plan_of(registry.QUERIES["q_c37_shared_chunks"](spark, sf_dir))
+    assert "Expand" not in plan
+
+
+def test_range_frame_single_user_shuffle(spark, sf_dir):
+    """B70: one hashpartitioning exchange on user_id, no global
+    (single-partition) exchange anywhere — the frame is evaluated
+    inside the per-user sort."""
+    plan = plan_of(registry.QUERIES["q_b70_range_frame"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "SinglePartition" not in plan

@@ -433,3 +433,24 @@ def test_media_phash_neardup_invariants(spark, sf_dir):
           for r in perceptual_hashes(cloned, "payload", "doc_id").collect()}
     for doc_id, ph in h1.items():
         assert ch[doc_id + n] == ph
+
+
+def test_random_projection_recall_vs_bruteforce(spark, sf_dir):
+    """C39: JL-projected coarse search (64 -> 24 dims) + exact rerank
+    of the top-64 must achieve >= 60% top-5 recall vs brute force on
+    this near-tie fixture (see the operator docstring for the measured
+    containment sweep)."""
+    from etl_spark_eks_spark.operators.similarity import (
+        knn_cosine_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_cosine_bruteforce(queries, emb, k=5).collect()
+    approx = registry.QUERIES["q_c39_knn_random_projection"](
+        spark, sf_dir
+    ).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"random-projection recall too low: {recall:.2f}"
