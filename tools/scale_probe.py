@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Scaling probe: measure how the heavy operators scale with corpus
+size, on replicas of the sf0.1 fixture at 1x / 4x / 10x.
+
+Replication builds "independent shards": copy i>0 of a document gets
+every token suffixed with `_i` and a shifted doc_id, so copies share NO
+vocabulary — cross-copy similarity is exactly zero, within-copy
+dup/near-dup structure replicates unchanged, and every stage of every
+operator should therefore scale ~linearly in the multiplier. A slope
+much above 1 on the pairwise operators would mean candidate generation
+degrades with corpus size — the exact failure mode the 100 TB design
+arguments claim cannot happen. This probe turns those arguments into a
+measured number (see SCALE.md "Verified at bench scale").
+
+lineitem is replicated by plain id-shift (relational rows need no
+namespacing); remaining tables are symlinked unchanged.
+
+Usage: python tools/scale_probe.py [--mults=1,4,10] [--reps=2]
+Prints one JSON line per (query, mult) and a final slope summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_QUERIES = (
+    "q_c1_exact_dedup",
+    "q_c8_minhash_bands",
+    "q_c16_ngram_jaccard",
+    "q_c37_shared_chunks",
+    "q_c36_stratified_sample",
+    "q_c24_pack_shards",
+    "q_b17_pricing_summary",
+)
+# q_c18/q_c2 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
+# blocking contract is (lang, token-count band), so block population —
+# and with it pairwise work — grows with the corpus. That is the
+# documented reason they are NOT the corpus-scale near-dup path (C8's
+# content-keyed buckets are; q_c16's prefix-filter candidates likewise
+# key on shared content). Probing them at 10x measures the contract,
+# not a regression.
+
+
+def build_replica(spark, mult: int) -> str:
+    """Materialize the m-times corpus under /tmp and return its sf-dir."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.catalog import TABLES, load_table
+
+    out = f"/tmp/etl_spark_eks_spark/scaleprobe/m{mult}"
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    docs = load_table(spark, BASE_SF, "documents")
+    n_docs = docs.count()
+    copies = [docs]
+    for i in range(1, mult):
+        # namespace every token: no shared vocabulary across copies
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    rep = copies[0]
+    for c in copies[1:]:
+        rep = rep.unionByName(c)
+    rep.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    li = load_table(spark, BASE_SF, "lineitem")
+    n_ord = li.agg(F.max("l_orderkey")).first()[0] + 1
+    li_rep = li
+    for i in range(1, mult):
+        li_rep = li_rep.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord))
+        )
+    li_rep.write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+
+    for t in TABLES:
+        if t in ("documents", "lineitem"):
+            continue
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def main() -> int:
+    mults = [1, 4, 10]
+    reps = 2
+    for arg in sys.argv[1:]:
+        if arg.startswith("--mults="):
+            mults = [int(x) for x in arg.split("=", 1)[1].split(",")]
+        elif arg.startswith("--reps="):
+            reps = int(arg.split("=", 1)[1])
+
+    from etl_spark_eks_spark import registry
+    from etl_spark_eks_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    for mult in mults:
+        sf_dir = build_replica(spark, mult)
+        for q in PROBE_QUERIES:
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = registry.QUERIES[q](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None or t < best else best
+                spark.catalog.clearCache()
+            times[q][mult] = round(best, 3)
+            print(
+                json.dumps({"query": q, "mult": mult, "sec": times[q][mult]}),
+                flush=True,
+            )
+
+    lo, hi = min(mults), max(mults)
+    summary = {
+        q: {
+            "t_1x": m.get(lo),
+            f"t_{hi}x": m.get(hi),
+            # work-normalized slope: time ratio / data ratio (1.0 = linear)
+            "slope": round((m[hi] / m[lo]) / (hi / lo), 2)
+            if m.get(lo) and m.get(hi)
+            else None,
+        }
+        for q, m in times.items()
+    }
+    print(json.dumps({"scale_probe": summary}, indent=2), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
