@@ -309,3 +309,71 @@ def q_m4_media_phash_neardup(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@query(
+    "q_m5_media_curation",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS payload_sha
+      FROM documents
+      WHERE octet_length(encode(text)) BETWEEN 150 AND 350
+    ), kept AS (
+      SELECT doc_id, n_bytes FROM (
+        SELECT doc_id, n_bytes,
+               ROW_NUMBER() OVER (PARTITION BY payload_sha
+                                  ORDER BY doc_id) AS rn
+        FROM p) t
+      WHERE rn = 1
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(FLOOR(CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_bytes AS DOUBLE)
+                      / 4096) AS BIGINT) AS shard_id
+    FROM kept
+    """,
+)
+def q_m5_media_curation(spark, sf_dir):
+    """M5 (extension): the end-to-end MEDIA curation pipeline — C19's
+    ladder for binary payloads, one declarative plan: (1) size gate
+    from the Arrow-batched metadata extractor (decode-free reject of
+    truncated/oversized payloads), (2) EXACT media dedup by payload
+    sha256 keeping the smallest doc_id (byte-identical assets collapse;
+    the near-dup rung is M4), (3) byte-budget shard assembly (M3's
+    distributed prefix sum) over the survivors. Stage order prunes for
+    the costlier stage after it, exactly like C19.
+
+    Scale: the gate and hash are per-row over the payload scan (bytes
+    never shuffle — the hash is 32 hex chars); dedup is one keyed
+    window on the hash; packing shuffles only (id, n_bytes). The
+    fixture has no byte-identical payloads, so the dedup stage's
+    discard path is pinned by a clone test (tests/test_tier_c.py)
+    rather than the oracle row count."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    from pyspark.sql import Window
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    meta = extract_media_metadata(d, "payload", "doc_id").select(
+        "doc_id", "n_bytes"
+    )
+    gated = (
+        d.join(meta, "doc_id")
+        .filter(F.col("n_bytes").between(150, 350))
+        .select("doc_id", "n_bytes", F.sha2("payload", 256).alias("payload_sha"))
+    )
+    w = Window.partitionBy("payload_sha").orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_bytes")
+    )
+    return running_total_before(kept, "doc_id", "n_bytes").select(
+        "doc_id",
+        "n_bytes",
+        F.floor(F.col("__cum_before").cast("double") / 4096)
+        .cast("bigint")
+        .alias("shard_id"),
+    )

@@ -454,3 +454,47 @@ def test_random_projection_recall_vs_bruteforce(spark, sf_dir):
     approx_set = {(r["qid"], r["cid"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"random-projection recall too low: {recall:.2f}"
+
+
+def test_media_curation_dedup_discards_clones(spark, sf_dir):
+    """M5: the exact-dedup stage must discard byte-identical payloads
+    (the fixture has none, so clone the corpus under shifted ids and
+    assert the pipeline keeps exactly the original survivors)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    cloned = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(n))
+    )
+    meta = extract_media_metadata(cloned, "payload", "doc_id").select(
+        "doc_id", "n_bytes"
+    )
+    gated = (
+        cloned.join(meta, "doc_id")
+        .filter(F.col("n_bytes").between(150, 350))
+        .select("doc_id", F.sha2("payload", 256).alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = {
+        r["doc_id"]
+        for r in gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    # every keeper is an ORIGINAL id (clones lose the min-doc_id race)
+    assert kept and all(k < n for k in kept)
+    base_kept = {
+        r["doc_id"]
+        for r in registry.QUERIES["q_m5_media_curation"](spark, sf_dir)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == base_kept
