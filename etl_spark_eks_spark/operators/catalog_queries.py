@@ -218,3 +218,52 @@ def q_b67_dynamic_partition_pruning(spark, sf_dir):
             dsum(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+@query(
+    "q_b75_corrupt_file_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_b75_corrupt_file_scan(spark, sf_dir):
+    """B75 (extension): file-level corruption resilience — the landing
+    prefix contains one garbage ``.parquet`` file next to the good
+    data (a truncated upload, the routine failure of at-least-once
+    delivery to object storage; B69 is the ROW-level sibling for
+    malformed JSON values). ``ignoreCorruptFiles`` skips unreadable
+    files instead of failing the scan; the clean rows aggregate to
+    exactly the events answer — the oracle. The schema is pinned from
+    the good table first (footer inference over a dirty prefix would
+    trip on the corrupt footer before the scan even starts — schema
+    pinning is part of the resilience contract, the same lesson as the
+    crawler-vs-pinned split in B62).
+
+    Scale: a per-file read-path decision, zero plan overhead on clean
+    files; the skip is logged per file. At 100 TB pair it with an
+    audit job (list skipped files from logs/metrics) — silently
+    shrinking input is only acceptable because the skip is observable."""
+    import os
+    import shutil
+
+    tag = _tag(sf_dir)
+    indir = fresh_scratch("q_b75", tag, "landing")
+    os.makedirs(indir, exist_ok=True)
+    good = load_table(spark, sf_dir, "events")
+    schema = good.schema
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(indir, "part-000.parquet"))
+    with open(os.path.join(indir, "part-001.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file \x00\xff" * 64)
+    clean = (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(indir)
+    )
+    return clean.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
