@@ -414,3 +414,63 @@ def q_c36_stratified_sample(spark, sf_dir):
         .filter(F.col("rk") <= k)
         .select("doc_id", "lang", "rk", "n_lang")
     )
+
+
+@query(
+    "q_c40_temperature_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ), r AS (
+      SELECT lang, n_lang,
+             CAST(FLOOR(1000 * sqrt(
+               CAST((SELECT MIN(n_lang) FROM c) AS DOUBLE) / n_lang))
+               AS BIGINT) AS keep_permille
+      FROM c
+    )
+    SELECT d.doc_id, d.lang, r.n_lang, r.keep_permille,
+           {_bucket_sql("d.doc_id")} AS bucket
+    FROM documents d JOIN r USING (lang)
+    WHERE {_bucket_sql("d.doc_id")} < r.keep_permille
+    """,
+)
+def q_c40_temperature_mix(spark, sf_dir):
+    """C40 (extension): temperature-scaled mixture sampling — C23 with
+    the rates DERIVED from the corpus instead of hand-written: each
+    language keeps fraction (min_n / n_l)^0.5 (temperature alpha=0.5),
+    flattening the size distribution — the smallest language keeps
+    everything, a 100x-bigger one keeps 10% — the standard multilingual
+    rebalance (upweight tail languages without exploding the head).
+    Selection reuses C22's md5 bucket, so the kept set nests with the
+    global hash sample and is deterministic under retries/repartition.
+
+    The exponent is computed as sqrt(min_n/n_l), NOT pow(x, -0.5):
+    IEEE-754 requires sqrt (and division) to be correctly rounded, so
+    both engines produce bit-identical fractions and the floor() to
+    permille cannot straddle an engine boundary; pow carries no such
+    guarantee and a 1-ulp divergence at a .000 boundary would flip a
+    whole language's rate.
+
+    Scale: pass 1 is a language-count aggregate (tiny, map-side
+    combined); the 1-row min and per-language rates broadcast back, so
+    pass 2 stays a per-row map+filter over the scan — zero shuffle of
+    the corpus, exactly like C22/C23."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n_lang",
+        F.floor(
+            1000
+            * F.sqrt(F.col("min_n").cast("double") / F.col("n_lang"))
+        )
+        .cast("bigint")
+        .alias("keep_permille"),
+    )
+    b = hash_bucket("doc_id")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(b < F.col("keep_permille"))
+        .select("doc_id", "lang", "n_lang", "keep_permille", b.alias("bucket"))
+    )
