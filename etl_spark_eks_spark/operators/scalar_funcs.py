@@ -231,3 +231,78 @@ def q_b71_array_hof(spark, sf_dir):
             total.cast("double") / F.size("t"), 6
         ).alias("avg_token_len"),
     )
+
+
+@query(
+    "q_b76_explode_outer",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 48
+                  THEN list_transform(range(1, len(t) - 46),
+                         i -> array_to_string(t[i : i + 47], ' '))
+                  ELSE [] END AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+    )
+    SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS shingle FROM sh WHERE len(s) = 0
+    """,
+)
+def q_b76_explode_outer(spark, sf_dir):
+    """B76: explode_outer — generator rows for empty arrays. A plain
+    explode DROPS rows whose array is empty (here: documents shorter
+    than the 48-token shingle width), which silently shrinks any
+    per-document accounting downstream. explode_outer keeps the row
+    with a NULL element — the LEFT-JOIN-LATERAL semantics — so
+    short documents survive into per-doc aggregates as zero-shingle
+    rows instead of vanishing. The distinction is exactly the
+    silent-drop class B69/B75 guard against, at the operator level.
+
+    Scale: identical cost to explode (partition-local generate, no
+    shuffle); the NULL branch adds one row per empty-array input."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_spark_eks_spark.functions.text import shingles
+
+    sh = d.select(
+        "doc_id", shingles(tokenize("text"), 48).alias("s")
+    )
+    return sh.select(
+        "doc_id", F.explode_outer("s").alias("shingle")
+    )
+
+
+@query(
+    "q_b77_union_missing_columns",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_b77_union_missing_columns(spark, sf_dir):
+    """B77: schema-evolving union — unionByName with
+    allowMissingColumns combines an old-schema batch (no priority
+    column) with a new-schema batch, null-filling the missing column
+    BY NAME. Positional union would mis-align or reject the drifted
+    schemas; this is the DataFrame-level twin of B62's mergeSchema
+    read (drift at the union, not the scan), the routine shape when a
+    landing zone carries batches from before and after a producer
+    deploy.
+
+    Scale: union is a plan concatenation — no shuffle, no data
+    movement; the null fill is a projection."""
+    o = load_table(spark, sf_dir, "orders")
+    old_batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True)

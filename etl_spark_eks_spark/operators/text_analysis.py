@@ -685,3 +685,68 @@ def q_c38_bigram_lm(spark, sf_dir):
             "rk",
         )
     )
+
+
+@query(
+    "q_c41_source_drift",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(n_chars AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS n_tokens
+      FROM documents
+    ), per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             AVG(n_chars) AS avg_chars, AVG(n_tokens) AS avg_tokens
+      FROM per_doc GROUP BY source
+    ), g AS (
+      SELECT AVG(avg_chars) AS mu, stddev_samp(avg_chars) AS sigma
+      FROM per_src
+    )
+    SELECT s.source, s.n_docs,
+           ROUND(s.avg_chars, 4) AS avg_chars,
+           ROUND(s.avg_tokens, 4) AS avg_tokens,
+           ROUND((s.avg_chars - g.mu) / g.sigma, 4) AS z_chars,
+           (ABS((s.avg_chars - g.mu) / g.sigma) > 2) AS is_outlier
+    FROM per_src s, g
+    """,
+)
+def q_c41_source_drift(spark, sf_dir):
+    """C41 (extension): per-source quality drift report — each source's
+    mean document length/token count, z-scored against the
+    across-sources distribution, with a |z|>2 outlier flag. This is
+    the ingestion-monitoring query of a corpus pipeline: a crawler
+    that silently starts truncating (or a boilerplate explosion at one
+    domain) shows up as a drifting source BEFORE it pollutes training
+    — the operational twin of C10's per-document gate.
+
+    Scale: one map-side-combined aggregate over the corpus to
+    source-level rows (thousands, not billions); the z-scoring runs on
+    that tiny table via a 1-row stats crossJoin — the corpus is
+    touched exactly once. ROUND(4) bounds the cross-engine
+    parallel-summation ulp noise on the mean/stddev."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = widen(d).select(
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(tokenize("text")).cast("double").alias("n_tokens"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.avg("n_tokens").alias("avg_tokens"),
+    )
+    g = per_src.agg(
+        F.avg("avg_chars").alias("mu"),
+        F.stddev_samp("avg_chars").alias("sigma"),
+    )
+    z = (F.col("avg_chars") - F.col("mu")) / F.col("sigma")
+    return per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        F.round("avg_chars", 4).alias("avg_chars"),
+        F.round("avg_tokens", 4).alias("avg_tokens"),
+        F.round(z, 4).alias("z_chars"),
+        (F.abs(z) > 2).alias("is_outlier"),
+    )
