@@ -750,3 +750,56 @@ def q_c41_source_drift(spark, sf_dir):
         F.round(z, 4).alias("z_chars"),
         (F.abs(z) > 2).alias("is_outlier"),
     )
+
+
+@query(
+    "q_c42_inverted_index",
+    oracle=r"""
+    WITH pairs AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+      FROM documents
+    ), r AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+      FROM pairs
+    )
+    SELECT token, COUNT(*) AS df,
+           list_sort(list(doc_id) FILTER (rk <= 20)) AS postings,
+           (COUNT(*) > 20) AS truncated
+    FROM r GROUP BY token
+    """,
+)
+def q_c42_inverted_index(spark, sf_dir):
+    """C42 (extension): inverted-index build — token -> sorted posting
+    list of documents containing it, CAPPED at 20 postings per token
+    with the exact document frequency and a truncation flag kept
+    alongside. The retrieval-side structure of a corpus pipeline
+    (keyword search, BM25 candidate generation, decontamination
+    probes) built as a query.
+
+    Scale: the cap is the whole design. An uncapped collect_list on a
+    stopword's postings materializes millions of doc_ids in ONE
+    aggregation buffer — the classic hot-key OOM. The rank<=20 window
+    executes as WindowGroupLimit (per-task pre-limit BEFORE the
+    shuffle, the C33 mechanism), so a token in every document moves
+    ~20 x n_partitions ids, while the exact df still aggregates as a
+    plain count (no list, no memory). Full postings for rare tokens,
+    bounded postings + honest truncation for hot ones — which is also
+    what production inverted indexes do (stopword lists ARE the
+    truncated flag)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = widen(d).select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize("text"))).alias("token"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))
+        ).alias("postings"),
+        (F.count("*") > 20).alias("truncated"),
+    )
