@@ -779,16 +779,20 @@ def q_c42_inverted_index(spark, sf_dir):
     (keyword search, BM25 candidate generation, decontamination
     probes) built as a query.
 
-    Scale: the cap is the whole design. An uncapped collect_list on a
-    stopword's postings materializes millions of doc_ids in ONE
-    aggregation buffer — the classic hot-key OOM. The rank<=20 window
-    executes as WindowGroupLimit (per-task pre-limit BEFORE the
-    shuffle, the C33 mechanism), so a token in every document moves
-    ~20 x n_partitions ids, while the exact df still aggregates as a
-    plain count (no list, no memory). Full postings for rare tokens,
-    bounded postings + honest truncation for hot ones — which is also
-    what production inverted indexes do (stopword lists ARE the
-    truncated flag)."""
+    Scale: the cap bounds MEMORY, not the shuffle — exact df
+    inherently needs every (token, doc) pair at the reducer (cheapen
+    it only by degrading to a sketch, B19), so the pairs shuffle once
+    on token regardless; but an uncapped collect_list on a stopword's
+    postings would then materialize millions of doc_ids in ONE
+    aggregation buffer — the classic hot-key OOM — while the when(rk
+    <= 20) guard keeps every buffer at 20 entries. The rank window
+    and the aggregate share the token partitioning, so the window
+    adds a sort but no second exchange. (Note WindowGroupLimit does
+    NOT apply here — it needs a rank FILTER, which would also discard
+    the rows df counts; C33 is the pruning-eligible shape.) Full
+    postings for rare tokens, bounded postings + honest truncation
+    for hot ones — which is also what production inverted indexes do
+    (stopword lists ARE the truncated flag)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = widen(d).select(
         "doc_id",

@@ -225,3 +225,11 @@ def test_range_frame_single_user_shuffle(spark, sf_dir):
     plan = plan_of(registry.QUERIES["q_b70_range_frame"](spark, sf_dir))
     assert plan.count("hashpartitioning(user_id") == 1
     assert "SinglePartition" not in plan
+
+
+def test_inverted_index_single_token_exchange(spark, sf_dir):
+    """C42: the rank window and the aggregate must share ONE token
+    exchange (same partitioning key — a second shuffle of the pairs
+    would double the operator's only data movement)."""
+    plan = plan_of(registry.QUERIES["q_c42_inverted_index"](spark, sf_dir))
+    assert plan.count("hashpartitioning(token") == 1
