@@ -546,3 +546,74 @@ def q_c39_knn_random_projection(spark, sf_dir):
     return knn_cosine_random_projection(
         emb.filter(F.col("vec_id") < 5), emb, k=5
     )
+
+
+@query(
+    "q_c43_embedding_winsorize",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(r.i AS INTEGER) AS pos,
+             CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ), b AS (
+      SELECT pos, quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi
+      FROM dims GROUP BY pos
+    ), arrays AS (
+      SELECT list(lo ORDER BY pos) AS lo_arr, list(hi ORDER BY pos) AS hi_arr
+      FROM b
+    )
+    SELECT vec_id,
+           list_transform(
+             list_zip(embedding, lo_arr, hi_arr),
+             s -> ROUND(LEAST(GREATEST(CAST(s[1] AS DOUBLE), s[2]), s[3]), 6)
+           ) AS clipped
+    FROM embeddings, arrays
+    """,
+)
+def q_c43_embedding_winsorize(spark, sf_dir):
+    """C43 (extension): per-dimension winsorization of the embedding
+    corpus — every coordinate clipped to its dimension's [p05, p95]
+    range. The outlier-taming preprocessing step before quantization
+    (C17/C21's codebooks are least-squares-ish fits that a handful of
+    extreme coordinates can drag) and before cosine ANN generally.
+
+    Scale: pass 1 computes per-dimension bounds with the mergeable GK
+    sketch (C31's machinery: map-side partials, rank-exact below ~1M
+    values per dimension at accuracy=1e6, ±n/1e6 rank error beyond —
+    the documented degrade is sketch accuracy, never a bigger
+    shuffle); the posexplode fans out to dim x n rows but aggregates
+    straight down to ONE row of 2 x dim doubles. Pass 2 broadcasts
+    that row and clips with a nested zip_with — per-row, zero
+    shuffle, no Python. The clip is elementwise GREATEST/LEAST inside
+    codegen; ROUND(6) bounds float-vs-double cast noise against the
+    oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = widen(emb).select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select("pos", F.col("v").cast("double").alias("v"))
+    bounds = dims.groupBy("pos").agg(
+        F.percentile_approx("v", 0.05, 1_000_000).alias("lo"),
+        F.percentile_approx("v", 0.95, 1_000_000).alias("hi"),
+    )
+    arrays = bounds.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))),
+            lambda s: s["lo"],
+        ).alias("lo_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))),
+            lambda s: s["hi"],
+        ).alias("hi_arr"),
+    )
+    clip_lo = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("lo_arr"),
+        lambda v, lo: F.greatest(v, lo),
+    )
+    return emb.crossJoin(F.broadcast(arrays)).select(
+        "vec_id",
+        F.transform(
+            F.zip_with(clip_lo, F.col("hi_arr"), lambda v, hi: F.least(v, hi)),
+            lambda x: F.round(x, 6),
+        ).alias("clipped"),
+    )
