@@ -354,3 +354,47 @@ def q_b59_pivot(spark, sf_dir):
         .na.fill(0)
         .orderBy("source")
     )
+
+
+@query(
+    "q_b78_observed_metrics",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_b78_observed_metrics(spark, sf_dir):
+    """B78: observed metrics — ``df.observe`` attaches named aggregate
+    counters to the PRE-filter scan, so the pipeline reports what the
+    filter discarded without a second pass over the data. This is the
+    production data-quality pattern (row counts / null rates / domain
+    sums at each stage, shipped to metrics) that a naive
+    ``df.count()`` audit doubles the scan cost for. The query's
+    RESULT is the post-filter aggregate (the oracle); the observation
+    values are asserted against an independent computation in
+    tests/test_plans.py.
+
+    Scale: observations piggyback on the action's existing tasks as
+    accumulator-style partial aggregates — zero extra scan, zero
+    shuffle; cost is a few doubles per task heartbeat."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.round(F.sum("l_quantity"), 6).alias("qty_scanned"),
+    )
+    return (
+        observed.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+    )

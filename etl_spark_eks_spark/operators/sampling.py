@@ -139,6 +139,7 @@ def running_total_before(
     id_col: str,
     weight_col: str,
     bucket_size: int = _CUMSUM_BUCKET,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distributed two-phase prefix sum: appends ``__cum_before`` =
     SUM(weight) over all rows with a smaller ``id_col`` — WITHOUT the
@@ -148,30 +149,39 @@ def running_total_before(
     alone for starting offsets, broadcasts them back, and runs the
     within-bucket running sum with a window PARTITIONED by bucket —
     parallel across the cluster. The only serial step is proportional
-    to n_rows / bucket_size. Shared by the token packer (C24) and the
-    media shard assembler (M3)."""
+    to n_rows / bucket_size. Shared by the token packer (C24), the
+    media shard assemblers (M3/M5), and the length-banded packer (C45).
+
+    ``partition_cols`` makes the prefix sum per-group (SUM OVER
+    (PARTITION BY cols ORDER BY id)) with the same two-phase shape:
+    phase-1 buckets key on (cols, bucket), the offset window partitions
+    by cols (per-group serial step, still n_group/bucket_size rows),
+    and the in-bucket window partitions by (cols, bucket) — a hot
+    group never lands on one task."""
+    pcols = list(partition_cols)
     b = df.withColumn(
         "__bucket", (F.col(id_col) / bucket_size).cast("bigint")
     )
-    per_bucket = b.groupBy("__bucket").agg(
+    per_bucket = b.groupBy(*pcols, "__bucket").agg(
         F.sum(weight_col).alias("__bucket_total")
     )
-    w_b = Window.orderBy("__bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w_b = (
+        Window.partitionBy(*pcols) if pcols else Window
+    ).orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_bucket.select(
+        *pcols,
         "__bucket",
         F.coalesce(F.sum("__bucket_total").over(w_b), F.lit(0)).alias(
             "__offset"
         ),
     )
     w_in = (
-        Window.partitionBy("__bucket")
+        Window.partitionBy(*pcols, "__bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        b.join(F.broadcast(offsets), "__bucket")
+        b.join(F.broadcast(offsets), [*pcols, "__bucket"])
         .withColumn(
             "__cum_before",
             F.col("__offset")
@@ -473,4 +483,61 @@ def q_c40_temperature_mix(spark, sf_dir):
         d.join(F.broadcast(rates), "lang")
         .filter(b < F.col("keep_permille"))
         .select("doc_id", "lang", "n_lang", "keep_permille", b.alias("bucket"))
+    )
+
+
+@query(
+    "q_c45_length_banded_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, n_tokens,
+             CAST(n_tokens // 32 AS BIGINT) AS band
+      FROM t
+    )
+    SELECT doc_id, n_tokens, band,
+           CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                  PARTITION BY band ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                / 1000) AS BIGINT) AS shard_id
+    FROM banded
+    """,
+)
+def q_c45_length_banded_packing(spark, sf_dir):
+    """C45 (extension): length-banded shard packing — documents are
+    first banded by length (band = n_tokens // 32, a deterministic
+    per-row expression, NOT a global ntile sort) and then packed into
+    token-budget shards WITHIN each band. Training dataloaders batch
+    same-length documents together to minimize padding waste; this is
+    that layout as a corpus operator, composing with C32 chunking
+    upstream and replacing C24's single global order with per-band
+    orders.
+
+    Scale: the band is a per-row projection (a global ntile would be
+    one sorting task — the anti-pattern C36 §sampling avoids); the
+    per-band running totals use the SAME two-phase distributed prefix
+    sum as C24/M3, now with ``partition_cols`` — phase-1 bucket
+    totals key on (band, id-range), the serial offset window runs per
+    band over n_band/bucket_size rows, and in-bucket windows
+    partition by (band, bucket), so even a band holding half the
+    corpus never lands on one task."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(
+        "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    ).withColumn(
+        "band", (F.col("n_tokens") / 32).cast("bigint")
+    )
+    return running_total_before(
+        toks, "doc_id", "n_tokens", partition_cols=("band",)
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "band",
+        F.floor(F.col("__cum_before").cast("double") / 1000)
+        .cast("bigint")
+        .alias("shard_id"),
     )

@@ -233,3 +233,31 @@ def test_inverted_index_single_token_exchange(spark, sf_dir):
     would double the operator's only data movement)."""
     plan = plan_of(registry.QUERIES["q_c42_inverted_index"](spark, sf_dir))
     assert plan.count("hashpartitioning(token") == 1
+
+
+def test_observed_metrics_match_independent_scan(spark, sf_dir):
+    """B78: the observation attached to the pre-filter scan must report
+    the full-table row count and quantity sum — audit counters with no
+    second scan. Reconstructed here to read the Observation after an
+    action (the registered query hands its DataFrame to the driver
+    before any action runs)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.round(F.sum("l_quantity"), 6).alias("qty_scanned"),
+    )
+    observed.filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).groupBy("l_returnflag").count().collect()
+    expected_rows = li.count()
+    expected_qty = li.agg(F.round(F.sum("l_quantity"), 6)).first()[0]
+    got = obs.get
+    assert got["rows_scanned"] == expected_rows
+    assert abs(got["qty_scanned"] - expected_qty) < 1e-6

@@ -171,3 +171,32 @@ def test_running_total_before_matches_bruteforce(spark):
             for r in running_total_before(df, "id", "w", bucket).collect()
         }
         assert got == cum, f"bucket_size={bucket} broke the prefix sum"
+
+
+def test_running_total_before_partitioned_matches_bruteforce(spark):
+    """The partitioned variant (C45 length bands) must equal the naive
+    per-group cumulative sum — groups of very different sizes,
+    including a singleton group, across bucket sizes."""
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    rows = [
+        # (group, id, weight)
+        ("a", 0, 3), ("a", 5, 7), ("a", 7, 1), ("a", 250, 8),
+        ("b", 1, 4), ("b", 99, 10), ("b", 100, 2),
+        ("c", 1000, 6),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    cum = {}
+    for g in {r[0] for r in rows}:
+        running = 0
+        for _, i, w in sorted(r for r in rows if r[0] == g):
+            cum[(g, i)] = running
+            running += w
+    for bucket in (1, 3, 100, 10_000):
+        got = {
+            (r["g"], r["id"]): r["__cum_before"]
+            for r in running_total_before(
+                df, "id", "w", bucket, partition_cols=("g",)
+            ).collect()
+        }
+        assert got == cum, f"bucket_size={bucket} broke the grouped prefix sum"
