@@ -71,7 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_b76_explode_outer", "q_b77_union_missing_columns",
     "q_c41_source_drift", "q_c42_inverted_index",
     "q_c43_embedding_winsorize", "q_b78_observed_metrics",
-    "q_c45_length_banded_packing",
+    "q_c45_length_banded_packing", "q_b79_map_functions",
+    "q_m6_training_manifest",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

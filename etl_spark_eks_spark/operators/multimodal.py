@@ -377,3 +377,85 @@ def q_m5_media_curation(spark, sf_dir):
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+@query(
+    "q_m6_training_manifest",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             octet_length(encode(text)) AS n_bytes,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, source, n_bytes,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (len(toks) BETWEEN 20 AND 1000
+              AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  >= 0.3) AS passes_quality,
+             CASE WHEN (('0x' || substr(md5(sha256(text)), 1, 8))::BIGINT
+                        % 1000) < 900 THEN 'train'
+                  WHEN (('0x' || substr(md5(sha256(text)), 1, 8))::BIGINT
+                        % 1000) < 950 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM t
+    )
+    SELECT q.doc_id, q.lang, q.source, q.n_tokens,
+           CAST(q.n_bytes AS BIGINT) AS n_bytes,
+           q.passes_quality, q.split,
+           e.label,
+           ROUND(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+             AS emb_norm
+    FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+    """,
+)
+def q_m6_training_manifest(spark, sf_dir):
+    """M6 (extension): training-manifest assembly — the final
+    materialization a dataloader consumes, one row per training
+    example joining every curation signal this engine computes: text
+    identity (doc_id, lang, source), token count and the C10 quality
+    verdict, payload byte size (media accounting), the C29
+    leakage-safe content-keyed split, and the embedding row (cluster
+    label + L2 norm) for retrieval/mixing downstream. The pipeline's
+    answer to "what exactly do we train on?" as a single declarative
+    plan.
+
+    Scale: every per-doc signal is a per-row expression over the
+    documents scan; the only shuffle is the doc->embedding equi-join,
+    which co-partitions two narrow projections on the id (at catalog
+    scale both sides are bucketed on it — B60's layout — making the
+    manifest join exchange-free). The manifest is written once and
+    read by every consumer; its cost is paid at corpus-assembly time,
+    not training time."""
+    from etl_spark_eks_spark.functions.text import token_stats
+    from etl_spark_eks_spark.functions.vector import l2_norm
+    from etl_spark_eks_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = token_stats(F.col("text"))
+    n = stats["n_tokens"]
+    b = hash_bucket(F.sha2(F.col("text"), 256))
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.alias("n_tokens"),
+        F.octet_length(F.encode("text", "UTF-8"))
+        .cast("long")
+        .alias("n_bytes"),
+        (n.between(20, 1000) & (stats["distinct_ratio"] >= 0.3)).alias(
+            "passes_quality"
+        ),
+        F.when(b < 900, "train")
+        .when(b < 950, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.round(l2_norm("embedding"), 6).alias("emb_norm"),
+    )
+    return q.join(e, "doc_id")

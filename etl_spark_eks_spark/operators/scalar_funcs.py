@@ -306,3 +306,73 @@ def q_b77_union_missing_columns(spark, sf_dir):
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     return old_batch.unionByName(new_batch, allowMissingColumns=True)
+
+
+@query(
+    "q_b79_map_functions",
+    oracle=r"""
+    WITH counts AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 50) t
+      GROUP BY doc_id, token
+    ), totals AS (
+      SELECT doc_id, SUM(cnt) AS tot FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.token, c.cnt,
+           ROUND(CAST(c.cnt AS DOUBLE) / t.tot, 6) AS share
+    FROM counts c JOIN totals t USING (doc_id)
+    WHERE c.cnt >= 2
+    """,
+)
+def q_b79_map_functions(spark, sf_dir):
+    """B79: map-typed higher-order functions — the per-document term
+    frequency MAP built with map_from_entries, thinned with map_filter
+    (counts >= 2), reweighted with transform_values (count -> share of
+    doc), merged with map_zip_with, then exploded back to rows for
+    comparison. Map columns are how per-entity feature bundles travel
+    through a pipeline as one value (feature stores, per-doc vocab
+    stats); this is the map-lambda surface complementing B71's array
+    lambdas.
+
+    Scale: the map is per-document — bounded by doc vocabulary, never
+    corpus vocabulary; construction is the same one-shuffle (doc_id,
+    token) count every per-doc text stat pays, and every map lambda is
+    per-row. The total used by transform_values comes from
+    aggregate() over the map's own values, and map_zip_with fuses the
+    kept counts with their shares in place — no second shuffle, no
+    self-join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    counts = (
+        d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    as_map = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "cnt"))
+        ).alias("tf")
+    )
+    tot = F.aggregate(
+        F.map_values("tf"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    kept = F.map_filter("tf", lambda k, v: v >= 2)
+    shares = F.transform_values(
+        kept, lambda k, v: F.round(v.cast("double") / tot, 6)
+    )
+    zipped = F.map_zip_with(
+        kept,
+        shares,
+        lambda k, c, s: F.struct(c.alias("cnt"), s.alias("share")),
+    )
+    return (
+        as_map.select("doc_id", F.explode(zipped).alias("token", "cs"))
+        .select(
+            "doc_id",
+            "token",
+            F.col("cs.cnt").alias("cnt"),
+            F.col("cs.share").alias("share"),
+        )
+    )
