@@ -349,3 +349,44 @@ def test_filter_agg_differential_vs_duckdb(spark, rows, op1, c1, op2, c2):
     df.createOrReplaceTempView("t")
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     assert got == want
+
+
+grouped_weights = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # group
+        st.integers(min_value=0, max_value=500),   # id (may collide -> filtered)
+        st.integers(min_value=0, max_value=50),    # weight
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=grouped_weights, bucket=st.sampled_from([1, 7, 64, 1000]))
+@_settings
+def test_partitioned_prefix_sum_property(spark, rows, bucket):
+    """The partitioned two-phase prefix sum (C45's engine) must equal
+    the naive per-group cumulative sum for arbitrary group/id/weight
+    triples and any bucket size. Duplicate (group, id) pairs are
+    deduped first (the helper's contract is unique ids per group)."""
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    seen, uniq = set(), []
+    for g, i, w in rows:
+        if (g, i) not in seen:
+            seen.add((g, i))
+            uniq.append((g, i, w))
+    df = spark.createDataFrame(uniq, "g int, id long, w long")
+    expect = {}
+    for g in {r[0] for r in uniq}:
+        run = 0
+        for _, i, w in sorted(r for r in uniq if r[0] == g):
+            expect[(g, i)] = run
+            run += w
+    got = {
+        (r["g"], r["id"]): r["__cum_before"]
+        for r in running_total_before(
+            df, "id", "w", bucket, partition_cols=("g",)
+        ).collect()
+    }
+    assert got == expect

@@ -138,3 +138,76 @@ def test_stream_outer_join_containment(spark, sf_dir):
     assert null_views <= batch_unmatched
     # no view may appear both matched and as a NULL row
     assert null_views.isdisjoint({vid for vid, _ in matched})
+
+
+def test_foreachbatch_upsert_replay_is_noop(spark, sf_dir):
+    """B72: restarting the upsert stream over the SAME checkpoint after
+    it has drained must commit nothing new — the checkpoint records the
+    processed batches, and the idempotent merge means even a re-driven
+    batch would change nothing. The keyed table must be byte-stable
+    across the restart."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.sources.parquet_io import fresh_scratch
+    from etl_spark_eks_spark.streaming.stream_ops import (
+        events_stream_batched,
+    )
+
+    state = fresh_scratch("t_b72_replay", "state")
+    ckpt = fresh_scratch("t_b72_replay", "ckpt")
+    os.makedirs(state, exist_ok=True)
+    cur = os.path.join(state, "cur")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def upsert(batch_df, batch_id):
+        import shutil
+
+        sp = batch_df.sparkSession
+        merged = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.exists(cur):
+            merged = (
+                sp.read.parquet(cur)
+                .unionByName(merged)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        tmp = os.path.join(state, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(state, f"old_{batch_id}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def run_once():
+        q = (
+            events_stream_batched(spark, sf_dir)
+            .select("user_id", "event_id", "ts", "value")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(
+        (r["user_id"], r["event_id"]) for r in spark.read.parquet(cur).collect()
+    )
+    mtime = os.path.getmtime(cur)
+    run_once()  # replay: checkpoint says everything is committed
+    again = sorted(
+        (r["user_id"], r["event_id"]) for r in spark.read.parquet(cur).collect()
+    )
+    assert first == again
+    assert os.path.getmtime(cur) == mtime, "replay rewrote the table"
