@@ -249,10 +249,11 @@ def q_b70_range_frame(spark, sf_dir):
     second cannot change the result.
 
     Scale: one shuffle on user_id + per-partition sort — identical cost
-    shape to every other window here; the frame bound evaluation is a
-    per-row binary search within the sorted partition. No state beyond
-    the frame's rows is held; skewed users bound the frame by time, not
-    corpus size."""
+    shape to every other window here; the frame bounds advance
+    monotonically through the sorted partition (each row extends the
+    trailing edge and drops expired rows — amortized O(1) per row). No
+    state beyond the frame's rows is held; skewed users bound the
+    frame by time, not corpus size."""
     ev = load_table(spark, sf_dir, "events")
     # ts arrives as TIMESTAMP_NTZ (fixture is timestamp[us], no tz) which
     # cannot cast straight to BIGINT; the session tz is pinned UTC so the
