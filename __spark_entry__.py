@@ -36,15 +36,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # The round driver caps each CORRECTNESS run at the FIRST 50 keys of the
 # dict this module returns, in order — registry insertion order is
 # therefore a measurement decision, not cosmetics. After rounds 1+2,
-# 89 of 104 keys have an official green row; the 15 without one lead
-# round 3: (1) the four never-driver-checked keys WITH exact oracles,
-# (2) the ten rows-only-by-design keys never driver-checked (including
-# q_b48/q_b49, broken by the NTZ fixture in r2 and fixed this round),
-# (3) q_b57, the one official r2 FAIL (same NTZ root cause, fixed).
-# Then (4) keys whose implementation changed this round (perf fixes
-# need fresh green rows), then (5) everything already green, refreshed
-# newest-evidence-first. Every key remains present and runnable
-# regardless of order; tools/verify_driver.py checks all of them.
+# 89 of 104 r2-era keys have an official green row. Round 3 leads with
+# every key lacking one: (1) four never-driver-checked keys WITH exact
+# oracles, (2) ten rows-only-by-design keys never driver-checked
+# (including q_b48/q_b49, broken by the NTZ fixture in r2, fixed this
+# round), (3) q_b57, the one official r2 FAIL (same NTZ root cause,
+# fixed), then (4) the 34 operators ADDED in round 3 (B65-B80,
+# C31-C45, M3-M6) needing first official rows — sections (1)-(4) fill
+# exactly 49 of the 50 slots. (5) holds this round's perf-fix keys
+# (q_c7 takes slot 50), (6) refreshes the rest newest-evidence-first.
+# Every key remains present and runnable regardless of order;
+# tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-checked, exact oracles --
     "q_c26_unigram_logprob", "q_c27_incremental_dedup",
@@ -72,7 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c41_source_drift", "q_c42_inverted_index",
     "q_c43_embedding_winsorize", "q_b78_observed_metrics",
     "q_c45_length_banded_packing", "q_b79_map_functions",
-    "q_m6_training_manifest",
+    "q_m6_training_manifest", "q_b80_jsonl_source",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

@@ -267,3 +267,51 @@ def q_b75_corrupt_file_scan(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+@query(
+    "q_b80_jsonl_source",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_b80_jsonl_source(spark, sf_dir):
+    """B80 (extension): JSON-lines landing-zone source — the events
+    table staged as JSONL (one JSON object per line, the form SQS
+    payloads land in before any parquet conversion; reference
+    eventsource-sqs.yaml:13 declares jsonBody) and read back through
+    ``spark.read.schema(...).json``. The schema is EXPLICIT: JSONL
+    carries no footer, so schema-on-read here means sampling the whole
+    input (a full extra scan at 100 TB) unless the contract is pinned
+    — the B75/B62 lesson in source form. The nested ``props`` payload
+    stays a raw string through the roundtrip and is typed at query
+    time (B2/B42's path), so producer-side payload drift cannot break
+    ingestion.
+
+    Scale: JSONL is line-splittable, so the read parallelizes by
+    maxPartitionBytes exactly like parquet — but every byte is parsed
+    per read with no column pruning or predicate pushdown, which is
+    why the engine's landing pattern is JSONL in, parquet out (A7),
+    with JSONL read exactly once."""
+    import os
+
+    tag = _tag(sf_dir)
+    landing = fresh_scratch("q_b80", tag, "landing")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").json(landing)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    back = spark.read.schema(schema).json(landing)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
