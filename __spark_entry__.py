@@ -41,10 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracles, (2) ten rows-only-by-design keys never driver-checked
 # (including q_b48/q_b49, broken by the NTZ fixture in r2, fixed this
 # round), (3) q_b57, the one official r2 FAIL (same NTZ root cause,
-# fixed), then (4) the 34 operators ADDED in round 3 (B65-B80,
+# fixed), then (4) the 35 operators ADDED in round 3 (B65-B80,
 # C31-C45, M3-M6) needing first official rows — sections (1)-(4) fill
-# exactly 49 of the 50 slots. (5) holds this round's perf-fix keys
-# (q_c7 takes slot 50), (6) refreshes the rest newest-evidence-first.
+# the 50 slots exactly. (5) holds this round's perf-fix keys (their
+# oracles re-run every pytest), (6) refreshes newest-evidence-first.
 # Every key remains present and runnable regardless of order;
 # tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c43_embedding_winsorize", "q_b78_observed_metrics",
     "q_c45_length_banded_packing", "q_b79_map_functions",
     "q_m6_training_manifest", "q_b80_jsonl_source",
+    "q_c44_coreset_medoids",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

@@ -393,6 +393,13 @@ def q_c21_knn_pq(spark, sf_dir):
 def kmeans_lloyd(
     corpus: DataFrame, k: int = 8, iters: int = 3
 ) -> DataFrame:
+    """Assignments only — see :func:`kmeans_lloyd_with_centroids`."""
+    return kmeans_lloyd_with_centroids(corpus, k, iters)[0]
+
+
+def kmeans_lloyd_with_centroids(
+    corpus: DataFrame, k: int = 8, iters: int = 3
+):
     """Lloyd's k-means over the embedding column — the clustering pass a
     curation pipeline runs for topic balancing / diversity sampling.
 
@@ -438,7 +445,7 @@ def kmeans_lloyd(
         cmat = cmat.copy()
         for r in means:
             cmat[r["cluster"], r["pos"]] = r["m"]
-    return assigned.select("vec_id", "cluster")
+    return assigned.select("vec_id", "cluster"), cmat
 
 
 @query("q_c30_kmeans")  # rows-only: iterative, centroid-init-specific
@@ -616,4 +623,54 @@ def q_c43_embedding_winsorize(spark, sf_dir):
             F.zip_with(clip_lo, F.col("hi_arr"), lambda v, hi: F.least(v, hi)),
             lambda x: F.round(x, 6),
         ).alias("clipped"),
+    )
+
+
+@query("q_c44_coreset_medoids")  # rows-only: kmeans-init-specific
+def q_c44_coreset_medoids(spark, sf_dir):
+    """C44 (extension): core-set selection — the medoid (vector nearest
+    its cluster's centroid) of every k-means cluster, with its
+    distance. The diversity-sampling rung of the curation ladder: a
+    k-row subset that covers the embedding space's modes, the
+    structure SemDeDup-style semantic pruning and "pick one exemplar
+    per topic" curation both start from. Composes with C30 (the
+    clustering) and contrasts with C22's uniform hash sample: uniform
+    keeps density, medoids keep COVERAGE.
+
+    Scale: distances are one vectorized pandas-UDF pass (centroid
+    matrix in the closure, k x dim — model-broadcast-sized); medoid
+    selection is a per-cluster min via the same WindowGroupLimit-
+    eligible rank<=1 window as C33 — per-task pre-limit, k final rows.
+    Invariants (one medoid per non-empty cluster, its distance is the
+    cluster minimum, determinism) are asserted in tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cmat = kmeans_lloyd_with_centroids(emb, k=8, iters=3)
+    closure = cmat
+
+    @pandas_udf("double")
+    def dist_to_centroid(col: pd.Series, cl: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy())
+        c = closure[cl.to_numpy()]
+        return pd.Series(np.sqrt(((m - c) ** 2).sum(axis=1)))
+
+    with_dist = (
+        emb.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            dist_to_centroid("embedding", "cluster").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
+    return (
+        with_dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("vec_id").alias("medoid_vec_id"),
+            F.round("dist", 6).alias("dist"),
+        )
     )

@@ -498,3 +498,36 @@ def test_media_curation_dedup_discards_clones(spark, sf_dir):
         .collect()
     }
     assert kept == base_kept
+
+
+def test_coreset_medoids_are_cluster_minima(spark, sf_dir):
+    """C44: exactly one medoid per non-empty cluster; its distance must
+    equal the minimum distance of any member of that cluster (verified
+    by brute force in numpy); deterministic run to run."""
+    import numpy as np
+
+    from etl_spark_eks_spark.operators.similarity import (
+        kmeans_lloyd_with_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cmat = kmeans_lloyd_with_centroids(emb, k=8, iters=3)
+    members = {}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in assigned.collect():
+        members.setdefault(r["cluster"], []).append(r["vec_id"])
+
+    rows1 = registry.QUERIES["q_c44_coreset_medoids"](spark, sf_dir).collect()
+    rows2 = registry.QUERIES["q_c44_coreset_medoids"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+    got = {r["cluster"]: (r["medoid_vec_id"], r["dist"]) for r in rows1}
+    assert set(got) == set(members)
+    for cl, ids in members.items():
+        dists = {i: float(np.sqrt(((vecs[i] - cmat[cl]) ** 2).sum()))
+                 for i in ids}
+        best = min(dists.values())
+        mid, mdist = got[cl]
+        assert abs(dists[mid] - best) < 1e-9
+        assert abs(mdist - round(best, 6)) < 1e-6
