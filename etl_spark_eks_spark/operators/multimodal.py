@@ -197,27 +197,40 @@ def q_m3_media_shard_pack(spark, sf_dir):
 
 
 def perceptual_hashes(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
-    """Binary payloads -> 64-bit perceptual hashes via mapInPandas.
+    """Binary payloads -> 128-bit perceptual hashes (two longs,
+    ``phash_hi``/``phash_lo``) via mapInPandas.
 
     The hash here is the pHash CONTRACT, not a real image pHash (no
     codecs in this environment): a SimHash over the payload's aligned
-    4-byte chunks — per chunk a splitmix64-mixed 64-bit hash, per bit
-    the majority vote across chunks. Payloads sharing most content get
-    small Hamming distance; unrelated payloads land ~32 bits apart —
-    the two properties the downstream banding/verify machinery relies
-    on. (A first cut used a byte-value HISTOGRAM: measured 20.5 s at
-    sf0.1 because every word-soup document shares one byte
-    distribution, so hashes collapsed into a handful of giant band
-    buckets and the candidate join went quadratic — a feature with no
-    between-class separation breaks LSH no matter how good the
-    plumbing is.) On a real cluster, swap the chunk hash for
-    decode + DCT inside the SAME batch function; nothing downstream
-    changes.
+    4-byte chunks — per chunk two independently-seeded splitmix64
+    mixes, per bit the majority vote across chunks. Payloads sharing
+    most content get small Hamming distance; unrelated payloads land
+    ~64 of 128 bits apart — the two properties the downstream
+    banding/verify machinery relies on.
+
+    Two measured lessons are baked in:
+    - A byte-value HISTOGRAM feature measured 20.5 s at sf0.1: every
+      word-soup document shares one byte distribution, hashes
+      collapsed into giant band buckets, and the candidate join went
+      quadratic — a feature with no between-class separation breaks
+      LSH no matter how good the plumbing is.
+    - A 64-bit signature with 16-bit bands hit a RANDOM-collision
+      cliff in the 10x scale probe (slope 1.3, 0.6 s -> 7.9 s at 50k
+      docs): expected accidental pairs grow ~n^2/2^band_bits per
+      band, so band entropy must scale with ~2*log2(n). 128 bits with
+      32-bit bands keeps the same pigeonhole guarantee class while
+      pushing the collision floor to n^2/2^32 — negligible until
+      ~10^6 docs per band domain, and the next rung (wider bands over
+      a wider signature) is the same change again.
+
+    On a real cluster, swap the chunk hash for decode + DCT inside the
+    SAME batch function; nothing downstream changes.
     """
     import numpy as np
 
     M1 = np.uint64(0xBF58476D1CE4E5B9)
     M2 = np.uint64(0x94D049BB133111EB)
+    SEED_HI = np.uint64(0x9E3779B97F4A7C15)
 
     def _mix(x: "np.ndarray") -> "np.ndarray":
         # splitmix64 finalizer, vectorized (uint64 wraps mod 2^64)
@@ -225,75 +238,90 @@ def perceptual_hashes(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
         x = (x ^ (x >> np.uint64(27))) * M2
         return x ^ (x >> np.uint64(31))
 
-    def _phash(payload: bytes) -> int:
-        n4 = len(payload) // 4
-        if n4 == 0:
-            return 0
-        w = np.frombuffer(payload[: n4 * 4], dtype="<u4").astype(np.uint64)
-        h = _mix(w)
-        ones = (
-            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).sum(axis=0)
-        bits = ones * 2 > n4
+    def _pack(bits: "np.ndarray") -> int:
         packed = int(np.packbits(bits[::-1]).view(">u8")[0])
         return packed - (1 << 64) if packed >= (1 << 63) else packed
 
+    def _phash128(payload: bytes) -> tuple[int, int]:
+        n4 = len(payload) // 4
+        if n4 == 0:
+            return 0, 0
+        w = np.frombuffer(payload[: n4 * 4], dtype="<u4").astype(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for seed in (np.uint64(0), SEED_HI):
+            h = _mix(w ^ seed)
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            out.append(_pack(ones * 2 > n4))
+        return out[0], out[1]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            hashes = [_phash128(p) for p in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "phash": [_phash(p) for p in pdf[binary_col]],
+                    "phash_hi": [h[0] for h in hashes],
+                    "phash_lo": [h[1] for h in hashes],
                 }
             )
 
     return df.select(id_col, binary_col).mapInPandas(
-        batches, "doc_id long, phash long"
+        batches, "doc_id long, phash_hi long, phash_lo long"
     )
 
 
 @query("q_m4_media_phash_neardup")  # rows-only: hash-family-specific
 def q_m4_media_phash_neardup(spark, sf_dir):
-    """M4 (extension): near-duplicate MEDIA detection — perceptual hash
-    per payload, 16-bit-band LSH buckets for candidates, exact Hamming
-    verify (<= 6 of 64 bits). The multimodal twin of C9's SimHash: by
-    pigeonhole, any pair within Hamming 3 shares at least one of 4
-    bands; the verify step then keeps only true close pairs. Invariants
-    (identical payloads collapse, determinism, band-containment) are
-    asserted in tests/test_tier_c.py.
+    """M4 (extension): near-duplicate MEDIA detection — 128-bit
+    perceptual hash per payload, 32-bit-band LSH buckets for
+    candidates, exact Hamming verify (<= 12 of 128 bits). The
+    multimodal twin of C9's SimHash: by pigeonhole, any pair within
+    Hamming 3 shares at least one of the 4 bands; the verify step
+    keeps only true close pairs. Invariants (identical payloads
+    collapse, determinism, threshold bound) are asserted in
+    tests/test_tier_c.py.
 
-    Scale: the expensive step (decode + hash) is one Arrow-batched pass
-    — payload bytes never cross partitions; only 8-byte hashes shuffle.
-    The band self-join is bucketed (pairwise work inside buckets only),
-    the C8/C9 shape. Band width trades recall for bucket size exactly
-    as in SimHash; 4x16 targets Hamming<=3 guaranteed, <=6 probable."""
+    Scale: the expensive step (decode + hash) is one Arrow-batched
+    pass — payload bytes never cross partitions; only 16 hash bytes
+    shuffle. The band self-join is bucketed (pairwise work inside
+    buckets only), the C8/C9 shape. Band ENTROPY is the scale knob the
+    10x probe exposed: 16-bit bands put accidental (not similar, just
+    colliding) pairs at ~n^2/2^16 per band — measured slope 1.3,
+    0.6 s -> 7.9 s at 50k docs; 32-bit bands push that floor to
+    n^2/2^32 and the probe returns to ~linear. Rule: band bits must
+    comfortably exceed 2*log2(n_docs) within a join domain."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     hashes = perceptual_hashes(d, "payload", "doc_id")
+    mask32 = F.lit(0xFFFFFFFF).cast("long")
+    band_exprs = []
+    for i, col in enumerate(("phash_hi", "phash_lo")):
+        for j in range(2):
+            band_exprs.append(
+                F.struct(
+                    F.lit(i * 2 + j).alias("band_idx"),
+                    F.shiftright(col, 32 * j)
+                    .bitwiseAND(mask32)
+                    .alias("band_val"),
+                )
+            )
     bands = hashes.select(
         "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("phash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+        "phash_hi",
+        "phash_lo",
+        F.explode(F.array(*band_exprs)).alias("b"),
+    ).select("doc_id", "phash_hi", "phash_lo", "b.band_idx", "b.band_val")
     from pyspark import StorageLevel
 
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     from etl_spark_eks_spark.functions.text import hamming64
 
+    hamming = hamming64(
+        F.col("a.phash_hi"), F.col("b.phash_hi")
+    ) + hamming64(F.col("a.phash_lo"), F.col("b.phash_lo"))
     return (
         a.join(
             b,
@@ -301,11 +329,11 @@ def q_m4_media_phash_neardup(spark, sf_dir):
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming64(F.col("a.phash"), F.col("b.phash")) <= 6)
+        .filter(hamming <= 12)
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
-            hamming64(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
     )

@@ -413,15 +413,15 @@ def test_media_phash_neardup_invariants(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    h1 = {r["doc_id"]: r["phash"]
+    h1 = {r["doc_id"]: (r["phash_hi"], r["phash_lo"])
           for r in perceptual_hashes(d, "payload", "doc_id").collect()}
-    h2 = {r["doc_id"]: r["phash"]
+    h2 = {r["doc_id"]: (r["phash_hi"], r["phash_lo"])
           for r in perceptual_hashes(d, "payload", "doc_id").collect()}
     assert h1 == h2, "perceptual hash must be deterministic"
 
     rows = registry.QUERIES["q_m4_media_phash_neardup"](spark, sf_dir).collect()
     for r in rows:
-        assert 0 <= r["hamming"] <= 6
+        assert 0 <= r["hamming"] <= 12
         assert r["doc_id_1"] < r["doc_id_2"]
     # clone every doc under a shifted id: each clone pair must be a
     # Hamming-0 pair of identical hashes
@@ -429,7 +429,7 @@ def test_media_phash_neardup_invariants(spark, sf_dir):
     cloned = d.unionByName(
         d.withColumn("doc_id", F.col("doc_id") + F.lit(n))
     )
-    ch = {r["doc_id"]: r["phash"]
+    ch = {r["doc_id"]: (r["phash_hi"], r["phash_lo"])
           for r in perceptual_hashes(cloned, "payload", "doc_id").collect()}
     for doc_id, ph in h1.items():
         assert ch[doc_id + n] == ph

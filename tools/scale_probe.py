@@ -41,6 +41,9 @@ PROBE_QUERIES = (
     "q_c36_stratified_sample",
     "q_c24_pack_shards",
     "q_b17_pricing_summary",
+    "q_m4_media_phash_neardup",
+    "q_c42_inverted_index",
+    "q_c45_length_banded_packing",
 )
 # q_c18/q_c2 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
