@@ -76,6 +76,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_c45_length_banded_packing", "q_b79_map_functions",
     "q_m6_training_manifest", "q_b80_jsonl_source",
     "q_c44_coreset_medoids",
+    # -- (4b) added after the 50-slot cutoff (sections 1-4 fill it);
+    #    first official rows land next round — all four have exact
+    #    oracles and run in pytest + tools/verify_driver.py now --
+    "q_b81_unpivot", "q_c46_stable_seq_ids", "q_c47_sketch_partials",
+    "q_c48_zipf_histogram",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

