@@ -240,3 +240,55 @@ def q_b69_corrupt_json_audit(spark, sf_dir):
         .alias("n_corrupt"),
         F.max(F.element_at("m", "k")).cast("int").alias("max_k"),
     )
+
+
+@query(
+    "q_b82_try_cast_audit",
+    oracle="""
+    WITH mixed AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN event_type
+                  ELSE CAST(event_id AS VARCHAR) END AS raw
+      FROM events
+    ),
+    p AS (SELECT event_type, TRY_CAST(raw AS BIGINT) AS v FROM mixed)
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS parsed_sum
+    FROM p
+    GROUP BY event_type
+    """,
+)
+def q_b82_try_cast_audit(spark, sf_dir):
+    """B82: corrupt-SCALAR audit via ``try_cast`` — the value-level rung
+    of the schema-on-read resilience ladder (B69 = malformed JSON
+    payload, B75 = corrupt parquet file, B82 = unparseable field
+    value). ``try_cast`` yields NULL instead of failing the task, so
+    one bad cell in a trillion-row landing table cannot kill the job
+    under ANSI mode; the audit aggregation counts what was rejected
+    per slice while the clean values flow through the same pass.
+
+    The fixture's fields all parse, so a deterministic 1-in-7 slice is
+    re-routed through a non-numeric column to give the audit real
+    corruption to count (same technique as B69's malformed-payload
+    synthesis).
+
+    Scale: pure per-row projection + one map-side-combined agg on a
+    5-value key; zero extra scans, no shuffle of raw rows."""
+    e = load_table(spark, sf_dir, "events")
+    mixed = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.col("event_type"))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("raw"),
+    )
+    p = mixed.select(
+        "event_type", F.expr("try_cast(raw AS BIGINT)").alias("v")
+    )
+    return p.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("v"), F.lit(0))).alias("parsed_sum"),
+    )

@@ -487,3 +487,59 @@ def q_m6_training_manifest(spark, sf_dir):
         F.round(l2_norm("embedding"), 6).alias("emb_norm"),
     )
     return q.join(e, "doc_id")
+
+
+@query(
+    "q_m7_checksum_audit",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id, source, text,
+             CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 1000) < 50
+                  THEN sha256(text || '!')
+                  ELSE sha256(text) END AS stored_sha
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN sha256(text) <> stored_sha
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+    FROM payloads
+    GROUP BY source
+    """,
+)
+def q_m7_checksum_audit(spark, sf_dir):
+    """M7: payload-integrity audit — recompute sha256 over every binary
+    payload and compare against the manifest's stored checksum,
+    counting mismatches per source. At 100 TB of media, bitrot and
+    truncated multipart transfers are routine; checksum verification
+    at ingest is the gate that keeps a corrupted shard out of the
+    training manifest (M6). The fixture carries no checksum column, so
+    a deterministic 5% md5-bucket slice of stored checksums is
+    synthesized wrong (the same portable-bucket technique as C22) and
+    the audit must find exactly that slice.
+
+    Scale: sha256 is a per-row projection pipelined into the scan —
+    payload bytes never shuffle; the only exchange is the per-source
+    count agg (map-side combined). The same pass pattern extends to
+    per-file manifests (group by shard instead of source)."""
+    from etl_spark_eks_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(
+            hash_bucket("doc_id") < 50,
+            F.sha2(F.encode(F.concat(F.col("text"), F.lit("!")), "UTF-8"), 256),
+        )
+        .otherwise(F.sha2(F.encode("text", "UTF-8"), 256))
+        .alias("stored_sha"),
+    )
+    return payloads.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.sha2("payload", 256) != F.col("stored_sha"), 1).otherwise(0)
+        ).alias("n_corrupt"),
+    )

@@ -126,3 +126,65 @@ def q_b47_session(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "q_b83_event_gap_detection",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    observed AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+      FROM events
+    )
+    SELECT t.event_type, s.hour
+    FROM types t CROSS JOIN spine s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM observed o
+      WHERE o.event_type = t.event_type AND o.hour = s.hour
+    )
+    """,
+)
+def q_b83_event_gap_detection(spark, sf_dir):
+    """B83: feed-gap detection against a generated date spine — which
+    (event_type, hour) slots inside the feed's own time range produced
+    ZERO events. Windowed aggregation (B45) can only describe hours
+    that exist; a silent upstream outage is exactly the hours that
+    don't, and this is the monitoring query the reference's SQS-driven
+    ingest (eventsource-sqs.yaml:13-20) needs to notice a stalled
+    queue.
+
+    Shape: 1-row min/max agg -> `explode(sequence(lo, hi, 1 hour))`
+    builds the spine (bounded by the time range, never by the data),
+    cross-joined with the distinct type dim, then a broadcast LEFT
+    ANTI against the observed (type, hour) pairs.
+
+    Scale: the corpus is touched twice, both narrow column-pruned
+    passes (min/max of ts; distinct of (type, trunc(ts))) with
+    map-side partials; everything after is spine-sized
+    (types x hours), which is broadcastable at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    observed = e.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    return types.crossJoin(spine).join(
+        observed, ["event_type", "hour"], "left_anti"
+    )
