@@ -40,3 +40,52 @@ def q_b44_exists_subquery(spark, sf_dir):
     join on o_custkey."""
     register_views(spark, sf_dir)
     return spark.sql(_B44_SQL)
+
+
+_B84_SPARK_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT start_key, cur DIV 2, depth + 1
+  FROM chain WHERE cur > 0
+)
+SELECT start_key, MAX(depth) AS depth_to_root,
+       CAST(SUM(cur) AS BIGINT) AS path_sum
+FROM chain
+GROUP BY start_key
+"""
+
+_B84_ORACLE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT start_key, cur // 2, depth + 1
+  FROM chain WHERE cur > 0
+)
+SELECT start_key, MAX(depth) AS depth_to_root,
+       CAST(SUM(cur) AS BIGINT) AS path_sum
+FROM chain
+GROUP BY start_key
+"""
+
+
+@query("q_b84_recursive_cte", oracle=_B84_ORACLE_SQL)
+def q_b84_recursive_cte(spark, sf_dir):
+    """B84: recursive CTE (WITH RECURSIVE, Spark 4's SQL-native
+    iteration surface) — walk every customer's synthetic parent chain
+    (parent = key DIV 2, root 0) and aggregate depth-to-root and
+    path sum. This is the declared-SQL sibling of C18's hand-built
+    connected-components loop: bounded-depth hierarchy traversal
+    (org charts, category trees, bill-of-materials) stays in one SQL
+    statement; C18's contraction loop remains the right tool when the
+    iteration count is data-dependent and unbounded.
+
+    Scale: each recursion step is a distributed projection+filter over
+    the previous step (no self-join), the frontier shrinks as chains
+    terminate, and total steps are log2(max key) — the materialized
+    intermediate is rows x depth, never rows x rows. The only shuffle
+    is the final group-by on start_key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_B84_SPARK_SQL)

@@ -44,6 +44,10 @@ PROBE_QUERIES = (
     "q_m4_media_phash_neardup",
     "q_c42_inverted_index",
     "q_c45_length_banded_packing",
+    "q_c46_stable_seq_ids",
+    "q_c47_sketch_partials",
+    "q_c48_zipf_histogram",
+    "q_m7_checksum_audit",
 )
 # q_c18/q_c2 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
