@@ -917,3 +917,86 @@ def q_c48_zipf_histogram(spark, sf_dir):
             F.sum("occurrences").alias("total_occurrences"),
         )
     )
+
+
+@query(
+    "q_c49_classifier_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(token), 1, 8))::BIGINT % 256) AS fidx
+      FROM toks
+    ),
+    weights AS (
+      SELECT i AS fidx,
+             (((('0x' || substr(md5('w' || CAST(i AS VARCHAR)), 1, 8))
+                ::BIGINT % 2001) - 1000) / 1000.0) AS w
+      FROM generate_series(0, 255) t(i)
+    ),
+    s AS (
+      SELECT doc_id, SUM(w) AS logit
+      FROM feats JOIN weights USING (fidx)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(1 / (1 + EXP(-(logit - 0.1))), 6) AS quality_prob,
+           (1 / (1 + EXP(-(logit - 0.1)))) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def q_c49_classifier_quality(spark, sf_dir):
+    """C49: model-based quality scoring — a linear classifier over
+    hashing-trick token features, the fasttext-style model-filter rung
+    between C10's hand rules and C26's unigram LM. The model is a
+    256-float weight vector BROADCAST to every task; per doc the score
+    is sigmoid(bias + sum of the weights its tokens hash into). In
+    production the weights come from a trained model file; here they
+    are derived deterministically from the portable md5 bucket so the
+    DuckDB oracle can reproduce them bit-for-bit (same expression both
+    engines), which checks the entire serving plumbing — feature
+    hashing, broadcast join, per-doc fold, logistic link.
+
+    Scale: the weight table is KB-sized regardless of corpus (the
+    broadcast join never shuffles the exploded tokens); the only
+    exchange is the per-doc partial-aggregated sum. Swapping in real
+    learned weights changes one 256-row DataFrame, not the plan.
+    Logit sums ROUND to 6 decimals: per-doc double addition order is
+    partition-dependent and exp() may differ in the last ulp across
+    libm implementations."""
+    from etl_spark_eks_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = (
+        widen(d)
+        .select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .select("doc_id", hash_bucket("token", 256).alias("fidx"))
+    )
+    weights = spark.range(256).select(
+        F.col("id").alias("fidx"),
+        (
+            (
+                hash_bucket(
+                    F.concat(F.lit("w"), F.col("id").cast("string")), 2001
+                )
+                - 1000
+            )
+            / 1000.0
+        ).alias("w"),
+    )
+    s = (
+        feats.join(F.broadcast(weights), "fidx")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("logit"))
+    )
+    prob = 1 / (1 + F.exp(-(F.col("logit") - 0.1)))
+    return s.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

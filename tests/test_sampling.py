@@ -200,3 +200,51 @@ def test_running_total_before_partitioned_matches_bruteforce(spark):
             ).collect()
         }
         assert got == cum, f"bucket_size={bucket} broke the grouped prefix sum"
+
+
+def test_stable_seq_ids_dense_permutation_and_repartition_stable(
+    spark, sf_dir
+):
+    """C46: assigned ids must be exactly {0..n-1} (dense, no gaps, no
+    dups), and must not change when the input is re-partitioned — the
+    content-stability contract that monotonically_increasing_id and
+    zipWithIndex both break."""
+    from etl_spark_eks_spark.catalog import load_table
+
+    q = registry.QUERIES["q_c46_stable_seq_ids"]
+    out = {r["doc_id"]: r["seq_id"] for r in q(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sorted(out.values()) == list(range(n))
+
+    # Same computation over a differently-partitioned input.
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    d = load_table(spark, sf_dir, "documents").repartition(7, "lang")
+    keyed = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("text"), F.lit(":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("__hkey"),
+        F.lit(1).alias("__one"),
+    )
+    again = {
+        r["doc_id"]: r["__cum_before"]
+        for r in running_total_before(
+            keyed, "__hkey", "__one", bucket_size=(1 << 60) // 256
+        )
+        .select("doc_id", "__cum_before")
+        .collect()
+    }
+    assert again == out
