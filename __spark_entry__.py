@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c48_zipf_histogram", "q_b82_try_cast_audit",
     "q_b83_event_gap_detection", "q_m7_checksum_audit",
     "q_b84_recursive_cte", "q_c49_classifier_quality",
+    "q_b85_funnel_analysis",
     # -- (5) implementation touched this round (perf work) --
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
     # -- (6) already green; refresh newest-first --

@@ -188,3 +188,75 @@ def q_b83_event_gap_detection(spark, sf_dir):
     return types.crossJoin(spine).join(
         observed, ["event_type", "hour"], "left_anti"
     )
+
+
+@query(
+    "q_b85_funnel_analysis",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def q_b85_funnel_analysis(spark, sf_dir):
+    """B85: funnel analysis — ordered event-sequence progression
+    (first view -> first click AFTER it -> first purchase after that)
+    counted per stage. The ORDER constraint is what plain per-type
+    counts can't express: a click before any view must not advance the
+    funnel. This is the conversion query every event feed (the
+    reference's SQS ingest) ultimately exists to answer.
+
+    Shape: each stage is a map-side-combined MIN agg over a
+    type-filtered scan, joined to the previous stage's per-user
+    frontier on user_id — every join and agg keys on user_id, so at
+    cluster scale AQE reuses one co-partitioning across all three
+    stages instead of re-shuffling (the cascade narrows monotonically:
+    stage n+1's input is a semi-filtered subset of stage n's users).
+    The final result is three 1-row counts unioned — driver-sized."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def staged(df, label):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        staged(v, "1_view")
+        .unionByName(staged(c, "2_click"))
+        .unionByName(staged(p, "3_purchase"))
+    )
