@@ -35,58 +35,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The round driver caps each CORRECTNESS run at the FIRST 50 keys of the
 # dict this module returns, in order — registry insertion order is
-# therefore a measurement decision, not cosmetics. After rounds 1+2,
-# 89 of 104 r2-era keys have an official green row. Round 3 leads with
-# every key lacking one: (1) four never-driver-checked keys WITH exact
-# oracles, (2) ten rows-only-by-design keys never driver-checked
-# (including q_b48/q_b49, broken by the NTZ fixture in r2, fixed this
-# round), (3) q_b57, the one official r2 FAIL (same NTZ root cause,
-# fixed), then (4) the 35 operators ADDED in round 3 (B65-B80,
-# C31-C45, M3-M6) needing first official rows — sections (1)-(4) fill
-# the 50 slots exactly. (5) holds this round's perf-fix keys (their
-# oracles re-run every pytest), (6) refreshes newest-evidence-first.
-# Every key remains present and runnable regardless of order;
-# tools/verify_driver.py checks all of them.
+# therefore a measurement decision, not cosmetics. After rounds 1-3,
+# every key except 12 has an official row (merged r1+r2+r3). Round 4
+# leads with exactly those: (1) the 10 keys added after round 3's
+# 50-slot cutoff (q_b81-85, q_c46-49, q_m7 — all with exact oracles),
+# (2) the two official r3 ERRs q_c42/q_c43, reshaped this round to
+# driver-hashable scalar columns (array_join string / posexplode rows),
+# (3) q_c15, whose r3 row was vacuous (0 rows) — the query now plants
+# jittered clones so the official run exercises the positive detection
+# path (>=5 rows). (4) refreshes the r3 rows-only keys, (5) re-rows
+# this round's touched implementations (q_c49 keep-rounding fix, q_c4
+# re-measure), (6) back-fills the 50 slots with greens refreshing
+# newest-evidence-first. Every key remains present and runnable
+# regardless of order; tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-checked, exact oracles --
-    "q_c26_unigram_logprob", "q_c27_incremental_dedup",
-    "q_m1_multimodal_meta", "q_m2_frame_sample",
-    # -- (2) never driver-checked, rows-only by design --
-    "q_b48_watermark_stream", "q_b49_stream_dedup", "q_c8_minhash_bands",
+    # -- (1) post-cutoff round-3 additions: first official rows --
+    "q_b81_unpivot", "q_b82_try_cast_audit", "q_b83_event_gap_detection",
+    "q_b84_recursive_cte", "q_b85_funnel_analysis",
+    "q_c46_stable_seq_ids", "q_c47_sketch_partials",
+    "q_c48_zipf_histogram", "q_c49_classifier_quality",
+    "q_m7_checksum_audit",
+    # -- (2) the r3 ERRs, reshaped to driver-hashable outputs --
+    "q_c42_inverted_index", "q_c43_embedding_winsorize",
+    # -- (3) the r3 vacuous row, now with a planted positive path --
+    "q_c15_embedding_neardup",
+    # -- (4) rows-only keys: refresh r3 evidence --
+    "q_b48_watermark_stream", "q_b49_stream_dedup",
+    "q_b74_stream_outer_join", "q_c8_minhash_bands",
     "q_c9_simhash_neardup", "q_c12_fingerprint", "q_c14_knn_ann_lsh",
-    "q_c15_embedding_neardup", "q_c17_knn_ivf", "q_c21_knn_pq",
-    "q_c30_kmeans",
-    # -- (3) the r2 FAIL, fixed this round (NTZ watermark) --
-    "q_b57_stream_stream_join",
-    # -- (4) NEW this round (need first official rows) --
-    "q_b65_range_join_bucketed", "q_c31_length_quantiles",
-    "q_c32_doc_chunking", "q_b66_stream_static_join", "q_c33_domain_caps",
-    "q_b67_dynamic_partition_pruning", "q_c34_snapshot_diff",
-    "q_b68_salted_skew_join", "q_m3_media_shard_pack",
+    "q_c17_knn_ivf", "q_c21_knn_pq", "q_c30_kmeans",
+    "q_c39_knn_random_projection", "q_c44_coreset_medoids",
+    "q_m4_media_phash_neardup",
+    # -- (5) implementations touched this round --
+    "q_c4_embedding_stats",
+    # -- (6) already green; refresh newest-evidence-first --
+    "q_b65_range_join_bucketed", "q_b66_stream_static_join",
+    "q_b67_dynamic_partition_pruning", "q_b68_salted_skew_join",
     "q_b69_corrupt_json_audit", "q_b70_range_frame", "q_b71_array_hof",
-    "q_b72_foreachbatch_upsert", "q_c35_sorted_layout",
-    "q_c36_stratified_sample", "q_b73_python_udtf",
-    "q_b74_stream_outer_join", "q_m4_media_phash_neardup",
-    "q_c37_shared_chunks", "q_c38_bigram_lm",
-    "q_c39_knn_random_projection", "q_m5_media_curation",
-    "q_b75_corrupt_file_scan", "q_c40_temperature_mix",
-    "q_b76_explode_outer", "q_b77_union_missing_columns",
-    "q_c41_source_drift", "q_c42_inverted_index",
-    "q_c43_embedding_winsorize", "q_b78_observed_metrics",
-    "q_c45_length_banded_packing", "q_b79_map_functions",
-    "q_m6_training_manifest", "q_b80_jsonl_source",
-    "q_c44_coreset_medoids",
-    # -- (4b) added after the 50-slot cutoff (sections 1-4 fill it);
-    #    first official rows land next round — all four have exact
-    #    oracles and run in pytest + tools/verify_driver.py now --
-    "q_b81_unpivot", "q_c46_stable_seq_ids", "q_c47_sketch_partials",
-    "q_c48_zipf_histogram", "q_b82_try_cast_audit",
-    "q_b83_event_gap_detection", "q_m7_checksum_audit",
-    "q_b84_recursive_cte", "q_c49_classifier_quality",
-    "q_b85_funnel_analysis",
-    # -- (5) implementation touched this round (perf work) --
+    "q_b72_foreachbatch_upsert", "q_b73_python_udtf",
+    "q_b75_corrupt_file_scan", "q_b76_explode_outer",
+    "q_b77_union_missing_columns", "q_b78_observed_metrics",
+    "q_b79_map_functions", "q_b80_jsonl_source",
+    "q_c31_length_quantiles", "q_c32_doc_chunking", "q_c33_domain_caps",
+    "q_c34_snapshot_diff", "q_c35_sorted_layout",
+    "q_c36_stratified_sample", "q_c37_shared_chunks", "q_c38_bigram_lm",
+    "q_c40_temperature_mix", "q_c41_source_drift",
+    "q_c45_length_banded_packing",
+    "q_m1_multimodal_meta", "q_m2_frame_sample", "q_m3_media_shard_pack",
+    "q_m5_media_curation", "q_m6_training_manifest",
+    "q_c26_unigram_logprob", "q_c27_incremental_dedup",
+    "q_b57_stream_stream_join",
     "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
-    # -- (6) already green; refresh newest-first --
     "q_b60_bucketed_join", "q_b19_approx_cd", "q_b61_persistent_catalog",
     "q_b62_schema_drift", "q_a9_compat_current_date",
     "q_b63_salted_grouped_map", "q_b64_window_navigation",
@@ -100,7 +99,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_b52_pandas_udf", "q_b53_grouped_map", "q_b54_grouped_agg_udaf",
     "q_b55_udtf_explode", "q_b56_stateful_user_stats",
     "q_c1_exact_dedup", "q_c2_near_dedup_jaccard", "q_c3_knn_cosine",
-    "q_c4_embedding_stats",
 )
 
 

@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: time every declared query at the bench scale factor.
 
-Contract (driver): prints ONE JSON line
-    {"metric": "total_wall_clock", "value": N, "unit": "sec",
-     "queries": {"q_...": sec, ...}, "sf": 0.1}
+Contract (driver): the FINAL stdout line is ONE compact JSON summary
+    {"metric": "total_wall_clock", "value": N, "unit": "sec", ...,
+     "sf": 0.1}
+kept well under the driver's tail-capture window; the per-query map is
+written to BENCH_DETAIL.json and echoed as one small JSON line per
+query BEFORE the final line.
 
 Scale dir comes from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism from $SPARK_GRAFT_CPUS (default 32, i.e. local[32]).
@@ -115,26 +118,34 @@ def main() -> int:
     # Driver contract: the FINAL stdout line is one compact JSON object
     # and the exit code is 0 even when individual queries failed (those
     # carry -1.0 markers) — a nonzero rc made round 2's report record
-    # "parsed": null. Flush stderr first so interleaved executor noise
-    # can't land after the JSON line.
+    # "parsed": null, and rounds 1-3 ALSO recorded "parsed": null
+    # because the inline 149-entry per-query map pushed the line to
+    # ~6 KB, past the driver's tail-capture window, truncating it
+    # mid-object. So: per-query timings go to BENCH_DETAIL.json (and
+    # as individual stdout lines BEFORE the final line, for the log);
+    # the final line carries summary fields only (<300 bytes). Flush
+    # stderr first so interleaved executor noise can't land after the
+    # JSON line.
+    detail = {
+        "metric": "total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(per_query),
+        "n_failed": sum(1 for v in per_query.values() if v < 0),
+        "reps": reps,
+        "wall_clock": wall,
+        "queries": per_query,
+        "sf": sf,
+    }
+    detail_path = Path(_REPO) / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    for k in sorted(per_query):
+        print(json.dumps({"query": k, "sec": per_query[k]},
+                         separators=(",", ":")))
+    summary = {k: v for k, v in detail.items() if k != "queries"}
+    summary["detail"] = str(detail_path)
     sys.stderr.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(per_query),
-                "n_failed": sum(1 for v in per_query.values() if v < 0),
-                "reps": reps,
-                "wall_clock": wall,
-                "queries": per_query,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     return 0
 
 

@@ -211,9 +211,35 @@ def embedding_near_duplicates(
 @query("q_c15_embedding_neardup")  # rows-only: LSH blocking
 def q_c15_embedding_neardup(spark, sf_dir):
     """C15 (extension): embedding-cosine near-duplicate pairs
-    (sim >= 0.95) with LSH candidate blocking."""
+    (sim >= 0.95) with LSH candidate blocking.
+
+    The synthetic fixture contains no natural sim>=0.95 pairs (max
+    pairwise cosine ~0.33, verified by the exact brute-force sweep in
+    tests/test_tier_c.py::test_embedding_neardup_planted_clones), so
+    detection over the raw table alone is vacuous — the query would
+    prove only that nothing crashes. To make the official run exercise
+    the POSITIVE path, the query plants 5 jittered clones (vec_id +
+    1,000,000, each coordinate nudged by a deterministic 1e-3 sine
+    ripple — cosine to its source ~0.9999) before detecting: every
+    planted (i, i+1000000) pair must collide in an LSH band and clear
+    the exact-cosine verify, so the result is >=5 rows by construction
+    and each returned row is a real detection. This mirrors B69/B75's
+    fabricate-then-audit pattern for resilience operators.
+
+    Scale note: the plant is a fixed 5-row union — the detection path
+    (signature, band join, verify) is identical to production, where
+    the input would simply be the raw corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: x + 0.001 * F.sin(i + 1)
+        ).alias("embedding"),
+    )
+    return embedding_near_duplicates(base.unionByName(clones))
 
 
 def knn_cosine_ivf(
@@ -559,22 +585,16 @@ def q_c39_knn_random_projection(spark, sf_dir):
     "q_c43_embedding_winsorize",
     oracle="""
     WITH dims AS (
-      SELECT CAST(r.i AS INTEGER) AS pos,
+      SELECT vec_id, CAST(r.i AS INTEGER) - 1 AS pos,
              CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) AS v
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
     ), b AS (
       SELECT pos, quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi
       FROM dims GROUP BY pos
-    ), arrays AS (
-      SELECT list(lo ORDER BY pos) AS lo_arr, list(hi ORDER BY pos) AS hi_arr
-      FROM b
     )
-    SELECT vec_id,
-           list_transform(
-             list_zip(embedding, lo_arr, hi_arr),
-             s -> ROUND(LEAST(GREATEST(CAST(s[1] AS DOUBLE), s[2]), s[3]), 6)
-           ) AS clipped
-    FROM embeddings, arrays
+    SELECT d.vec_id, d.pos,
+           ROUND(LEAST(GREATEST(d.v, b.lo), b.hi), 6) AS clipped
+    FROM dims d JOIN b USING (pos)
     """,
 )
 def q_c43_embedding_winsorize(spark, sf_dir):
@@ -593,7 +613,16 @@ def q_c43_embedding_winsorize(spark, sf_dir):
     that row and clips with a nested zip_with — per-row, zero
     shuffle, no Python. The clip is elementwise GREATEST/LEAST inside
     codegen; ROUND(6) bounds float-vs-double cast noise against the
-    oracle."""
+    oracle.
+
+    Output shape is LONG — one (vec_id, pos, clipped) row per
+    coordinate via posexplode, mirroring the oracle's UNNEST — rather
+    than re-packed arrays: scalar rows are directly hash-comparable
+    (the round driver's pandas canonicalizer cannot sort list cells)
+    and are the layout per-dimension consumers (quantizer training,
+    per-dim stats) want anyway; C43's wide writer would just be
+    `groupBy(vec_id).agg(array_sort(collect_list(struct(pos,
+    clipped))))`."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = widen(emb).select(
         F.posexplode("embedding").alias("pos", "v")
@@ -617,12 +646,13 @@ def q_c43_embedding_winsorize(spark, sf_dir):
         F.col("lo_arr"),
         lambda v, lo: F.greatest(v, lo),
     )
-    return emb.crossJoin(F.broadcast(arrays)).select(
-        "vec_id",
-        F.transform(
-            F.zip_with(clip_lo, F.col("hi_arr"), lambda v, hi: F.least(v, hi)),
-            lambda x: F.round(x, 6),
-        ).alias("clipped"),
+    clipped = F.transform(
+        F.zip_with(clip_lo, F.col("hi_arr"), lambda v, hi: F.least(v, hi)),
+        lambda x: F.round(x, 6),
+    )
+    return (
+        emb.crossJoin(F.broadcast(arrays))
+        .select("vec_id", F.posexplode(clipped).alias("pos", "clipped"))
     )
 
 

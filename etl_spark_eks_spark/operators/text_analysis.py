@@ -766,7 +766,8 @@ def q_c41_source_drift(spark, sf_dir):
       FROM pairs
     )
     SELECT token, COUNT(*) AS df,
-           list_sort(list(doc_id) FILTER (rk <= 20)) AS postings,
+           array_to_string(list_sort(list(doc_id) FILTER (rk <= 20)), ',')
+             AS postings_csv,
            (COUNT(*) > 20) AS truncated
     FROM r GROUP BY token
     """,
@@ -792,7 +793,13 @@ def q_c42_inverted_index(spark, sf_dir):
     the rows df counts; C33 is the pruning-eligible shape.) Full
     postings for rare tokens, bounded postings + honest truncation
     for hot ones — which is also what production inverted indexes do
-    (stopword lists ARE the truncated flag)."""
+    (stopword lists ARE the truncated flag).
+
+    The posting list is emitted as a comma-joined STRING (`array_join`),
+    not an array column: the serialized form is what an index shard
+    stores anyway, and scalar columns are what downstream hash-compared
+    consumers (including the round driver's pandas canonicalizer, which
+    cannot sort list cells) can handle."""
     d = load_table(spark, sf_dir, "documents")
     pairs = widen(d).select(
         "doc_id",
@@ -802,9 +809,12 @@ def q_c42_inverted_index(spark, sf_dir):
     ranked = pairs.withColumn("rk", F.row_number().over(w))
     return ranked.groupBy("token").agg(
         F.count("*").alias("df"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))
-        ).alias("postings"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.when(F.col("rk") <= 20, F.col("doc_id")))
+            ),
+            ",",
+        ).alias("postings_csv"),
         (F.count("*") > 20).alias("truncated"),
     )
 
@@ -946,7 +956,7 @@ def q_c48_zipf_histogram(spark, sf_dir):
     )
     SELECT doc_id,
            ROUND(1 / (1 + EXP(-(logit - 0.1))), 6) AS quality_prob,
-           (1 / (1 + EXP(-(logit - 0.1)))) >= 0.5 AS keep
+           ROUND(1 / (1 + EXP(-(logit - 0.1))), 6) >= 0.5 AS keep
     FROM s
     """,
 )
@@ -968,7 +978,11 @@ def q_c49_classifier_quality(spark, sf_dir):
     learned weights changes one 256-row DataFrame, not the plan.
     Logit sums ROUND to 6 decimals: per-doc double addition order is
     partition-dependent and exp() may differ in the last ulp across
-    libm implementations."""
+    libm implementations. `keep` thresholds the ROUNDED probability
+    for the same reason — the weights are exact multiples of 1/1000,
+    so a doc whose logit-unit sum lands exactly on the decision
+    boundary has true prob == 0.5 and an unrounded comparison would
+    let summation-order noise flip the boolean between engines."""
     from etl_spark_eks_spark.operators.sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents")
@@ -994,9 +1008,9 @@ def q_c49_classifier_quality(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("w").alias("logit"))
     )
-    prob = 1 / (1 + F.exp(-(F.col("logit") - 0.1)))
+    prob = F.round(1 / (1 + F.exp(-(F.col("logit") - 0.1))), 6)
     return s.select(
         "doc_id",
-        F.round(prob, 6).alias("quality_prob"),
+        prob.alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )

@@ -55,7 +55,26 @@ def normalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return rows
 
 
+def assert_driver_canonicalizable(df: pd.DataFrame, name: str, side: str):
+    """The round driver canonicalizes with pandas ``sort_values`` over
+    RAW cells, which raises ``TypeError: unhashable type`` on list/dict
+    columns — a shape this repo's stringify-first comparator would
+    otherwise tolerate (the exact gap that shipped q_c42/q_c43 broken
+    in round 3). Fail locally on any shape the driver can't hash."""
+    try:
+        cols = sorted(df.columns)
+        df[cols].sort_values(by=cols)
+    except TypeError as e:
+        raise AssertionError(
+            f"{name}: {side} result not driver-canonicalizable "
+            f"(pandas sort_values: {e}) — emit scalar columns "
+            "(posexplode rows or array_join strings), not arrays/maps"
+        ) from None
+
+
 def assert_results_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert_driver_canonicalizable(spark_pdf, name, "spark")
+    assert_driver_canonicalizable(oracle_pdf, name, "oracle")
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     assert s_cols == o_cols, f"{name}: schema mismatch spark={s_cols} oracle={o_cols}"
     assert len(spark_pdf) == len(oracle_pdf), (

@@ -277,9 +277,62 @@ def test_stable_seq_ids_corpus_window_partitioned(spark, sf_dir):
 
 def test_sketch_partials_merge_not_rescan(spark, sf_dir):
     """C47: the merged per-source estimate must aggregate the PARTIAL
-    sketch table (source, shard), not re-explode tokens — i.e. the
-    plan contains the hll union over sketch binaries and only the two
-    intended token-side exchanges (partials + exact-verify arm)."""
+    sketch table (source, shard), not re-explode tokens. Pinned shape:
+    exactly 4 hash exchanges — (source, token) partial + (source)
+    final on the exact-verify arm, (source, shard) partial + (source)
+    merge on the sketch arm — and token appears in exactly ONE of them
+    (the exact arm's distinct expansion; the sketch merge moves only
+    sketch binaries). A regression that re-explodes tokens after the
+    merge would add a token-carrying exchange and fail the pin."""
     plan = plan_of(registry.QUERIES["q_c47_sketch_partials"](spark, sf_dir))
     assert "hll_union_agg" in plan or "hll_union" in plan
-    assert plan.count("hashpartitioning(source") >= 1
+    assert plan.count("hashpartitioning(") == 4
+    token_exchanges = [
+        l for l in plan.splitlines()
+        if "hashpartitioning(" in l and "token" in l
+    ]
+    assert len(token_exchanges) == 1, token_exchanges
+
+
+def test_recursive_cte_no_join_single_exchange(spark, sf_dir):
+    """B84: each recursion step must be a projection+filter over the
+    previous frontier (rows x depth intermediate) — the plan contains
+    the native recursion node, NO join anywhere (a self-join per step
+    would be rows x rows), and exactly one shuffle: the final group-by
+    on start_key."""
+    plan = plan_of(registry.QUERIES["q_b84_recursive_cte"](spark, sf_dir))
+    assert "Loop" in plan  # UnionLoop: Spark 4's recursive-CTE executor
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(start_key" in plan
+
+
+def test_funnel_only_user_id_shuffles(spark, sf_dir):
+    """B85: the three-stage cascade must key every exchange on user_id
+    — no shuffle on ts/event_type, no cartesian. At fixture scale the
+    per-stage frontier tables are small enough that Spark broadcasts
+    them (strictly better than re-shuffling); at cluster scale they'd
+    degrade to sort-merge joins sharing the same user_id partitioning.
+    Either way a non-user_id exchange means the cascade lost its
+    co-partitioning."""
+    plan = plan_of(registry.QUERIES["q_b85_funnel_analysis"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    bad = [
+        l for l in plan.splitlines()
+        if "hashpartitioning(" in l and "user_id" not in l
+    ]
+    assert not bad, bad
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_classifier_quality_broadcasts_weights(spark, sf_dir):
+    """C49: the 256-row weight table must broadcast to the exploded
+    token features — the corpus-sized token stream is never shuffled
+    on fidx/token; the plan's only hash exchange is the per-doc logit
+    aggregation on doc_id."""
+    plan = plan_of(
+        registry.QUERIES["q_c49_classifier_quality"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(doc_id" in plan

@@ -163,9 +163,11 @@ def test_ngram_jaccard_order_sensitivity(spark):
     assert len(ngram_pairs) == 0  # no shared phrasing => not an n-gram dup
 
 
-def test_embedding_neardup_self_pairs_excluded(spark, sf_dir):
-    """C15: near-dup pair list has no self-pairs and no (b,a) flips,
-    and every returned pair really clears the threshold."""
+def test_embedding_neardup_planted_clones(spark, sf_dir):
+    """C15 positive path: the registered query plants 5 jittered clones
+    (vec_id + 1e6) and the LSH-blocked detector MUST find all 5
+    (source, clone) pairs — plus the structural invariants (no
+    self-pairs, no (b,a) flips, every pair clears the threshold)."""
     rows = registry.QUERIES["q_c15_embedding_neardup"](spark, sf_dir).collect()
     seen = set()
     for r in rows:
@@ -174,6 +176,46 @@ def test_embedding_neardup_self_pairs_excluded(spark, sf_dir):
         key = (r["vec_id_1"], r["vec_id_2"])
         assert key not in seen
         seen.add(key)
+    for i in range(5):
+        assert (i, i + 1_000_000) in seen, (
+            f"planted clone pair ({i}, {i + 1_000_000}) not detected; "
+            f"found={sorted(seen)}"
+        )
+
+
+def test_embedding_neardup_fixture_has_no_natural_pairs(spark, sf_dir):
+    """C15 vacuity guard: exact brute force over the raw fixture proves
+    there is NO natural sim>=0.95 pair, so the detector returning only
+    the planted pairs is correct — not a recall failure. (If the
+    fixture ever changes to contain natural near-dups, this test will
+    flag it and the planted-pair assertion above still covers recall.)"""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.functions.vector import cosine_similarity
+    from etl_spark_eks_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            cosine_similarity(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("sim")
+        )
+        .agg(F.max("sim").alias("max_sim"))
+        .collect()[0]["max_sim"]
+    )
+    assert exact < 0.95, (
+        f"fixture now contains a natural near-dup pair (max sim {exact}); "
+        "update C15's expectations"
+    )
+    natural = embedding_near_duplicates(emb).collect()
+    assert natural == [], "LSH detector reported a pair brute force refutes"
 
 
 def test_connected_components_chain_clique_singleton(spark):

@@ -21,6 +21,27 @@ sys.path.insert(0, str(REPO / "tests"))
 from compare import assert_results_equal  # noqa: E402
 
 
+def driver_canon_check(pdf, name: str, side: str) -> None:
+    """Replicate the round driver's canonicalizer: pandas
+    ``sort_values`` over the RAW (un-normalized) columns. This is
+    STRICTER than tests/compare.py, which stringifies cells before
+    sorting and therefore tolerates list/dict cells the driver cannot
+    hash (`TypeError: unhashable type: 'list'` — exactly how
+    q_c42/q_c43 shipped green locally and ERR'd officially in r3).
+    Any oracle-bearing query whose output the driver can't sort must
+    fail HERE first."""
+    try:
+        cols = sorted(pdf.columns)
+        pdf[cols].sort_values(by=cols)
+    except TypeError as e:
+        raise AssertionError(
+            f"{name}: {side} result is not driver-canonicalizable "
+            f"(pandas sort_values failed: {e}) — reshape array/map "
+            "columns to scalar rows (posexplode) or joined strings "
+            "(array_join)"
+        ) from None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -77,6 +98,8 @@ def main() -> int:
             spdf = sdf.toPandas()
             if name in oracles:
                 opdf = con.execute(oracles[name]).fetchdf()
+                driver_canon_check(spdf, name, "spark")
+                driver_canon_check(opdf, name, "oracle")
                 assert_results_equal(spdf, opdf, name)
                 status = f"OK    ({len(spdf)} rows match oracle)"
             else:
