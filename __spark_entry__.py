@@ -43,7 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-hashable scalar columns (array_join string / posexplode rows),
 # (3) q_c15, whose r3 row was vacuous (0 rows) — the query now plants
 # jittered clones so the official run exercises the positive detection
-# path (>=5 rows). (4) refreshes the r3 rows-only keys, (5) re-rows
+# path (>=5 rows). (3b) holds the 11 operators ADDED in round 4
+# (B86-B91, C50/C52-C55), all oracle-backed, needing first official
+# rows. (4) refreshes the r3 rows-only keys, (5) re-rows
 # this round's touched implementations (q_c49 keep-rounding fix, q_c4
 # re-measure), (6) back-fills the 50 slots with greens refreshing
 # newest-evidence-first. Every key remains present and runnable
@@ -59,6 +61,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_c42_inverted_index", "q_c43_embedding_winsorize",
     # -- (3) the r3 vacuous row, now with a planted positive path --
     "q_c15_embedding_neardup",
+    # -- (3b) NEW in round 4: first official rows (all with oracles) --
+    "q_b86_lateral_join", "q_b87_merge_upsert", "q_b88_robust_stats",
+    "q_b89_csv_source", "q_b90_multiset_ops", "q_b91_stream_complete_mode",
+    "q_c50_boilerplate_ngrams", "q_c52_doc_perplexity",
+    "q_c53_int8_quantize", "q_c54_filter_ensemble",
+    "q_c55_ngram_contamination",
     # -- (4) rows-only keys: refresh r3 evidence --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

@@ -434,3 +434,54 @@ def q_b81_unpivot(spark, sf_dir):
         "measure",
         "value",
     )
+
+
+@query(
+    "q_b88_robust_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1_qty,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3_qty,
+           ROUND(quantile_cont(l_quantity, 0.75)
+                 - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+           ROUND(stddev_pop(l_quantity), 6) AS sd_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_b88_robust_stats(spark, sf_dir):
+    """B88: exact robust distribution aggregates — median, quartiles,
+    IQR, p95, population stddev per group. The outlier-insensitive
+    stats layer (SLA latencies, price distributions, data-quality
+    bounds) that AVG/STDDEV alone misrepresent; `percentile` here is
+    the EXACT interpolated (percentile_cont) aggregate, the precision
+    contract C31's `percentile_approx` trades away.
+
+    Scale: exact percentiles are the one classic agg that does NOT
+    map-side-combine — the aggregate buffer holds the group's values
+    (OK here: 3 groups of bounded-at-fixture size; the shuffle still
+    carries only (key, value) pairs). At 100 TB this query's honest
+    cost is a sort per group; the engine's scale ladder is explicit:
+    exact `percentile` when groups fit a reducer, `percentile_approx`
+    (C31, mergeable GK sketch) beyond — same query shape, one function
+    swap, documented error bound. stddev_pop DOES combine (sum/sumsq
+    partials) and rides the same shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q1_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q3_qty"),
+        F.round(
+            F.percentile("l_quantity", F.lit(0.75))
+            - F.percentile("l_quantity", F.lit(0.25)),
+            6,
+        ).alias("iqr_qty"),
+        F.round(
+            F.percentile("l_extendedprice", F.lit(0.95)), 6
+        ).alias("p95_price"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sd_qty"),
+    )

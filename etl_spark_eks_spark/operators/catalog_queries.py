@@ -315,3 +315,95 @@ def q_b80_jsonl_source(spark, sf_dir):
         "value",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "q_b89_csv_source",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value * 1000000 AS DECIMAL(38,0))) AS BIGINT)
+             AS value_micros,
+           COUNT(event_id) AS n_valid_ids,
+           COUNT(user_id) AS n_valid_users
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_corrupt', 7, 0, 0, 0
+    """,
+)
+def q_b89_csv_source(spark, sf_dir):
+    """B89: CSV landing-zone source with malformed-row quarantine —
+    the events table staged as headerless CSV (the oldest landing
+    format every ingest surface still meets), plus an injected file of
+    7 malformed lines (non-numeric ids, truncated records), read back
+    under an EXPLICIT schema in PERMISSIVE mode with a
+    ``columnNameOfCorruptRecord`` spill column. Good rows aggregate
+    normally; corrupt rows are COUNTED in the same pass (the B69/B75
+    resilience-ladder rung for delimited text: row-level quarantine,
+    not task failure, not silent drop).
+
+    Values hash-compare as exact integer micros: the CSV roundtrip of
+    a double is textual and round-trip exact (Java Double.toString),
+    and scaling to DECIMAL micros before SUM keeps the aggregate
+    associative and order-independent across engines (functions/
+    exact.py discipline).
+
+    Scale: CSV is line-splittable so the read parallelizes like
+    parquet, but with zero pruning/pushdown and per-byte parse cost —
+    the engine's pattern is CSV in, parquet out (A7), parsed exactly
+    once. The corrupt-record column materializes only for bad rows
+    (PERMISSIVE keeps it null otherwise); the audit is a map-side
+    flag aggregated with the data pass, never a second scan."""
+    import os
+
+    tag = _tag(sf_dir)
+    landing = fresh_scratch("q_b89", tag, "landing")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").csv(landing)
+    bad_lines = [
+        "notanumber,77,click,1.5",
+        "123,notuser,view,2.5",
+        "124,88,purchase,notadouble",
+        "truncated,row",
+        "125",
+        "zzz,,click,",
+        "126,99,view,1.0,extra,cols,beyond,schema",
+    ]
+    with open(os.path.join(landing, "part-bad.csv"), "w") as fh:
+        fh.write("\n".join(bad_lines) + "\n")
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "_bad string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(landing)
+    )
+    # Good rows and the quarantine count in ONE aggregation pass: the
+    # group key folds corrupt rows into a '_corrupt' bucket (Spark also
+    # rejects a plan whose only referenced column is the corrupt-record
+    # spill — QUERY_ONLY_CORRUPT_RECORD_COLUMN — so the single-pass
+    # form is both the efficient and the legal one). Every schema
+    # column is referenced in the aggregate ON PURPOSE: the CSV parser
+    # prunes unreferenced columns, and a pruned column's conversion
+    # failure is never even attempted, silently un-flagging its rows
+    # (measured: 6 of 7 injected rows passed as "good" when event_id/
+    # user_id were pruned). Corrupt-row detection is only as wide as
+    # the columns the query touches — an audit query must touch all.
+    bucket = F.when(F.col("_bad").isNotNull(), F.lit("_corrupt")).otherwise(
+        F.col("event_type")
+    )
+    good = F.col("_bad").isNull()
+    micros = F.when(
+        good, (F.col("value") * 1000000).cast("decimal(38,0)")
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    return back.groupBy(bucket.alias("event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(micros).cast("long").alias("value_micros"),
+        F.count(F.when(good, F.col("event_id"))).alias("n_valid_ids"),
+        F.count(F.when(good, F.col("user_id"))).alias("n_valid_users"),
+    )

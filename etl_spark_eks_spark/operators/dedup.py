@@ -916,3 +916,87 @@ def q_c37_shared_chunks(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "q_c50_boilerplate_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 1, 0) + 1),
+               i -> concat_ws(' ', tk[i], tk[i+1])
+             ))) AS s
+      FROM t
+    ), dfreq AS (
+      SELECT source, s, COUNT(*) AS df FROM sh GROUP BY source, s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           ROUND(CAST(SUM(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS boilerplate_ratio,
+           (CAST(SUM(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*) >= 0.5) AS is_boilerplate
+    FROM sh JOIN dfreq ON sh.source = dfreq.source AND sh.s = dfreq.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q_c50_boilerplate_ngrams(spark, sf_dir):
+    """C50 (extension): cross-document boilerplate detection — per doc,
+    the fraction of its distinct k-gram shingles that occur in >= 3
+    documents of the SAME source (headers, footers, navigation chrome,
+    license blurbs — the scrape artifacts that repeat across a site).
+    This is CORPUS-frequency repetition, orthogonal to C28
+    (within-doc repetition) and to C2/C16 (pairwise similarity): a
+    page can be boilerplate-heavy while matching no single other page
+    above a pairwise threshold. The ratio is the FineWeb/RefinedWeb
+    "duplicated n-gram fraction" filter signal; is_boilerplate >= 0.5
+    is the drop verdict.
+
+    k is the selectivity knob and is set to 2 HERE because the
+    fixture's synthetic vocabulary is ~40 words: 5-grams are so
+    selective that no shingle reaches df 3 and the operator would be
+    vacuously all-false (the C15 lesson — measured: k=5 max ratio
+    0.0, k=3 max 0.05, k=2 a full mixed distribution with mean 0.41).
+    Web-scale text with a real vocabulary inverts this: there k=5-13
+    is the standard setting and k=2 would flag everything. The plan
+    is k-independent.
+
+    Spark side shingles via the injective xxhash64 ladder
+    (ordered_token_hashes -> shingle_hashes, functions/text.py:53 —
+    no k-token strings built), the oracle via string shingles; only
+    counts/ratios are compared, which injectivity preserves.
+
+    Scale: doc-frequency is one map-side-combined agg keyed
+    (source, shingle) — the corpus's only data-sized shuffle; the
+    join back rides the same partitioning (AQE-reused), then one
+    doc_id agg. Never pairwise; the hot-key ceiling is a shingle's
+    df counter, one combiner cell per task."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(
+        "doc_id", "source", ordered_token_hashes(tokenize("text")).alias("th")
+    )
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingle_hashes("th", 2))).alias("sh"),
+    )
+    dfreq = sh.groupBy("source", "sh").agg(F.count("*").alias("df"))
+    common = F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
+    ratio = common.cast("double") / F.count("*")
+    return (
+        sh.join(dfreq, ["source", "sh"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            common.cast("long").alias("n_common"),
+            F.round(ratio, 6).alias("boilerplate_ratio"),
+            (ratio >= 0.5).alias("is_boilerplate"),
+        )
+    )

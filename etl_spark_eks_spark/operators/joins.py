@@ -531,3 +531,86 @@ def q_b68_salted_skew_join(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@query(
+    "q_b87_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 17 = 3 THEN NULL
+                  ELSE o_totalprice + 1000 END AS new_price,
+             CASE WHEN o_orderkey % 17 = 3 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 17 = 3 OR o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 42.0, 'I'
+      FROM orders WHERE o_orderkey % 1000 = 1
+    )
+    SELECT COALESCE(b.o_orderkey, c.k) AS o_orderkey,
+           CASE WHEN c.k IS NULL THEN b.o_totalprice
+                ELSE c.new_price END AS o_totalprice,
+           CASE WHEN c.k IS NULL THEN 'kept'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS action
+    FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q_b87_merge_upsert(spark, sf_dir):
+    """B87: batch MERGE semantics (SCD-1 upsert) — apply a change batch
+    (updates, deletes, inserts in one table with an op column) to a
+    base table in a single statement: matched U rows take the new
+    value, matched D rows disappear, unmatched I rows append, and
+    every surviving row carries its action for the audit trail. This
+    is the compaction step every CDC/landing pipeline needs between
+    B72's streaming foreachBatch upsert (micro-batch, keyed state)
+    and a full lakehouse MERGE INTO.
+
+    The change batch is derived deterministically from the base (mod
+    slices) so the DuckDB oracle rebuilds it bit-for-bit; op
+    precedence makes the slices disjoint (D wins over U, I keys are
+    offset beyond the key range).
+
+    Scale: ONE co-shuffle — a full-outer join on the key — touches the
+    base exactly once; there is no separate anti-join probe for
+    inserts (that second base-sized pass is the naive three-branch
+    plan). At lakehouse scale the further upgrade is file-level
+    pruning: inner-join the change keys against file min/max zone maps
+    (C35's layout makes them tight) and rewrite only touched files —
+    same semantics, base scan reduced to the touched fraction. The
+    change side here is ~13% of base; when changes are broadcast-small
+    the planner degrades the shuffle to a broadcast on the change side
+    of the outer join's equivalent left+anti decomposition — kept as
+    the single-statement form because semantics, not topology, are
+    what the operator pins."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd_or_del = o.filter(
+        (F.col("o_orderkey") % 17 == 3) | (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 17 == 3, F.lit(None).cast("double")
+        ).otherwise(F.col("o_totalprice") + 1000).alias("new_price"),
+        F.when(F.col("o_orderkey") % 17 == 3, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        F.lit(42.0).alias("new_price"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd_or_del.unionByName(ins)
+    merged = o.join(changes, o["o_orderkey"] == changes["k"], "full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.coalesce(o["o_orderkey"], F.col("k")).alias("o_orderkey"),
+        F.when(F.col("k").isNull(), o["o_totalprice"])
+        .otherwise(F.col("new_price"))
+        .alias("o_totalprice"),
+        F.when(F.col("k").isNull(), F.lit("kept"))
+        .when(F.col("op") == "U", F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("action"),
+    )

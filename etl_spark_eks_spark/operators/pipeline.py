@@ -112,3 +112,124 @@ def q_c19_curation_pipeline(spark, sf_dir):
     return exact_unique.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+# The classifier CTE replicates q_c49's oracle fragment exactly
+# (md5-derived weights, portable across engines).
+_C54_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(token), 1, 8))::BIGINT % 256) AS fidx
+  FROM toks
+),
+weights AS (
+  SELECT i AS fidx,
+         (((('0x' || substr(md5('w' || CAST(i AS VARCHAR)), 1, 8))
+            ::BIGINT % 2001) - 1000) / 1000.0) AS w
+  FROM generate_series(0, 255) t(i)
+),
+probs AS (
+  SELECT doc_id,
+         ROUND(1 / (1 + EXP(-(SUM(w) - 0.1))), 6) AS prob
+  FROM feats JOIN weights USING (fidx)
+  GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tokens,
+         CAST(len(list_distinct(list_filter(
+                string_split_regex(text, '\s+'), x -> x <> '')))
+              AS DOUBLE)
+           / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS dr,
+         CAST(n_chars - len(list_filter(
+                string_split_regex(text, '\s+'), x -> x <> '')) + 1
+              AS DOUBLE)
+           / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS atl
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0
+)
+SELECT m.doc_id,
+       concat_ws(',',
+         CASE WHEN NOT (m.n_tokens BETWEEN 20 AND 1000) THEN 'length' END,
+         CASE WHEN NOT (m.dr >= 0.3) THEN 'repetition' END,
+         CASE WHEN NOT (m.atl BETWEEN 3 AND 10) THEN 'token_shape' END,
+         CASE WHEN NOT (p.prob >= 0.5) THEN 'classifier' END
+       ) AS reasons_csv,
+       (CASE WHEN NOT (m.n_tokens BETWEEN 20 AND 1000) THEN 1 ELSE 0 END
+        + CASE WHEN NOT (m.dr >= 0.3) THEN 1 ELSE 0 END
+        + CASE WHEN NOT (m.atl BETWEEN 3 AND 10) THEN 1 ELSE 0 END
+        + CASE WHEN NOT (p.prob >= 0.5) THEN 1 ELSE 0 END) AS n_failed,
+       (m.n_tokens BETWEEN 20 AND 1000 AND m.dr >= 0.3
+        AND m.atl BETWEEN 3 AND 10 AND p.prob >= 0.5) AS keep
+FROM m JOIN probs p USING (doc_id)
+"""
+
+
+@query("q_c54_filter_ensemble", oracle=_C54_ORACLE)
+def q_c54_filter_ensemble(spark, sf_dir):
+    """C54 (extension): curation filter ENSEMBLE with per-rule
+    attribution — every document evaluated against the whole rule
+    ladder at once (length bounds, distinct-token repetition gate,
+    token-shape sanity, C49's model classifier), emitting the keep
+    verdict plus WHICH rules failed as a stable CSV. The attribution
+    column is what C19's single-verdict pipeline can't give: corpus
+    triage ("62% of rejects are length — re-chunk, don't re-scrape")
+    requires knowing why each doc fell, and a production curation run
+    logs exactly this table next to the kept corpus.
+
+    All heuristic rules are per-row projections sharing one scan;
+    the classifier arm reuses C49's broadcast-weight serving stage
+    (classifier_quality_prob — same plan: tokens never shuffle, one
+    doc_id aggregation), joined back on doc_id. Reasons concatenate
+    in a FIXED rule order (concat_ws skips the null non-failures
+    identically in both engines), so the string is hash-stable.
+
+    Scale: one corpus scan for the heuristics + the classifier's
+    explode/agg pass, joined on doc_id — the ensemble adds rules as
+    columns, not passes; co-partitioning on doc_id makes the verdict
+    join AQE-reusable."""
+    from etl_spark_eks_spark.operators.text_analysis import (
+        classifier_quality_prob,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = token_stats(F.col("text"))
+    n = stats["n_tokens"]
+    m = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stats["distinct_ratio"].alias("dr"),
+        ((F.col("n_chars") - n + 1).cast("double") / n).alias("atl"),
+    ).filter(F.col("n_tokens") > 0)
+    probs = classifier_quality_prob(spark, d)
+    j = m.join(probs, "doc_id")
+    fail_len = ~F.col("n_tokens").between(20, 1000)
+    fail_rep = ~(F.col("dr") >= 0.3)
+    fail_shape = ~F.col("atl").between(3, 10)
+    fail_clf = ~(F.col("prob") >= 0.5)
+    as_flag = lambda c, name: F.when(c, F.lit(name))  # noqa: E731
+    n_failed = sum(
+        F.when(c, 1).otherwise(0)
+        for c in (fail_len, fail_rep, fail_shape, fail_clf)
+    )
+    return j.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            as_flag(fail_len, "length"),
+            as_flag(fail_rep, "repetition"),
+            as_flag(fail_shape, "token_shape"),
+            as_flag(fail_clf, "classifier"),
+        ).alias("reasons_csv"),
+        n_failed.cast("int").alias("n_failed"),
+        (~fail_len & ~fail_rep & ~fail_shape & ~fail_clf).alias("keep"),
+    )

@@ -600,3 +600,105 @@ def q_c46_stable_seq_ids(spark, sf_dir):
     return ranked.select(
         "doc_id", F.col("__cum_before").cast("bigint").alias("seq_id")
     )
+
+
+@query(
+    "q_c55_ngram_contamination",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 97 = 0 AND doc_id <= 194
+    ), t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 4, 0) + 1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])
+             ))) AS s
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(bench.s) AS n_hit,
+           ROUND(CAST(COUNT(bench.s) AS DOUBLE) / COUNT(*), 6) AS overlap,
+           (CAST(COUNT(bench.s) AS DOUBLE) / COUNT(*) >= 0.5)
+             AS contaminated
+    FROM sh LEFT JOIN bench ON sh.s = bench.s
+    WHERE sh.doc_id % 97 <> 0
+    GROUP BY sh.doc_id
+    """,
+)
+def q_c55_ngram_contamination(spark, sf_dir):
+    """C55 (extension): n-gram-level benchmark decontamination — for
+    every training candidate, the fraction of its distinct 5-gram
+    shingles that appear ANYWHERE in the held-out benchmark slice
+    (docs with doc_id % 97 == 0, standing in for an eval set). C25
+    removes exact text matches; this is the finer industry-standard
+    gate (GPT-3/PaLM-style n-gram overlap): a paraphrased or
+    partially-quoted benchmark item still lights up through its
+    shared shingles. ``overlap >= 0.5`` marks the doc contaminated;
+    the continuous ratio is kept so the threshold is a policy knob,
+    not baked in.
+
+    The fixture's word-soup corpus contains no genuinely
+    benchmark-derived candidates (measured max natural 5-gram overlap
+    0.018), so the query plants 3 verbatim copies of benchmark docs
+    (doc_id + 2,000,000 of ids 0/97/194 — offset ids fall outside
+    the % 97 == 0 benchmark slice) to exercise the positive path:
+    those three MUST report overlap 1.0 / contaminated true, every
+    natural doc near 0. The B69/C15 fabricate-then-audit pattern.
+
+    Spark side shingles via the injective xxhash64 ladder (C50's
+    trick); the oracle uses string shingles — counts and ratios are
+    preserved under injectivity.
+
+    Scale: the benchmark shingle set is eval-set-sized (KB-MB) —
+    broadcast to the candidate shingle stream, so the corpus never
+    shuffles for the membership test; the only corpus-keyed exchange
+    is the per-doc re-aggregation. A benchmark too large to
+    broadcast degrades to a shuffle join on the shingle key — same
+    plan shape, one hint removed."""
+    from etl_spark_eks_spark.functions.text import (
+        ordered_token_hashes,
+        shingle_hashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") <= 194)
+    ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    corpus = d.unionByName(planted)
+    toks = widen(corpus).select(
+        "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_hashes("th", 5))).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("sh").alias("bsh"))
+        .distinct()
+    )
+    cand = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = F.count("bsh")
+    ratio = hits.cast("double") / F.count("*")
+    return (
+        cand.join(
+            F.broadcast(bench), cand["sh"] == bench["bsh"], "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            hits.alias("n_hit"),
+            F.round(ratio, 6).alias("overlap"),
+            (ratio >= 0.5).alias("contaminated"),
+        )
+    )

@@ -704,3 +704,84 @@ def q_c44_coreset_medoids(spark, sf_dir):
             F.round("dist", 6).alias("dist"),
         )
     )
+
+
+@query(
+    "q_c53_int8_quantize",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(r.i AS INTEGER) - 1 AS pos,
+             CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ), b AS (
+      SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM dims GROUP BY pos
+    ), q AS (
+      SELECT d.vec_id, d.pos, d.v, b.lo, b.hi,
+             CAST(CASE WHEN b.hi > b.lo
+                       THEN floor((d.v - b.lo) * 255 / (b.hi - b.lo) + 0.5)
+                       ELSE 0 END AS INTEGER) AS q8
+      FROM dims d JOIN b USING (pos)
+    )
+    SELECT vec_id, pos, q8,
+           ROUND(abs(v - (lo + CAST(q8 AS DOUBLE) * (hi - lo) / 255)), 6)
+             AS recon_err
+    FROM q
+    """,
+)
+def q_c53_int8_quantize(spark, sf_dir):
+    """C53 (extension): per-dimension affine int8 quantization of the
+    embedding corpus — each coordinate mapped to round((v - lo) * 255
+    / (hi - lo)) against its dimension's exact [min, max], emitted
+    long-form (vec_id, pos, q8) with the per-coordinate
+    reconstruction error. The storage-compression rung of the ANN
+    ladder: 4x smaller vectors than float32 (the C21 PQ codebook
+    compresses further but lossier), and the standard serving format
+    for int8 SIMD distance kernels. C43 (winsorize) is the
+    preprocessing that tightens [lo, hi] against outliers; this
+    operator quantizes whatever range it is given.
+
+    round() is spelled floor(x + 0.5) explicitly: both engines
+    compute the identical IEEE double expression, so the int codes
+    hash-compare exactly — a native round() would pit Spark
+    HALF_UP against DuckDB round-half-even on .5 boundaries.
+
+    Scale: pass 1 aggregates the posexploded corpus straight down to
+    dim rows of (lo, hi) — map-side-combined min/max, one tiny
+    shuffle; pass 2 re-explodes and broadcast-joins the dim-row
+    bounds table, so the corpus itself never shuffles. The constant-
+    dimension guard (hi == lo -> code 0) keeps degenerate dims from
+    NaN-ing the batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = widen(emb).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    bounds = dims.groupBy("pos").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    joined = dims.join(F.broadcast(bounds), "pos")
+    q8 = (
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.floor(
+                (F.col("v") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo"))
+                + 0.5
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return joined.select(
+        "vec_id",
+        "pos",
+        q8.alias("q8"),
+        F.round(
+            F.abs(
+                F.col("v")
+                - (
+                    F.col("lo")
+                    + q8.cast("double") * (F.col("hi") - F.col("lo")) / 255
+                )
+            ),
+            6,
+        ).alias("recon_err"),
+    )

@@ -123,3 +123,71 @@ def q_b36_except(spark, sf_dir):
         .select(F.col("o_custkey").alias("custkey"))
     )
     return c.subtract(o)
+
+
+@query(
+    "q_b90_multiset_ops",
+    oracle="""
+    WITH y96 AS (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+    ), y97 AS (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+    ), both_ms AS (
+      SELECT o_custkey FROM y96 INTERSECT ALL SELECT o_custkey FROM y97
+    ), only96_ms AS (
+      SELECT o_custkey FROM y96 EXCEPT ALL SELECT o_custkey FROM y97
+    )
+    SELECT 'both' AS op, o_custkey AS custkey, COUNT(*) AS multiplicity
+    FROM both_ms GROUP BY o_custkey
+    UNION ALL
+    SELECT 'only_1996', o_custkey, COUNT(*) FROM only96_ms GROUP BY o_custkey
+    """,
+)
+def q_b90_multiset_ops(spark, sf_dir):
+    """B90: multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL,
+    the duplicate-preserving semantics B35/B36's distinct forms erase.
+    Per customer key k with m orders in 1996 and n in 1997, INTERSECT
+    ALL keeps min(m, n) copies and EXCEPT ALL keeps max(m - n, 0) —
+    so the aggregated multiplicity column is exactly the information
+    the distinct forms cannot produce (how MANY repeat orders
+    carried over year to year, not whether any did). Emitted as one
+    result with an op discriminator, multiplicities counted, so the
+    bag semantics are hash-checked value-for-value.
+
+    Scale: Spark plans both as a single hash aggregate per side
+    computing per-key counts, then a merge — one shuffle per input on
+    the key, partial-aggregated map-side; never a sort or a pairwise
+    match. The post-op GROUP BY rides the same partitioning (zero
+    added exchanges, AQE-reused)."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    both_ms = (
+        y96.intersectAll(y97)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(
+            F.lit("both").alias("op"),
+            F.col("o_custkey").alias("custkey"),
+            "multiplicity",
+        )
+    )
+    only96 = (
+        y96.exceptAll(y97)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(
+            F.lit("only_1996").alias("op"),
+            F.col("o_custkey").alias("custkey"),
+            "multiplicity",
+        )
+    )
+    return both_ms.unionByName(only96)

@@ -440,3 +440,72 @@ def q_b72_foreachbatch_upsert(spark, sf_dir):
         F.col("ts").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "q_b91_stream_complete_mode",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value * 1000000 AS DECIMAL(38,0))) AS BIGINT)
+             AS value_micros
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_b91_stream_complete_mode(spark, sf_dir):
+    """B91: COMPLETE-output-mode streaming aggregation — the third
+    output-mode rung (B48 append withholds open windows, B72
+    foreachBatch hand-rolls update; complete re-emits the whole
+    aggregate each micro-batch, the mode a live dashboard sink
+    consumes). The events table replays over 4 micro-batches
+    (maxFilesPerTrigger=1) into an unwindowed per-type aggregate in a
+    memory sink; after availableNow drains the input, the final table
+    must equal the batch answer EXACTLY — which is why this streaming
+    query, unlike B48/B49, carries a full SQL oracle.
+
+    The value aggregate accumulates exact integer micros
+    (DECIMAL(38,0)) rather than doubles: complete mode re-folds the
+    running state each batch, so double summation order differs from
+    both the batch plan and DuckDB — decimal keeps the fold
+    associative and the hash comparison exact (functions/exact.py
+    discipline applied to streaming state).
+
+    Scale: complete mode keeps the FULL aggregate as state and
+    rewrites the sink every batch — correct only when the aggregate
+    is dashboard-sized (n_groups rows), which is exactly this shape;
+    a high-cardinality complete-mode aggregate is the documented
+    anti-pattern (state and sink grow with keys, not with the batch).
+    Memory sink = driver-resident table, same contract."""
+    from etl_spark_eks_spark.streaming.stream_ops import (
+        events_stream_batched,
+    )
+
+    agg = (
+        events_stream_batched(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") * 1000000).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q_b91_complete")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # Materialize off the transient memory sink so the returned frame
+    # outlives the query (the driver collects later).
+    return spark.createDataFrame(
+        spark.table("q_b91_complete").collect(),
+        schema=spark.table("q_b91_complete").schema,
+    )

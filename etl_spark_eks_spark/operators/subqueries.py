@@ -71,6 +71,38 @@ GROUP BY start_key
 """
 
 
+_B86_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@query("q_b86_lateral_join", oracle=_B86_SQL)
+def q_b86_lateral_join(spark, sf_dir):
+    """B86: correlated LATERAL subquery in FROM (Spark 3.2+ SQL
+    surface) — each customer's two most expensive orders, written as
+    a per-row dependent subquery with ORDER BY + LIMIT rather than a
+    window. The declarative form of B27's top-n-per-group; the point
+    is that Catalyst DECORRELATES it: the planned shape is a rank
+    window over orders partitioned by o_custkey with WindowGroupLimit
+    pushdown (top-2 kept per partition BEFORE the full sort
+    materializes), then one join back to customer — never a per-row
+    re-execution of the inner query, which is what the SQL literally
+    says and what would be quadratic at scale.
+
+    Scale: identical plan to the hand-written window top-n — one
+    shuffle of orders on custkey with group-limit pruning inside the
+    sort, customer side broadcast. Verified by plan test (WindowGroupLimit
+    present, no nested-loop join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_B86_SQL)
+
+
 @query("q_b84_recursive_cte", oracle=_B84_ORACLE_SQL)
 def q_b84_recursive_cte(spark, sf_dir):
     """B84: recursive CTE (WITH RECURSIVE, Spark 4's SQL-native

@@ -983,9 +983,22 @@ def q_c49_classifier_quality(spark, sf_dir):
     so a doc whose logit-unit sum lands exactly on the decision
     boundary has true prob == 0.5 and an unrounded comparison would
     let summation-order noise flip the boolean between engines."""
+    s = classifier_quality_prob(spark, load_table(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        F.col("prob").alias("quality_prob"),
+        (F.col("prob") >= 0.5).alias("keep"),
+    )
+
+
+def classifier_quality_prob(spark, d):
+    """C49's serving core as a reusable stage: (doc_id, prob) where
+    prob is the 6dp-rounded sigmoid of the hashing-trick linear model
+    (broadcast 256-weight vector; weights md5-derived so SQL oracles
+    reproduce them — see q_c49). Consumed by q_c49 itself and by
+    C54's filter ensemble."""
     from etl_spark_eks_spark.operators.sampling import hash_bucket
 
-    d = load_table(spark, sf_dir, "documents")
     feats = (
         widen(d)
         .select("doc_id", F.explode(tokenize("text")).alias("token"))
@@ -1008,9 +1021,89 @@ def q_c49_classifier_quality(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("w").alias("logit"))
     )
-    prob = F.round(1 / (1 + F.exp(-(F.col("logit") - 0.1))), 6)
     return s.select(
         "doc_id",
-        prob.alias("quality_prob"),
-        (prob >= 0.5).alias("keep"),
+        F.round(1 / (1 + F.exp(-(F.col("logit") - 0.1))), 6).alias("prob"),
+    )
+
+
+@query(
+    "q_c52_doc_perplexity",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+             toks[CAST(r.i AS INTEGER)] AS w1,
+             toks[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM t, UNNEST(range(1, len(toks))) AS r(i)
+    ), c AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM p GROUP BY w1, w2
+    ), lm AS (
+      SELECT w1, w2,
+             CAST(n_pair AS DOUBLE) / SUM(n_pair) OVER (PARTITION BY w1)
+               AS prob
+      FROM c
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-log2(lm.prob)), 6) AS avg_nll_bits
+    FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+    GROUP BY p.doc_id
+    """,
+)
+def q_c52_doc_perplexity(spark, sf_dir):
+    """C52 (extension): per-document LM scoring — average bigram
+    negative log-likelihood (bits/bigram, i.e. log2 perplexity)
+    under the corpus's own count-based bigram model (C38's table,
+    uncapped). The model-based fluency filter between C26's unigram
+    scoring and C49's discriminative classifier: documents whose
+    token transitions are improbable under the corpus distribution
+    (OCR noise, shuffled text, wrong-language fragments) surface
+    with high bits; repetitive/templated docs surface with
+    anomalously LOW bits. Every doc bigram exists in the LM by
+    construction (trained on the same corpus), so no backoff term is
+    needed; production scoring against a foreign LM adds one
+    coalesce to a smoothing floor.
+
+    Scale: LM construction is C38's shape (one vocabulary-bounded
+    shuffle + vocab-partitioned window); scoring joins the per-doc
+    bigram stream to the LM on (w1, w2) — the LM is vocab^2-bounded,
+    broadcast when small, hash-join on the same key otherwise — then
+    one doc_id aggregation. Corpus size enters the two extraction
+    passes and nothing else."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select("doc_id", tokenize("text").alias("t"))
+    n = F.size("t")
+    pairs = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    lm = counts.select(
+        "w1",
+        "w2",
+        (
+            F.col("n_pair").cast("double")
+            / F.sum("n_pair").over(Window.partitionBy("w1"))
+        ).alias("prob"),
+    )
+    return (
+        pairs.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log2("prob")), 6).alias("avg_nll_bits"),
+        )
     )

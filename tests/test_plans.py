@@ -336,3 +336,50 @@ def test_classifier_quality_broadcasts_weights(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("hashpartitioning(") == 1
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_lateral_join_decorrelates_to_window_limit(spark, sf_dir):
+    """B86: the correlated LATERAL subquery must decorrelate — rank
+    window with WindowGroupLimit pushdown over ONE orders shuffle on
+    o_custkey, no nested-loop/cartesian per-row re-execution."""
+    plan = plan_of(registry.QUERIES["q_b86_lateral_join"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_merge_upsert_single_co_shuffle(spark, sf_dir):
+    """B87: MERGE must touch the base in ONE co-shuffled full-outer
+    join — two key exchanges total (base + change batch), no second
+    base-sized anti-join pass for the insert branch."""
+    plan = plan_of(registry.QUERIES["q_b87_merge_upsert"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 2
+
+
+def test_int8_quantize_broadcasts_bounds(spark, sf_dir):
+    """C53: pass 2 must broadcast the dim-row bounds table to the
+    posexploded corpus — the only hash exchange is pass 1's tiny
+    per-dim min/max aggregation; the corpus itself never shuffles."""
+    plan = plan_of(registry.QUERIES["q_c53_int8_quantize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    hp = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hp) == 1 and "pos" in hp[0], hp
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """C55: the candidate shingle stream must NOT shuffle on the
+    shingle key for the membership test — the benchmark set joins by
+    broadcast; only the benchmark distinct and the per-doc re-agg
+    exchange."""
+    plan = plan_of(
+        registry.QUERIES["q_c55_ngram_contamination"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    bad = [
+        l for l in plan.splitlines()
+        if "hashpartitioning(sh#" in l
+    ]
+    assert not bad, bad
