@@ -407,3 +407,104 @@ def q_b89_csv_source(spark, sf_dir):
         F.count(F.when(good, F.col("event_id"))).alias("n_valid_ids"),
         F.count(F.when(good, F.col("user_id"))).alias("n_valid_users"),
     )
+
+
+@query(
+    "q_b92_orc_source",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_b92_orc_source(spark, sf_dir):
+    """B92: ORC landing/interchange source — the orders table staged as
+    ORC (the other columnar format a lake ingests from Hive-era
+    producers) and read back through the native reader with a
+    predicate that must PUSH DOWN into the ORC scan (ORC carries
+    stripe/row-group min-max indexes exactly like parquet; the plan
+    test pins PushedFilters). Aggregation in exact integer cents so
+    the hash comparison is associative-order-proof.
+
+    Scale: ORC and parquet are interchangeable at the plan level —
+    same vectorized columnar scan, same pushdown/pruning machinery,
+    bytes-based split sizing. The engine's contract is format-agnostic
+    ingestion: CSV/JSONL/XML rows (B89/B80/B93) parse once into a
+    columnar format; ORC-vs-parquet is a producer compatibility
+    choice, not a plan change."""
+    import os
+
+    tag = _tag(sf_dir)
+    landing = scratch_path("q_b92", tag, "orc")
+    done = os.path.join(landing, "_STAGED")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ).write.mode("overwrite").orc(landing)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    back = spark.read.orc(landing).filter(F.col("o_totalprice") > 100000)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@query(
+    "q_b93_xml_source",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value * 1000000 AS DECIMAL(38,0))) AS BIGINT)
+             AS value_micros
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_b93_xml_source(spark, sf_dir):
+    """B93: XML landing source (Spark 4's built-in xml data source) —
+    the events table staged as one <event> element per row and read
+    back under an EXPLICIT schema with rowTag. XML is the config/B2B
+    feed format (SOAP exports, RSS, sitemaps, legacy ERP drops) that
+    still lands in every enterprise lake; like JSONL/CSV it carries no
+    footer, so schema-on-read without a pinned schema means sampling
+    the whole input. Numeric roundtrip is textual and exact
+    (Double.toString), and the aggregate accumulates exact integer
+    micros, so the hash comparison against the original table is
+    precise.
+
+    Scale: XML is the one landing format here that is NOT trivially
+    line-splittable — record boundaries need rowTag-aware scanning —
+    so ingest parallelism comes from many files (the landing dir is
+    written with the upstream partitioning preserved). Same
+    parse-once-then-parquet contract as B80/B89."""
+    import os
+
+    tag = _tag(sf_dir)
+    landing = scratch_path("q_b93", tag, "xml")
+    done = os.path.join(landing, "_STAGED")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).write.format("xml").option("rootTag", "events").option(
+            "rowTag", "event"
+        ).mode("overwrite").save(landing)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    schema = "event_id long, event_type string, value double"
+    back = (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", "event")
+        .load(landing)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("value") * 1000000).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("value_micros"),
+    )

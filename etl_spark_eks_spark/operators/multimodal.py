@@ -543,3 +543,89 @@ def q_m7_checksum_audit(spark, sf_dir):
             F.when(F.sha2("payload", 256) != F.col("stored_sha"), 1).otherwise(0)
         ).alias("n_corrupt"),
     )
+
+
+@query(
+    "q_m8_container_sniff_audit",
+    oracle="""
+    WITH manifest AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             WHEN 2 THEN 'wav' ELSE 'mp4' END AS actual,
+             CASE WHEN doc_id % 20 = 0
+                  THEN CASE (doc_id + 1) % 4
+                         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                         WHEN 2 THEN 'wav' ELSE 'mp4' END
+                  ELSE CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                            WHEN 2 THEN 'wav' ELSE 'mp4' END
+             END AS claimed
+      FROM documents
+    )
+    SELECT claimed,
+           actual AS sniffed,
+           COUNT(*) AS n_payloads,
+           (claimed <> actual) AS mismatch
+    FROM manifest
+    GROUP BY claimed, actual
+    """,
+)
+def q_m8_container_sniff_audit(spark, sf_dir):
+    """M8 (extension): container-format sniffing audit — read each
+    payload's MAGIC BYTES and reconcile them against the manifest's
+    claimed format, counting (claimed, sniffed) pairs. "The extension
+    lies" is the first integrity gate of any media ingest (a .jpg that
+    is really a PNG breaks the decode pool downstream); real sniffing
+    IS a prefix compare, so this plumbing is production-shaped even
+    though the magics here are ASCII stand-ins ('PNG0'/'JPG1'/'RIFF'/
+    'FTYP' prepended to the synthesized payloads, doc_id % 4). A 5%
+    slice (doc_id % 20 == 0) claims the WRONG format, so the mismatch
+    rows are guaranteed non-empty and the match diagonal dominates.
+
+    Scale: sniffing reads 4 bytes per payload via substring on the
+    binary column — JVM-side, no Python, no decode; payload bytes
+    never shuffle (the audit aggregates (claimed, sniffed) pairs,
+    16-ish rows). This is the cheap gate BEFORE M7's full-payload
+    checksum pass."""
+    magic = {0: "PNG0", 1: "JPG1", 2: "RIFF", 3: "FTYP"}
+    fmt = {0: "png", 1: "jpeg", 2: "wav", 3: "mp4"}
+    mod = F.col("doc_id") % 4
+    magic_col = (
+        F.when(mod == 0, F.lit(magic[0]))
+        .when(mod == 1, F.lit(magic[1]))
+        .when(mod == 2, F.lit(magic[2]))
+        .otherwise(F.lit(magic[3]))
+    )
+    actual_fmt = (
+        F.when(mod == 0, F.lit(fmt[0]))
+        .when(mod == 1, F.lit(fmt[1]))
+        .when(mod == 2, F.lit(fmt[2]))
+        .otherwise(F.lit(fmt[3]))
+    )
+    mod1 = (F.col("doc_id") + 1) % 4
+    claimed_fmt = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.when(mod1 == 0, F.lit(fmt[0]))
+        .when(mod1 == 1, F.lit(fmt[1]))
+        .when(mod1 == 2, F.lit(fmt[2]))
+        .otherwise(F.lit(fmt[3])),
+    ).otherwise(actual_fmt)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.encode(magic_col, "UTF-8"), F.encode("text", "UTF-8"))
+            .alias("payload"),
+        claimed_fmt.alias("claimed"),
+    )
+    prefix = F.decode(F.substring("payload", 1, 4), "UTF-8")
+    sniffed = (
+        F.when(prefix == magic[0], F.lit(fmt[0]))
+        .when(prefix == magic[1], F.lit(fmt[1]))
+        .when(prefix == magic[2], F.lit(fmt[2]))
+        .when(prefix == magic[3], F.lit(fmt[3]))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        d.select("claimed", sniffed.alias("sniffed"))
+        .groupBy("claimed", "sniffed")
+        .agg(F.count("*").alias("n_payloads"))
+        .withColumn("mismatch", F.col("claimed") != F.col("sniffed"))
+    )

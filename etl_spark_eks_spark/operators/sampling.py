@@ -702,3 +702,47 @@ def q_c55_ngram_contamination(spark, sf_dir):
             (ratio >= 0.5).alias("contaminated"),
         )
     )
+
+
+@query(
+    "q_c56_quota_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_c56_quota_sample(spark, sf_dir):
+    """C56 (extension): deterministic EXACT-k-per-group sampling — the
+    10 documents per source with the smallest content-independent hash
+    priority (md5 of the id), i.e. reservoir sampling's fixed-quota
+    guarantee without reservoir state. C36 (stratified) keeps a RATE
+    per stratum, so group sample sizes float with group sizes; eval-set
+    construction, per-domain spot-check queues, and labeling budgets
+    need the QUOTA form: exactly k rows per group, stable across
+    reruns and engines because the priority is a pure function of the
+    key (the family's no-RNG rule).
+
+    Scale: one shuffle on the group key; the rank<=10 filter executes
+    as WindowGroupLimit, so each task keeps a 10-row heap per group
+    during the sort rather than ranking the full partition (pinned by
+    plan test). Hash-priority ordering is equivalent to a uniform
+    draw; swapping md5(id) for md5(content) makes the quota stable
+    under re-ingestion dedup churn as well."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        widen(d)
+        .select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )

@@ -383,3 +383,21 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
         if "hashpartitioning(sh#" in l
     ]
     assert not bad, bad
+
+
+def test_orc_source_filter_pushdown(spark, sf_dir):
+    """B92: the price predicate must reach the ORC scan's pushed
+    filters (stripe min-max skipping) — format parity with parquet's
+    pushdown machinery."""
+    plan = plan_of(registry.QUERIES["q_b92_orc_source"](spark, sf_dir))
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan and "GreaterThan(o_totalprice" in scan[0], scan
+
+
+def test_quota_sample_window_group_limit(spark, sf_dir):
+    """C56: rank<=10 must execute as WindowGroupLimit (per-group 10-row
+    heap inside the sort), one shuffle on the group key."""
+    plan = plan_of(registry.QUERIES["q_c56_quota_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(source" in plan

@@ -48,6 +48,14 @@ PROBE_QUERIES = (
     "q_c47_sketch_partials",
     "q_c48_zipf_histogram",
     "q_m7_checksum_audit",
+    # round-4 additions over the replicated tables (documents/lineitem;
+    # q_c53/q_b87 are absent because embeddings/orders are symlinked
+    # unchanged — a probe there would measure the copy, not the op)
+    "q_c50_boilerplate_ngrams",
+    "q_c52_doc_perplexity",
+    "q_c54_filter_ensemble",
+    "q_c55_ngram_contamination",
+    "q_b88_robust_stats",
 )
 # q_c18/q_c2 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
