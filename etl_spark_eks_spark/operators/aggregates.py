@@ -485,3 +485,48 @@ def q_b88_robust_stats(spark, sf_dir):
         ).alias("p95_price"),
         F.round(F.stddev_pop("l_quantity"), 6).alias("sd_qty"),
     )
+
+
+_B95_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+|> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+|> AGGREGATE COUNT(*) AS count_order,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(disc_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_disc_price
+   GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "q_b95_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_b95_pipe_syntax(spark, sf_dir):
+    """B95: SQL pipe syntax (Spark 4's `|>` operator chain) — the
+    flagship pricing-summary shape written as a linear dataflow:
+    FROM |> WHERE |> EXTEND |> AGGREGATE. Pipe SQL is surface, not
+    semantics: Catalyst lowers it to exactly the plan the nested
+    SELECT produces (same pushdown, same partial aggregation), which
+    is what the oracle equivalence demonstrates. It matters for the
+    migration story — users coming from dataframe-style thinking (or
+    GoogleSQL pipes) write top-to-bottom transformations without
+    subquery nesting, and each |> stage is independently testable by
+    truncating the chain.
+
+    Column discipline matches B17: DECIMAL(38,6) accumulation for the
+    large-magnitude sums (functions/exact.py)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_B95_PIPE_SQL)

@@ -508,3 +508,85 @@ def q_b93_xml_source(spark, sf_dir):
         .cast("long")
         .alias("value_micros"),
     )
+
+
+@query(
+    "q_b97_python_datasource",
+    oracle="""
+    SELECT 's' || CAST(i % 8 AS VARCHAR) AS sensor,
+           COUNT(*) AS n_readings,
+           CAST(SUM((i * 37) % 1000) AS BIGINT) AS sum_deci
+    FROM generate_series(0, 99999) t(i)
+    GROUP BY 1
+    """,
+)
+def q_b97_python_datasource(spark, sf_dir):
+    """B97: custom source via the Python Data Source API (Spark 4) —
+    a from-scratch pluggable batch source: DataSource (name/schema/
+    options) -> DataSourceReader -> partitions() -> per-partition
+    generator. The source here synthesizes a deterministic 100k-row
+    sensor feed over 8 InputPartitions (the shape of any
+    API-/queue-/device-backed feed that has no file listing to scan),
+    and the DuckDB oracle regenerates the identical feed from the
+    formula — checking the full plumbing: schema declaration, option
+    parsing, partition planning, per-partition iteration, and type
+    mapping back into columnar rows.
+
+    The classes are defined in-function ON PURPOSE: cloudpickle then
+    ships them by VALUE to the Python workers, so the source works
+    regardless of whether the engine package is importable on the
+    executor side — the deployment-free path for one-off connectors
+    (a packaged connector would live at module scope).
+
+    Scale: partitions() is the parallelism contract — each partition
+    is an independent generator task, so throughput scales with
+    partition count exactly like file splits; a real feed source maps
+    shards/offset ranges to InputPartitions. Python-side generation
+    pays the Python-worker serialization toll (fine for control-plane
+    and landing feeds; columnar formats stay the bulk path). Reading
+    is round(reading*10) to recover the exact integer deci-units the
+    formula defines — the float roundtrip is IEEE-exact for these
+    magnitudes."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class FeedReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("rows", "100000"))
+            self.p = int(options.get("partitions", "8"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.p)]
+
+        def read(self, partition):
+            i = partition.value
+            lo = i * self.n // self.p
+            hi = (i + 1) * self.n // self.p
+            for rid in range(lo, hi):
+                yield (rid, f"s{rid % 8}", (rid * 37 % 1000) / 10.0)
+
+    class SyntheticFeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_feed"
+
+        def schema(self):
+            return "id long, sensor string, reading double"
+
+        def reader(self, schema):
+            return FeedReader(self.options)
+
+    spark.dataSource.register(SyntheticFeedSource)
+    feed = (
+        spark.read.format("synthetic_feed")
+        .option("rows", "100000")
+        .option("partitions", "8")
+        .load()
+    )
+    return feed.groupBy("sensor").agg(
+        F.count("*").alias("n_readings"),
+        F.sum(F.round(F.col("reading") * 10).cast("long")).alias("sum_deci"),
+    )

@@ -376,3 +376,49 @@ def q_b79_map_functions(spark, sf_dir):
             F.col("cs.share").alias("share"),
         )
     )
+
+
+@query(
+    "q_b94_variant_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(*) FILTER (
+             CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+           ) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_b94_variant_type(spark, sf_dir):
+    """B94: the VARIANT semi-structured type (Spark 4's headline
+    open-lakehouse feature) — props parsed ONCE into VARIANT's binary
+    encoding with `parse_json`, fields then extracted by typed path
+    (`variant_get`) as many times as needed. B2's `get_json_object`
+    re-parses the raw JSON string per extraction expression; VARIANT
+    moves the parse to ingestion, after which every access is a
+    binary-offset lookup — the difference between O(extractions) and
+    O(1) parses per row, and the representation parquet can SHRED
+    into typed subcolumns at write time (pushdown/pruning on JSON
+    fields).
+
+    The oracle reads the same fields through DuckDB's JSON path —
+    value equality across the two encodings is exactly the VARIANT
+    contract being checked.
+
+    Scale: parse_json is a per-row projection (pipelines into the
+    scan); the aggregate is one map-side-combined shuffle. At 100 TB
+    the pattern is parse at landing, store VARIANT, extract freely
+    downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.when(k >= 50, 1)).cast("long").alias("n_high"),
+    )

@@ -509,3 +509,4 @@ def q_b91_stream_complete_mode(spark, sf_dir):
         spark.table("q_b91_complete").collect(),
         schema=spark.table("q_b91_complete").schema,
     )
+

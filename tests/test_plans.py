@@ -401,3 +401,15 @@ def test_quota_sample_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert plan.count("hashpartitioning(") == 1
     assert "hashpartitioning(source" in plan
+
+
+def test_pipe_syntax_same_plan_shape_as_select(spark, sf_dir):
+    """B95: pipe SQL is surface, not semantics — the |> chain must
+    lower to the standard shape: pushdown into the scan, partial+final
+    hash aggregation around one exchange."""
+    plan = plan_of(
+        registry.QUERIES["q_b95_pipe_syntax"](spark, sf_dir), "simple"
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan
