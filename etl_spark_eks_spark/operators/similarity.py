@@ -785,3 +785,67 @@ def q_c53_int8_quantize(spark, sf_dir):
             6,
         ).alias("recon_err"),
     )
+
+
+@query(
+    "q_c57_embedding_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, CAST(r.i AS INTEGER) - 1 AS pos,
+             CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ), stats AS (
+      SELECT label, pos, AVG(v) AS mu, stddev_pop(v) AS sd
+      FROM dims GROUP BY label, pos
+    ), z AS (
+      SELECT d.vec_id, d.label,
+             abs(d.v - s.mu) / s.sd AS absz
+      FROM dims d JOIN stats s ON d.label = s.label AND d.pos = s.pos
+      WHERE s.sd > 0
+    )
+    SELECT vec_id, label,
+           ROUND(MAX(absz), 6) AS max_absz,
+           CAST(COUNT(*) FILTER (absz > 3) AS BIGINT) AS n_extreme,
+           (MAX(absz) > 4) AS is_outlier
+    FROM z GROUP BY vec_id, label
+    """,
+)
+def q_c57_embedding_outliers(spark, sf_dir):
+    """C57 (extension): embedding outlier audit — per-coordinate
+    z-scores against the vector's OWN label cohort (per-(label, dim)
+    mean and population stddev), rolled up per vector to max |z| and
+    the count of >3-sigma coordinates. The embedding-space data-quality
+    gate: encoder glitches, mixed-up modalities, and near-zero
+    degenerate vectors all surface as coordinate-level extremes that
+    corpus-wide norms (C4) average away. Feeds the curation ladder the
+    same way C41 (source drift) audits text.
+
+    Scale: pass 1 aggregates the posexploded corpus to label x dim
+    stat rows (map-side combined); pass 2 re-explodes and joins the
+    KB-sized stats table — broadcast, corpus never shuffles — then
+    one vec_id rollup. Same two-pass broadcast-bounds shape as C43/
+    C53; the diagonal-covariance approximation is the documented
+    trade (full Mahalanobis needs a dim x dim matrix per label —
+    still driver-sized at 64 dims, but quadratic in dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = widen(emb).select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    stats = dims.groupBy("label", "pos").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    )
+    absz = F.abs(F.col("v") - F.col("mu")) / F.col("sd")
+    z = (
+        dims.join(F.broadcast(stats), ["label", "pos"])
+        .filter(F.col("sd") > 0)
+        .select("vec_id", "label", absz.alias("absz"))
+    )
+    return z.groupBy("vec_id", "label").agg(
+        F.round(F.max("absz"), 6).alias("max_absz"),
+        F.count(F.when(F.col("absz") > 3, 1)).cast("long").alias("n_extreme"),
+        (F.max("absz") > 4).alias("is_outlier"),
+    )

@@ -1107,3 +1107,73 @@ def q_c52_doc_perplexity(spark, sf_dir):
             F.round(F.avg(-F.log2("prob")), 6).alias("avg_nll_bits"),
         )
     )
+
+
+@query(
+    "q_c51_bpe_pair_stats",
+    oracle=r"""
+    WITH vocab AS (
+      SELECT token, COUNT(*) AS n_tok FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+      ) GROUP BY token
+    ), pairs AS (
+      SELECT substring(token, CAST(r.i AS INTEGER), 2) AS pair,
+             n_tok
+      FROM vocab, UNNEST(range(1, length(token))) AS r(i)
+    ), agg AS (
+      SELECT pair, CAST(SUM(n_tok) AS BIGINT) AS occurrences
+      FROM pairs GROUP BY pair
+    ), ranked AS (
+      SELECT pair, occurrences,
+             ROW_NUMBER() OVER (ORDER BY occurrences DESC, pair) AS rk
+      FROM agg
+    )
+    SELECT pair, occurrences, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_c51_bpe_pair_stats(spark, sf_dir):
+    """C51 (extension): BPE merge induction statistics — the top-20
+    adjacent character pairs by corpus frequency, i.e. the candidate
+    table one iteration of byte-pair-encoding training ranks before
+    choosing its next merge. This is the tokenizer-TRAINING primitive
+    (C11 counts with an existing tokenizer; this is how the tokenizer
+    comes to exist), and the classic BPE scaling trick is baked into
+    the plan shape: pair extraction runs over the VOCABULARY table
+    (token, count) — vocab-bounded — never over the raw corpus, so
+    corpus size enters only the one token-count shuffle. Iterating
+    merges re-runs this query over a rewritten vocab (driver loop,
+    C18's pattern); each iteration's candidate scan stays
+    vocab-sized.
+
+    Scale: shuffle 1 aggregates tokens (map-side combined,
+    vocab-bounded output); pair explode fans the vocab x avg-token-
+    length and re-aggregates to at most alphabet^2 rows; the top-20
+    is a TakeOrderedAndProject heap, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        widen(d)
+        .select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(token) - 1, 1)),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+        "n_tok",
+    ).filter(F.length("pair") == 2)
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n_tok").cast("long").alias("occurrences")
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), "pair")
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "occurrences", "rk")
+    )
