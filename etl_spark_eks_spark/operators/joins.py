@@ -550,10 +550,11 @@ def q_b68_salted_skew_join(spark, sf_dir):
            CASE WHEN c.k IS NULL THEN b.o_totalprice
                 ELSE c.new_price END AS o_totalprice,
            CASE WHEN c.k IS NULL THEN 'kept'
-                WHEN c.op = 'U' THEN 'updated'
+                WHEN b.o_orderkey IS NOT NULL THEN 'updated'
                 ELSE 'inserted' END AS action
     FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.k
-    WHERE c.op IS NULL OR c.op <> 'D'
+    WHERE (b.o_orderkey IS NOT NULL AND (c.op IS NULL OR c.op <> 'D'))
+       OR (b.o_orderkey IS NULL AND c.op = 'I')
     """,
 )
 def q_b87_merge_upsert(spark, sf_dir):
@@ -601,16 +602,34 @@ def q_b87_merge_upsert(spark, sf_dir):
         F.lit("I").alias("op"),
     )
     changes = upd_or_del.unionByName(ins)
-    merged = o.join(changes, o["o_orderkey"] == changes["k"], "full_outer")
+    return merge_upsert(o, changes, "o_orderkey", "o_totalprice")
+
+
+def merge_upsert(
+    base: DataFrame, changes: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """SCD-1 MERGE core (see q_b87 for the contract): ``changes`` has
+    (k, new_price, op in U/D/I); ONE full-outer co-shuffle applies all
+    three actions and tags survivors with their action. Full MERGE
+    branch coverage: matched U/I -> 'updated' (I on an existing key is
+    an upsert), matched D -> dropped, unmatched I -> 'inserted',
+    unmatched U/D -> NO-OP, untouched base rows -> 'kept'. The
+    hypothesis suite (tests/test_properties.py) caught the first
+    version fabricating a row from an update against a non-existent
+    key — the classic bug of decompositions that treat every surviving
+    change row as an output row."""
+    merged = base.join(changes, base[key_col] == changes["k"], "full_outer")
+    matched = base[key_col].isNotNull()
     return merged.filter(
-        F.col("op").isNull() | (F.col("op") != "D")
+        (matched & (F.col("op").isNull() | (F.col("op") != "D")))
+        | (~matched & (F.col("op") == "I"))
     ).select(
-        F.coalesce(o["o_orderkey"], F.col("k")).alias("o_orderkey"),
-        F.when(F.col("k").isNull(), o["o_totalprice"])
+        F.coalesce(base[key_col], F.col("k")).alias(key_col),
+        F.when(F.col("k").isNull(), base[value_col])
         .otherwise(F.col("new_price"))
-        .alias("o_totalprice"),
+        .alias(value_col),
         F.when(F.col("k").isNull(), F.lit("kept"))
-        .when(F.col("op") == "U", F.lit("updated"))
+        .when(matched, F.lit("updated"))
         .otherwise(F.lit("inserted"))
         .alias("action"),
     )

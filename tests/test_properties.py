@@ -390,3 +390,101 @@ def test_partitioned_prefix_sum_property(spark, rows, bucket):
         ).collect()
     }
     assert got == expect
+
+
+merge_base = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),
+              st.integers(min_value=0, max_value=100)),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+merge_changes = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20),
+              st.integers(min_value=0, max_value=100),
+              st.sampled_from(["U", "D", "I"])),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@given(base=merge_base, changes=merge_changes)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_upsert_matches_bruteforce(spark, base, changes):
+    """B87 on arbitrary generated base/change tables — including
+    changes whose key is absent from base (U/D no-ops that a naive
+    three-branch plan can mishandle) and I ops colliding with existing
+    keys. Contract per key: matched D drops, matched U (or I on an
+    existing key — an upsert) takes the new value as 'updated',
+    unmatched I appends as 'inserted', unmatched U/D vanish, untouched
+    base rows survive as 'kept'."""
+    from etl_spark_eks_spark.operators.joins import merge_upsert
+
+    bdf = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in base] or [],
+        "key long, val double",
+    )
+    cdf = spark.createDataFrame(
+        [
+            (int(k), None if op == "D" else float(v), op)
+            for k, v, op in changes
+        ] or [],
+        "k long, new_price double, op string",
+    )
+    got = {
+        r["key"]: (r["val"], r["action"])
+        for r in merge_upsert(bdf, cdf, "key", "val").collect()
+    }
+
+    bmap = dict(base)
+    cmap = {k: (v, op) for k, v, op in changes}
+    want = {}
+    for k, v in bmap.items():
+        if k in cmap:
+            nv, op = cmap[k]
+            if op == "D":
+                continue
+            # matched U and matched I both take the new value and
+            # label 'updated' (I on an existing key is an upsert)
+            want[k] = (float(nv), "updated")
+        else:
+            want[k] = (float(v), "kept")
+    for k, (nv, op) in cmap.items():
+        if k not in bmap and op == "I":
+            want[k] = (float(nv), "inserted")
+    assert got == want, f"merge mismatch: got={got} want={want}"
+
+
+pct_values = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40
+)
+
+
+@given(vals=pct_values)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_percentile_matches_numpy(spark, vals):
+    """B88's precision contract on arbitrary value sets: Spark's exact
+    `percentile` must equal numpy's linear-interpolation percentile
+    (the percentile_cont definition) at 0.25/0.5/0.75/0.95 — including
+    1-element lists, all-duplicates, and negative values. This is the
+    property C31's sketch variant explicitly trades away."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    row = df.agg(
+        *[
+            F.percentile("v", F.lit(p)).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ]
+    ).collect()[0]
+    arr = np.array(vals, dtype="float64")
+    for p in (25, 50, 75, 95):
+        want = float(np.percentile(arr, p, method="linear"))
+        assert abs(row[f"p{p}"] - want) < 1e-9, (p, row[f"p{p}"], want)
