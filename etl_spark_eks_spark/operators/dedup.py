@@ -17,7 +17,7 @@ Scale ladder (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etl_spark_eks_spark.catalog import load_table, widen
@@ -999,4 +999,100 @@ def q_c50_boilerplate_ngrams(spark, sf_dir):
             F.round(ratio, 6).alias("boilerplate_ratio"),
             (ratio >= 0.5).alias("is_boilerplate"),
         )
+    )
+
+
+@query(
+    "q_c58_cluster_canonicals",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                       t -> t <> '')) AS toks
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, lang, toks, len(toks) AS n_toks FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sized a JOIN sized b
+        ON a.lang = b.lang
+       AND a.doc_id < b.doc_id
+       AND abs(a.n_toks - b.n_toks) <= 0.2 * greatest(a.n_toks, b.n_toks)
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks)))
+              >= 0.8
+    ), edges AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a
+    ), labeled AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS cluster_id,
+             CAST(len(list_distinct(list_filter(
+                    string_split_regex(d.text, '\s+'), t -> t <> '')))
+                  AS DOUBLE)
+               / len(list_filter(string_split_regex(d.text, '\s+'),
+                                 t -> t <> '')) AS q
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), ranked AS (
+      SELECT doc_id, cluster_id, q,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM labeled
+    )
+    SELECT doc_id, cluster_id, ROUND(q, 6) AS quality,
+           (rk = 1) AS is_canonical,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked
+    """,
+)
+def q_c58_cluster_canonicals(spark, sf_dir):
+    """C58 (extension): quality-aware canonical selection — C18 keeps
+    the MIN-doc_id of each near-dup cluster, which is the right
+    deterministic default but throws away information: when a page and
+    its scraped copy differ (truncation, boilerplate injection), the
+    keeper should be the BEST copy, not the first-crawled one. This
+    operator re-ranks every C18 cluster by C10's distinct-token
+    quality ratio (tie-broken by doc_id) and emits per doc its
+    cluster, quality, canonical flag, and cluster size — the
+    SemDeDup-style "keep the best exemplar" policy, and the audit
+    table showing what each dropped duplicate lost. Swapping the
+    ranking column (C49's classifier prob, C52's perplexity) changes
+    one expression, not the plan.
+
+    Scale: clustering cost is C18's (blocked pairwise + contracted
+    label propagation); the re-rank adds one window over the
+    label table partitioned by cluster_id — cluster-bounded work,
+    WindowGroupLimit-eligible if only canonicals are kept."""
+    from etl_spark_eks_spark.functions.text import token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dedup(
+        d, "text", "doc_id", ["lang"], 0.8, 0.2, strategy="allpairs"
+    )
+    edges = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
+    labels = connected_components(edges, "doc_id_1", "doc_id_2")
+    stats = token_stats(F.col("text"))
+    out = (
+        d.select("doc_id", stats["distinct_ratio"].alias("q"))
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("label"), F.col("doc_id"))
+        )
+    )
+    w_rk = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), "doc_id"
+    )
+    w_sz = Window.partitionBy("cluster_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.round("q", 6).alias("quality"),
+        (F.row_number().over(w_rk) == 1).alias("is_canonical"),
+        F.count("*").over(w_sz).cast("long").alias("cluster_size"),
     )

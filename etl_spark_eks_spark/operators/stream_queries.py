@@ -510,3 +510,51 @@ def q_b91_stream_complete_mode(spark, sf_dir):
         schema=spark.table("q_b91_complete").schema,
     )
 
+
+
+@query("q_b98_stream_session_window")  # rows-only: append withholds open sessions
+def q_b98_stream_session_window(spark, sf_dir):
+    """B98: STREAMING session windows — B47's 30-minute-gap per-user
+    sessionization as a stateful streaming operator. Unlike fixed
+    tumbling windows (B48), session state MERGES across micro-batches:
+    a session open at batch k absorbs batch k+1's events (or two open
+    sessions fuse) until the watermark passes its close — which is why
+    streaming sessions need the time-ordered replay
+    (events_stream_time_ordered): round-robin replay would feed a
+    month of data in arbitrary order and the watermark would correctly
+    drop nearly everything as late. Append mode emits only sessions
+    the 1-hour watermark has sealed, so the result is a strict subset
+    of batch B47's — containment asserted in tests/test_streaming.py.
+
+    Scale: session state is keyed (user, open-session) in the state
+    store; merge cost is per-key and watermark eviction bounds state
+    to the horizon — the unbounded-session risk (a bot pinging every
+    29 minutes forever) is a DATA property the gap parameter owns, not
+    an engine leak."""
+    tag = _tag(sf_dir)
+    sink = fresh_scratch("q_b98", tag, "sink")
+    ckpt = fresh_scratch("q_b98", tag, "ckpt")
+    from etl_spark_eks_spark.streaming.stream_ops import (
+        events_stream_time_ordered,
+    )
+
+    agg = (
+        events_stream_time_ordered(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    run_available_now(agg, sink, ckpt)
+    return spark.read.parquet(sink)

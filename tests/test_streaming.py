@@ -211,3 +211,46 @@ def test_foreachbatch_upsert_replay_is_noop(spark, sf_dir):
     )
     assert first == again
     assert os.path.getmtime(cur) == mtime, "replay rewrote the table"
+
+
+def test_stream_session_window_subset_of_batch(spark, sf_dir):
+    """B98: every watermark-sealed streaming session must match the
+    batch B47 session for the same (user, start) exactly — same end,
+    same count, same (4dp) value — and the streamed set is a nonempty
+    subset of batch (open sessions withheld at end of input)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.catalog import load_table
+
+    stream = registry.QUERIES["q_b98_stream_session_window"](
+        spark, sf_dir
+    ).collect()
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert 0 < len(stream) <= len(batch)
+    for r in stream:
+        key = (r["user_id"], r["session_start"])
+        assert batch[key] == (
+            r["session_end"], r["n_events"], r["total_value"]
+        ), key
