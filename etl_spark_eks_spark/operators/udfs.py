@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.catalog import load_table, register_views
 from etl_spark_eks_spark.registry import query
 
 
@@ -255,3 +255,199 @@ def q_b73_python_udtf(spark, sf_dir):
         WHERE d.doc_id < 20
         """
     )
+
+
+@query(
+    "q_b99_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def q_b99_map_in_arrow(spark, sf_dir):
+    """B99: mapInArrow — the lowest-overhead Python batch surface:
+    the UDF receives raw ``pyarrow.RecordBatch``es, no pandas
+    conversion at all. One rung below B52/B53 (pandas UDFs pay
+    Arrow->pandas->Arrow on every batch: index allocation, dtype
+    coercion, NaN/None remapping); at 100 TB of narrow numeric
+    batches that conversion IS the Python-path overhead, and
+    arrow-native compute (`pyarrow.compute` kernels, vectorized C++)
+    removes it. The trade: no pandas ergonomics — columnar kernels
+    only, which this per-row arithmetic fits exactly.
+
+    The filter stays OUTSIDE in the plan (pushed to parquet); the
+    Arrow stage only transforms, so the scan prunes and the Python
+    worker sees survivors only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def disc_price(batches):
+        for batch in batches:
+            price = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    batch.column("l_linenumber"),
+                    price,
+                ],
+                ["l_orderkey", "l_linenumber", "disc_price"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    # Arrow is strict: the yielded batch types must match the declared
+    # schema EXACTLY (l_linenumber is int32 on disk; declaring it long
+    # here fails at the accessor, not at analysis).
+    return li.mapInArrow(
+        disc_price, "l_orderkey long, l_linenumber int, disc_price double"
+    )
+
+
+@query(
+    "q_b100_cogrouped_map",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value * 1000000 AS DECIMAL(38,0))) AS BIGINT)
+               AS value_micros
+      FROM events GROUP BY user_id
+    ), o AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.value_micros, 0) AS value_micros,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           (e.user_id IS NOT NULL AND o.user_id IS NOT NULL) AS in_both
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def q_b100_cogrouped_map(spark, sf_dir):
+    """B100: co-grouped map — ``groupBy().cogroup().applyInPandas``,
+    the two-table sibling of B53's grouped map: BOTH sides shuffle
+    once on the key and the UDF receives the key's rows from EACH
+    side as separate pandas frames, including empty frames when a key
+    exists on only one side (the branch a naive join-then-groupBy
+    reformulation silently loses — here it is exercised and checked:
+    event-active users without orders and order-only customers both
+    appear with zeroed counterparts). This is the escape hatch for
+    per-key reconciliation logic that isn't a join (custom matching,
+    per-key diffing, windowed alignment) while keeping the
+    one-co-shuffle plan of a join.
+
+    The cogroup key is a 256-way BUCKET of user_id, not user_id
+    itself — the cardinality lesson measured on this exact query:
+    per-user cogrouping costs one Python invocation per key (~15k
+    tiny frames at sf0.1 = 16.3 s); bucketing drops that to 256
+    invocations with the per-user work vectorized inside each bucket
+    via pandas groupby + outer merge (1.0 s, 16x). At 100 TB the
+    rule generalizes: cogroup on a key whose cardinality matches
+    your task count, vectorize the real key within.
+
+    Micros are decimal-cast JVM-side before Python (exact.py
+    discipline); the UDF itself is int64 frame arithmetic."""
+    import pandas as pd
+
+    def reconcile(key, events_pdf, orders_pdf):
+        e = events_pdf.groupby("user_id")["micros"].agg(["size", "sum"])
+        o = orders_pdf.groupby("user_id").size().rename("n_orders").to_frame()
+        m = e.join(o, how="outer")
+        return pd.DataFrame(
+            {
+                "user_id": m.index.to_numpy(dtype="int64"),
+                "n_events": m["size"].fillna(0).to_numpy(dtype="int64"),
+                "value_micros": m["sum"].fillna(0).to_numpy(dtype="int64"),
+                "n_orders": m["n_orders"].fillna(0).to_numpy(dtype="int64"),
+                "in_both": (
+                    m["size"].fillna(0).to_numpy(dtype="int64") > 0
+                )
+                & (m["n_orders"].fillna(0).to_numpy(dtype="int64") > 0),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value") * 1000000)
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("micros"),
+        (F.col("user_id") % 256).alias("bucket"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_custkey") % 256).alias("bucket"),
+    )
+    return (
+        ev.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_events long, value_micros long, "
+            "n_orders long, in_both boolean",
+        )
+    )
+
+
+_B101_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(tax_price(l_extendedprice, l_discount, l_tax)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue_with_tax
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q_b101_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue_with_tax
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q_b101_sql_udf(spark, sf_dir):
+    """B101: SQL UDFs (CREATE FUNCTION ... RETURN expr, Spark 4) —
+    named business-logic expressions (discounted price, taxed price)
+    defined ONCE in SQL and reused across queries, including one UDF
+    calling another. Unlike B51's Python UDF this is a pure
+    substitution surface: Catalyst INLINES the body at analysis time,
+    so the plan is identical to writing the arithmetic out — full
+    codegen, pushdown through it, zero serialization boundary. SQL
+    UDFs are how a platform team ships a semantic layer (consistent
+    metric definitions) without a Python dependency or a UDF
+    performance tax; the oracle runs the expanded expressions,
+    demonstrating the equivalence.
+
+    Scale: zero marginal cost by construction — the check that
+    matters is plan identity, pinned in tests/test_plans.py (no
+    BatchEvalPython / no extra projection)."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tax_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(_B101_SQL)

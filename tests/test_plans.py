@@ -413,3 +413,23 @@ def test_pipe_syntax_same_plan_shape_as_select(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan
+
+
+def test_sql_udf_inlines_to_pure_codegen(spark, sf_dir):
+    """B101: SQL UDFs must be INLINED by Catalyst — no Python
+    evaluation node, no serialization boundary; the plan is the same
+    pushed-down partial-agg shape as writing the arithmetic out."""
+    plan = plan_of(registry.QUERIES["q_b101_sql_udf"](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan
+
+
+def test_cogrouped_map_single_co_shuffle(spark, sf_dir):
+    """B100: cogroup must plan ONE exchange per side on the key (the
+    join-equivalent co-shuffle), feeding a single FlatMapCoGroups —
+    not a join followed by a regroup."""
+    plan = plan_of(registry.QUERIES["q_b100_cogrouped_map"](spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+    assert plan.count("hashpartitioning(") == 2
