@@ -57,7 +57,7 @@ PROBE_QUERIES = (
     "q_c55_ngram_contamination",
     "q_b88_robust_stats",
 )
-# q_c18/q_c2 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
+# q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
 # and with it pairwise work — grows with the corpus. That is the
 # documented reason they are NOT the corpus-scale near-dup path (C8's
