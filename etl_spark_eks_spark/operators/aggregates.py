@@ -530,3 +530,58 @@ def q_b95_pipe_syntax(spark, sf_dir):
     large-magnitude sums (functions/exact.py)."""
     register_views(spark, sf_dir)
     return spark.sql(_B95_PIPE_SQL)
+
+
+@query(
+    "q_b102_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS price_intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS fit_r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_b102_stat_aggregates(spark, sf_dir):
+    """B102: bivariate statistical aggregates — Pearson correlation,
+    population covariance, and the regr_* least-squares family
+    (slope/intercept/R²) per group. The exploratory-stats surface a
+    warehouse user expects (is price linear in quantity? does
+    discount track volume?) computed as single-pass aggregates: all
+    of these fold to the same five running moments (n, Σx, Σy, Σxy,
+    Σx²), so the plan is one map-side-combined shuffle identical in
+    shape to SUM/AVG — no second pass, no window, and the moments
+    merge associatively across partitions.
+
+    Float discipline: the normalized outputs (corr, slope, R²) are
+    ratios of large co-moments — ROUND 6; the intercept subtracts two
+    large products and carries more cancellation noise — ROUND 4
+    (measured: 6dp flips its last digit across partition orders).
+
+    Scale: per-group state is five doubles regardless of rows; this
+    is the aggregate family where Spark's partial/final split is doing
+    real numerical work (co-moment merging), not just summing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias(
+            "fit_r2"
+        ),
+    )

@@ -746,3 +746,130 @@ def q_c56_quota_sample(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
     )
+
+
+@query(
+    "q_c59_split_divergence",
+    oracle=rf"""
+    WITH s AS (
+      SELECT CASE WHEN {_bucket_sql("sha256(text)")} < 900 THEN 'train'
+                  WHEN {_bucket_sql("sha256(text)")} < 950 THEN 'val'
+             END AS split,
+             text
+      FROM documents
+    ), tok AS (
+      SELECT split,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS token
+      FROM s WHERE split IS NOT NULL
+    ), c AS (
+      SELECT split, token, COUNT(*) AS n FROM tok GROUP BY split, token
+    ), m AS (
+      SELECT token,
+             CAST(COALESCE(SUM(CASE WHEN split = 'train' THEN n END), 0)
+                  AS DOUBLE) AS n_train,
+             CAST(COALESCE(SUM(CASE WHEN split = 'val' THEN n END), 0)
+                  AS DOUBLE) AS n_val
+      FROM c GROUP BY token
+    ), tot AS (
+      SELECT SUM(n_train) AS t_train, SUM(n_val) AS t_val FROM m
+    ), contrib AS (
+      SELECT token,
+             m.n_train / tot.t_train AS p,
+             m.n_val / tot.t_val AS q,
+             (CASE WHEN m.n_train > 0
+                   THEN 0.5 * (m.n_train / tot.t_train)
+                        * log2((m.n_train / tot.t_train)
+                               / (((m.n_train / tot.t_train)
+                                   + (m.n_val / tot.t_val)) / 2))
+                   ELSE 0 END
+              + CASE WHEN m.n_val > 0
+                     THEN 0.5 * (m.n_val / tot.t_val)
+                          * log2((m.n_val / tot.t_val)
+                                 / (((m.n_train / tot.t_train)
+                                     + (m.n_val / tot.t_val)) / 2))
+                     ELSE 0 END) AS contribution
+      FROM m, tot
+    ), j AS (
+      SELECT SUM(contribution) AS jsd FROM contrib
+    ), ranked AS (
+      SELECT token, p, q, contribution,
+             ROW_NUMBER() OVER (ORDER BY contribution DESC, token) AS rk
+      FROM contrib
+    )
+    SELECT token,
+           ROUND(p, 6) AS p_train,
+           ROUND(q, 6) AS p_val,
+           ROUND(contribution, 6) AS contribution,
+           CAST(rk AS INTEGER) AS rk,
+           ROUND(j.jsd, 6) AS corpus_jsd
+    FROM ranked, j WHERE rk <= 10
+    """,
+)
+def q_c59_split_divergence(spark, sf_dir):
+    """C59 (extension): train/val distribution-divergence audit — the
+    Jensen-Shannon divergence between the token distributions of
+    C29's content-keyed train and val splits, plus the 10 tokens
+    contributing most. A content-hash split GUARANTEES no leakage
+    (C29) but not representativeness: a val set that drifted (one
+    domain over-represented, vocabulary skew) invalidates eval
+    numbers silently, and JSD-near-zero with no dominant contributor
+    is exactly the certificate that the split is i.i.d.-like. The
+    top-contributor column turns a red flag into a diagnosis (WHICH
+    token/domain drifted).
+
+    Scale: one token-count shuffle keyed (split, token) — the
+    corpus's only data-sized exchange — then vocabulary-bounded
+    arithmetic: the totals and the JSD are 1-row aggregates broadcast
+    back (the C7/C26 scalar pattern), and the top-10 rank window runs
+    on the vocab table (single-partition but vocab-bounded, the C38
+    normalization caveat). Per-token contributions are identical
+    per-row IEEE expressions in both engines, so the ranking is
+    deterministic; only the two SUM-reductions (totals, JSD) are
+    order-sensitive and ROUND(6)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.sha2(F.col("text"), 256))
+    split = F.when(b < 900, "train").when(b < 950, "val")
+    tok = (
+        widen(d)
+        .select(split.alias("split"), F.explode(tokenize("text")).alias("token"))
+        .filter(F.col("split").isNotNull())
+    )
+    c = tok.groupBy("split", "token").agg(F.count("*").alias("n"))
+    m = c.groupBy("token").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("split") == "train", F.col("n"))), F.lit(0)
+        ).cast("double").alias("n_train"),
+        F.coalesce(
+            F.sum(F.when(F.col("split") == "val", F.col("n"))), F.lit(0)
+        ).cast("double").alias("n_val"),
+    )
+    tot = m.agg(
+        F.sum("n_train").alias("t_train"), F.sum("n_val").alias("t_val")
+    )
+    p = F.col("n_train") / F.col("t_train")
+    q = F.col("n_val") / F.col("t_val")
+    mid = (p + q) / 2
+    contribution = (
+        F.when(F.col("n_train") > 0, 0.5 * p * F.log2(p / mid)).otherwise(0.0)
+        + F.when(F.col("n_val") > 0, 0.5 * q * F.log2(q / mid)).otherwise(0.0)
+    )
+    contrib = m.crossJoin(F.broadcast(tot)).select(
+        "token", p.alias("p"), q.alias("q"),
+        contribution.alias("contribution"),
+    )
+    j = contrib.agg(F.sum("contribution").alias("jsd"))
+    w = Window.orderBy(F.col("contribution").desc(), "token")
+    return (
+        contrib.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(j))
+        .select(
+            "token",
+            F.round("p", 6).alias("p_train"),
+            F.round("q", 6).alias("p_val"),
+            F.round("contribution", 6).alias("contribution"),
+            "rk",
+            F.round("jsd", 6).alias("corpus_jsd"),
+        )
+    )

@@ -488,3 +488,20 @@ def test_exact_percentile_matches_numpy(spark, vals):
     for p in (25, 50, 75, 95):
         want = float(np.percentile(arr, p, method="linear"))
         assert abs(row[f"p{p}"] - want) < 1e-9, (p, row[f"p{p}"], want)
+
+
+@given(a=keys, b=keys)
+@_settings
+def test_multiset_ops_match_counter(spark, a, b):
+    """B90's bag semantics on arbitrary multisets: intersectAll keeps
+    min(m, n) copies per key and exceptAll keeps max(m - n, 0) —
+    checked against collections.Counter, including empty sides and
+    keys present only on one side."""
+    from collections import Counter
+
+    da, db = _df(spark, a), _df(spark, b)
+    ca, cb = Counter(a), Counter(b)
+    inter = Counter(r["k"] for r in da.intersectAll(db).collect())
+    assert inter == (ca & cb)
+    diff = Counter(r["k"] for r in da.exceptAll(db).collect())
+    assert diff == (ca - cb)

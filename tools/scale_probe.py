@@ -56,6 +56,8 @@ PROBE_QUERIES = (
     "q_c54_filter_ensemble",
     "q_c55_ngram_contamination",
     "q_b88_robust_stats",
+    "q_c51_bpe_pair_stats",
+    "q_c56_quota_sample",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
