@@ -43,9 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-hashable scalar columns (array_join string / posexplode rows),
 # (3) q_c15, whose r3 row was vacuous (0 rows) — the query now plants
 # jittered clones so the official run exercises the positive detection
-# path (>=5 rows). (3b) holds the 27 operators ADDED in round 4
-# (B86-B95, B97-B102, C50-C59, M8 — all oracle-backed except B98,
-# whose sealed sessions are containment-tested exactly), needing first
+# path (>=5 rows). (3b) holds the 28 operators ADDED in round 4
+# (B86-B95, B97-B102, C50-C59, M8-M9 — all oracle-backed except
+# B98/M9, whose semantics are containment-/invariant-tested exactly),
+# needing first
 # official rows. (4) refreshes the r3 rows-only keys, (5) re-rows
 # this round's touched implementations (q_c49 keep-rounding fix, q_c4
 # re-measure), (6) back-fills the 50 slots with greens refreshing
@@ -75,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c58_cluster_canonicals", "q_b98_stream_session_window",
     "q_b99_map_in_arrow", "q_b100_cogrouped_map", "q_b101_sql_udf",
     "q_b102_stat_aggregates", "q_c59_split_divergence",
+    "q_m9_cdc_chunk_dedup",
     # -- (4) rows-only keys: refresh r3 evidence --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

@@ -629,3 +629,117 @@ def q_m8_container_sniff_audit(spark, sf_dir):
         .agg(F.count("*").alias("n_payloads"))
         .withColumn("mismatch", F.col("claimed") != F.col("sniffed"))
     )
+
+
+def cdc_chunks(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Content-defined chunking (FastCDC-style) over binary payloads:
+    boundaries where a W=16-byte polynomial rolling hash hits
+    ``h % 64 == 0`` (expected chunk ~64 B), clamped to [16, 256] B.
+    Because boundaries depend only on local CONTENT, an insertion near
+    the start shifts every byte offset yet the boundary stream
+    re-synchronizes right after the edit — so unchanged tails keep
+    identical chunk hashes, which is the property fixed-stride
+    chunking (C37's token analogue) fundamentally lacks and the whole
+    point of CDC dedup/delta-storage. Arrow-batched mapInPandas; the
+    rolling hash is one numpy sliding-window dot per payload (uint64
+    natural wraparound), chunk ids are sha256 prefixes."""
+    import hashlib
+
+    import numpy as np
+
+    W, MASK, MIN_C, MAX_C = 16, 64, 16, 256
+    powers = np.array(
+        [pow(257, W - 1 - i, 2**64) for i in range(W)], dtype=np.uint64
+    )
+
+    def chunk_one(payload: bytes):
+        n = len(payload)
+        if n <= MIN_C:
+            return [(0, n)]
+        a = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(a, W)
+        with np.errstate(over="ignore"):
+            h = (win * powers).sum(axis=1)
+        # Boundary test via uint64 bitmask, computed ARRAY-wise: a
+        # scalar `h[i] % MASK` silently promotes uint64 x python-int
+        # to float64, whose 53-bit mantissa rounds 2^63-scale hashes
+        # to multiples of 1024 — making "% 64 == 0" true at almost
+        # every position and degenerating CDC into fixed 16-byte
+        # chunking (caught by the resync test: 1/40 docs shared any
+        # chunk with its prefix-shifted clone).
+        is_cut = (h & np.uint64(MASK - 1)) == 0
+        cuts, start = [], 0
+        for i in range(n - W + 1):
+            end = i + W
+            if end - start >= MAX_C or (
+                end - start >= MIN_C and is_cut[i]
+            ):
+                cuts.append((start, end))
+                start = end
+        if start < n:
+            cuts.append((start, n))
+        return cuts
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "chunk_idx": [], "chunk_hash": [],
+                   "chunk_len": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                for idx, (s, e) in enumerate(chunk_one(payload)):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["chunk_hash"].append(
+                        hashlib.sha256(payload[s:e]).hexdigest()[:16]
+                    )
+                    out["chunk_len"].append(e - s)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, "doc_id long, chunk_idx int, chunk_hash string, chunk_len int"
+    )
+
+
+@query("q_m9_cdc_chunk_dedup")  # rows-only: hash family is implementation-specific
+def q_m9_cdc_chunk_dedup(spark, sf_dir):
+    """M9 (extension): content-defined-chunk dedup over binary payloads
+    — chunks shared by >= 2 documents, with doc counts and byte mass.
+    The binary-payload analogue of C37 built on cdc_chunks' rolling-
+    hash boundaries: catches media/files that share content at DIFFERENT
+    byte offsets (re-muxed containers, prepended metadata, partial
+    re-uploads), which both whole-payload sha (M5) and fixed-offset
+    chunking miss the moment one byte is inserted.
+
+    The fixture's payloads (documents' UTF-8 bytes) share no natural
+    binary runs across docs except exact duplicates, so the query
+    plants 3 PREFIX-SHIFTED clones (doc_id + 3,000,000, payload =
+    7 junk bytes + original) — the exact transformation CDC is built
+    for: every clone MUST share its post-resync chunks with its
+    source, so the result is non-empty by construction and each row
+    is a real cross-offset detection (fabricate-then-audit, the
+    B69/C15/C55 pattern; the boundary-resync property itself is
+    unit-tested in tests/test_tier_c.py).
+
+    Scale: chunking is one Python pass over payload bytes (Arrow
+    batches, numpy rolling hash — the only corpus-bytes stage); only
+    16-hex chunk ids + lengths shuffle to the chunk_hash groupBy, so
+    the exchange is metadata-sized no matter how large the media
+    payloads are. MIN/MAX clamps bound chunk-table size; the
+    MASK knob trades dedup granularity against chunk-table rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    planted = d.filter(F.col("doc_id") % 167 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.encode(F.lit("JUNK!!!."), "UTF-8"), F.col("payload"))
+            .alias("payload"),
+    )
+    chunks = cdc_chunks(d.unionByName(planted), "payload", "doc_id")
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.sum("chunk_len").cast("long").alias("total_bytes"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

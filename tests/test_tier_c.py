@@ -573,3 +573,60 @@ def test_coreset_medoids_are_cluster_minima(spark, sf_dir):
         mid, mdist = got[cl]
         assert abs(dists[mid] - best) < 1e-9
         assert abs(mdist - round(best, 6)) < 1e-6
+
+
+def test_cdc_chunks_resync_after_insertion(spark, sf_dir):
+    """M9's load-bearing property: content-defined boundaries must
+    RE-SYNCHRONIZE after a prefix insertion — a payload and its
+    junk-prefixed copy share most chunk hashes (fixed-offset chunking
+    shares none), chunking is deterministic, and chunk lengths respect
+    the [16, 256] clamp while reassembling to the payload length."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.operators.multimodal import cdc_chunks
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    shifted = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.encode(F.lit("JUNK!!!."), "UTF-8"), F.col("payload"))
+            .alias("payload"),
+    )
+    both = d.unionByName(shifted)
+    rows = cdc_chunks(both, "payload", "doc_id").collect()
+    rows2 = cdc_chunks(both, "payload", "doc_id").collect()
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2)), (
+        "CDC chunking must be deterministic"
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    payload_len = {
+        r["doc_id"]: len(r["payload"])
+        for r in both.select("doc_id", "payload").collect()
+    }
+    n_resynced = 0
+    for doc_id, chunks in by_doc.items():
+        assert sum(c["chunk_len"] for c in chunks) == payload_len[doc_id]
+        for c in chunks:
+            assert c["chunk_len"] <= 256
+    for doc_id in payload_len:
+        if doc_id >= 1000:
+            continue
+        orig = {c["chunk_hash"] for c in by_doc[doc_id]}
+        clone = {c["chunk_hash"] for c in by_doc[doc_id + 1000]}
+        if len(by_doc[doc_id]) >= 3 and orig & clone:
+            n_resynced += 1
+    multi_chunk = sum(
+        1 for doc_id in payload_len
+        if doc_id < 1000 and len(by_doc[doc_id]) >= 3
+    )
+    assert multi_chunk > 0, "fixture docs too short to exercise CDC"
+    assert n_resynced >= 0.8 * multi_chunk, (
+        f"boundaries failed to resync after prefix insertion: "
+        f"{n_resynced}/{multi_chunk} docs shared any chunk"
+    )
