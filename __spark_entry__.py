@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-hashable scalar columns (array_join string / posexplode rows),
 # (3) q_c15, whose r3 row was vacuous (0 rows) — the query now plants
 # jittered clones so the official run exercises the positive detection
-# path (>=5 rows). (3b) holds the 28 operators ADDED in round 4
-# (B86-B95, B97-B102, C50-C59, M8-M9 — all oracle-backed except
+# path (>=5 rows). (3b) holds the 32 operators ADDED in round 4
+# (B86-B95, B97-B103, C50-C62, M8-M9 — all oracle-backed except
 # B98/M9, whose semantics are containment-/invariant-tested exactly),
 # needing first
 # official rows. (4) refreshes the r3 rows-only keys, (5) re-rows
@@ -77,6 +77,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_b99_map_in_arrow", "q_b100_cogrouped_map", "q_b101_sql_udf",
     "q_b102_stat_aggregates", "q_c59_split_divergence",
     "q_m9_cdc_chunk_dedup",
+    "q_b103_listagg", "q_c60_bm25_topk", "q_c61_pagerank",
+    "q_c62_unicode_normalize",
     # -- (4) rows-only keys: refresh r3 evidence --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

@@ -17,6 +17,7 @@ _FAMILIES = (
     "time_windows",
     "udfs",
     "dedup",
+    "graph",
     "similarity",
     "text_analysis",
     "multimodal",

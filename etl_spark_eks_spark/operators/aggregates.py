@@ -585,3 +585,56 @@ def q_b102_stat_aggregates(spark, sf_dir):
             "fit_r2"
         ),
     )
+
+
+_B103_SPARK_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_name) AS rk
+  FROM customer
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_top,
+       listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS top_names
+FROM ranked WHERE rk <= 5
+GROUP BY c_nationkey
+"""
+
+
+@query(
+    "q_b103_listagg",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_name) AS rk
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           string_agg(c_name, ',' ORDER BY c_name) AS top_names
+    FROM ranked WHERE rk <= 5
+    GROUP BY c_nationkey
+    """,
+)
+def q_b103_listagg(spark, sf_dir):
+    """B103: ordered string aggregation — `listagg(...) WITHIN GROUP
+    (ORDER BY ...)` (SQL:2016, Spark 4.0+) over the top-5
+    highest-balance customers per nation. The report/export surface
+    (denormalized CSV cells, alert digests) done declaratively, with
+    the two determinism traps both pinned: the rank window
+    tie-breaks on name (acctbal ties are real), and the aggregation
+    order is explicit — an unordered listagg/collect_list is
+    partition-order-dependent and would flip the value hash between
+    runs, let alone engines.
+
+    Scale: the rank filter bounds every aggregation buffer at 5
+    names BEFORE the groupBy (the C42 hot-key lesson — an unranked
+    listagg over a skewed group would materialize the whole group in
+    one buffer); window and final agg share the c_nationkey
+    partitioning, so the plan is one exchange plus a sort. Emitted
+    as the delimited STRING an export actually stores — scalar,
+    driver-hashable, same contract as C42's postings_csv."""
+    register_views(spark, sf_dir)
+    return spark.sql(_B103_SPARK_SQL)

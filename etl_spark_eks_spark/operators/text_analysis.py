@@ -9,6 +9,7 @@ final (term) or (lang) aggregations, all with map-side combine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1176,4 +1177,225 @@ def q_c51_bpe_pair_stats(spark, sf_dir):
         agg.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
         .select("pair", "occurrences", "rk")
+    )
+
+
+_BM25_TERMS = ("join", "vector", "stream", "window", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "q_c60_bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_tokens
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ({_BM25_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             ROUND(ln(1 + (n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5)), 9)
+               AS idf
+      FROM tf CROSS JOIN stats GROUP BY term, n_docs
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(idf.idf * tf.tf * ({_BM25_K1} + 1)
+                  / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl
+                       / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                  AS DECIMAL(38,12)) AS c
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_c60_bm25_topk(spark, sf_dir):
+    """C60 (extension): BM25 top-k retrieval — Okapi BM25 (k1=1.2,
+    b=0.75) scoring of the corpus against a fixed keyword query,
+    top-20 documents. The ranking function behind keyword search and
+    retrieval-based decontamination probes, built on the same
+    token-stat shapes as C7's TF-IDF but with the saturating tf and
+    length normalization that make BM25 the lexical-retrieval
+    default.
+
+    Scale: the IN-list filter lands BEFORE the (doc, term) shuffle,
+    so only query-term pairs (|Q| <= 5 per doc) ever shuffle — corpus
+    tokens reduce partition-locally into the doc-length table, whose
+    (doc_id, dl) rows are the only full-corpus exchange. df/idf is a
+    |Q|-row broadcast; the scalar (N, avgdl) row is a 1-row broadcast.
+    At 100 TB the per-query cost is one dl pass (amortizable: dl is a
+    standing column) plus a query-term-only aggregation — this is why
+    inverted-index engines and Spark agree on the BM25 plan shape.
+
+    Float discipline: idf is the one transcendental (ln differs in
+    the last ulp across libm implementations) -> ROUND 9 on both
+    engines; the per-(doc,term) contribution is then pure IEEE
+    arithmetic on identical inputs, summed per doc in DECIMAL(38,12)
+    (exact + associative, functions/exact.py) and rounded to 6dp.
+    avgdl is computed as exact-integer total_tokens / n_docs — one
+    double division, bit-identical cross-engine — never AVG(double)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = (
+        d.agg(F.count("*").alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").cast("long").alias("total_tokens")))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                9,
+            ).alias("idf"),
+        )
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+                )
+            ).cast("decimal(38,12)").alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.round(F.sum("c").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_c62_unicode_normalize",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' Cafe' || chr(769) || '  NAI' || chr(776)
+                       || 'VE' || chr(9) || 'End '
+                  ELSE text END AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(nfc_normalize(text)),
+                                 '\s+', ' ', 'g')) AS norm_text
+      FROM seeded
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS raw_len,
+           CAST(length(norm_text) AS BIGINT) AS norm_len,
+           (norm_text <> text) AS changed
+    FROM norm
+    """,
+)
+def q_c62_unicode_normalize(spark, sf_dir):
+    """C62 (extension): Unicode normalization audit — NFC
+    composition + case folding + whitespace collapse per document,
+    reporting raw/normalized code-point lengths and a changed flag.
+    The canonicalization gate every multilingual training corpus
+    needs before dedup: 'Cafe'+COMBINING ACUTE and the precomposed
+    'Café' are byte-different but the SAME text, so un-normalized
+    corpora leak near-duplicates past exact-hash dedup (C1) and
+    inflate token counts. The fixture text is ASCII, so the query
+    plants a denormalized suffix (combining acute U+0301, combining
+    diaeresis U+0308, a tab, doubled spaces) on every 7th doc —
+    fabricate-then-audit, the B69/C15/M9 pattern — making the
+    changed-path non-vacuous and exercised row-by-row.
+
+    Spark has no NFC built-in, so composition runs in an
+    Arrow-batched pandas UDF over `unicodedata.normalize` — the
+    documented slow path, justified because the operation is
+    genuinely inexpressible in Catalyst; everything else (seeding,
+    lengths, flag) stays JVM-side. The plan is one shuffle-free
+    projection: normalization is embarrassingly parallel and at
+    100 TB runs at scan speed as a mapInPandas stage of the ingest
+    pipeline, never a standalone job.
+
+    Cross-engine notes: DuckDB's `nfc_normalize` and Python's
+    `unicodedata.normalize('NFC', ...)` implement the same Unicode
+    standard; `lower` agrees on Latin; the whitespace class is the
+    one divergence (RE2's \s is ASCII-only vs Python's Unicode \s),
+    so the planted suffix sticks to ASCII whitespace and the Python
+    side uses the ASCII class explicitly to pin identical semantics."""
+
+    @F.pandas_udf("string")
+    def nfc_fold(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+        return s.map(
+            lambda t: ws.sub(
+                " ", unicodedata.normalize("NFC", t).lower()
+            ).strip()
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Café  NAÏVE\tEnd "),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = seeded.withColumn("norm_text", nfc_fold("text"))
+    return norm.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        F.length("norm_text").cast("long").alias("norm_len"),
+        (F.col("norm_text") != F.col("text")).alias("changed"),
     )

@@ -630,3 +630,51 @@ def test_cdc_chunks_resync_after_insertion(spark, sf_dir):
         f"boundaries failed to resync after prefix insertion: "
         f"{n_resynced}/{multi_chunk} docs shared any chunk"
     )
+
+
+def test_bm25_scores_are_valid_rankings(spark, sf_dir):
+    """C60 invariants the oracle-equality check can't see on its own:
+    scores strictly ordered as emitted, every returned doc really
+    contains at least one query term, matched-term counts within
+    bounds, all scores positive (BM25 idf > 0 whenever df < N)."""
+    from etl_spark_eks_spark.operators.text_analysis import _BM25_TERMS
+
+    rows = registry.QUERIES["q_c60_bm25_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r["n_terms_matched"] <= len(_BM25_TERMS) for r in rows)
+    texts = {
+        r["doc_id"]: set(r["text"].split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert texts[r["doc_id"]] & set(_BM25_TERMS)
+
+
+def test_pagerank_mass_and_degree_sanity(spark, sf_dir):
+    """C61: emitted relative ranks are positive and descending; the
+    top node's rank is >= uniform (1.0) — a hub must beat the mean;
+    every listed node's degree >= 1 (it came from a real edge)."""
+    rows = registry.QUERIES["q_c61_pagerank"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    rels = [r["rank_rel"] for r in rows]
+    assert rels == sorted(rels, reverse=True)
+    assert all(v > 0 for v in rels)
+    assert rels[0] >= 1.0
+    assert all(r["degree"] >= 1 for r in rows)
+
+
+def test_unicode_normalize_planted_path(spark, sf_dir):
+    """C62: every 7th doc carries the planted denormalized suffix and
+    MUST report changed=True with norm_len < raw_len (NFC composes
+    two combining sequences away and whitespace collapses); lengths
+    are consistent for all docs."""
+    rows = registry.QUERIES["q_c62_unicode_normalize"](spark, sf_dir).collect()
+    planted = [r for r in rows if r["doc_id"] % 7 == 0]
+    assert planted, "fixture must contain planted rows"
+    for r in planted:
+        assert r["changed"], f"doc {r['doc_id']} should be denormalized"
+        assert r["norm_len"] < r["raw_len"]
+    assert all(r["norm_len"] <= r["raw_len"] for r in rows)
