@@ -1096,3 +1096,154 @@ def q_c58_cluster_canonicals(spark, sf_dir):
         (F.row_number().over(w_rk) == 1).alias("is_canonical"),
         F.count("*").over(w_sz).cast("long").alias("cluster_size"),
     )
+
+
+@query(
+    "q_c64_containment_neardup",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    frag AS (
+      SELECT doc_id + 4000000 AS doc_id,
+             array_to_string(
+               t[1:greatest(CAST(FLOOR(len(t) * 0.6) AS INT), 3)], ' ')
+               AS text
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+      WHERE doc_id % 101 = 0
+    ),
+    alldocs AS (SELECT * FROM base UNION ALL SELECT * FROM frag),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM alldocs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 0) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2],
+                              t[i+3], t[i+4]))) AS s
+      FROM toks
+    ),
+    sized AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) >= 1)
+    SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.n
+             AS containment
+    FROM sized a JOIN sized b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            >= 0.8 * a.n - 1e-6
+    """,
+)
+def q_c64_containment_neardup(spark, sf_dir):
+    """C64 (extension): ASYMMETRIC containment near-dup — directed
+    pairs (src, dst) where >= 80% of src's 5-token shingles appear in
+    dst (containment |S_src ∩ S_dst| / |S_src|). This is the relation
+    Jaccard (C2/C16) structurally cannot see: a short fragment quoted
+    inside a much longer document has tiny Jaccard (the union is
+    dominated by the long side) but containment ~1.0 — exactly the
+    partial-duplicate class (quoted passages, boilerplate-wrapped
+    reposts, truncated re-crawls) a training-data pipeline must catch
+    after whole-doc dedup passes miss it. The fixture has no natural
+    fragments, so the query plants one per 101 docs (text = first 60%
+    of the source's tokens, doc_id + 4,000,000 — fabricate-then-audit):
+    every planted fragment MUST surface with containment 1.0.
+
+    Candidate generation is an asymmetric prefix filter, exact by the
+    same pigeonhole as C2's symmetric one: if containment >= t, at
+    most floor((1-t)·n_src) of src's shingles are absent from dst, so
+    among src's first n_src − ceil(t·n_src) + 1 shingles (any FIXED
+    order; hash order here) at least one hits dst. Probe side explodes
+    only that prefix (~20% of shingles at t=0.8); the INDEX side must
+    explode fully — containment has no length-band symmetry to prune
+    with, which is also why the posting list, not the pair loop, is
+    the scale knob (cap hot shingles' postings and you get the
+    C42-style bounded-memory index, at the cost of recall on
+    boilerplate shingles — documented, not silent). Verification
+    fetches both sorted hash arrays once and evaluates the threshold
+    in multiplied form (C2's one-intersect rule, fp slack
+    inclusive-only). Shingles are xxhash64-hashed longs (C16's 2x
+    intersect throughput); containment is a ratio of set sizes, so
+    hashing preserves it and the string-shingle SQL oracle matches
+    exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    frags = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 101 == 0)
+        .select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    t,
+                    F.lit(1),
+                    F.greatest(
+                        F.floor(F.size(t) * 0.6).cast("int"), F.lit(3)
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    alldocs = d.unionByName(frags)
+    th = widen(alldocs).select(
+        "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
+    )
+    sets = (
+        th.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(shingle_hashes("th", 5))).alias(
+                "s"
+            ),
+        )
+        .withColumn("n", F.size("s"))
+        # NO .filter(n >= 1) here, deliberately: PushDownPredicates
+        # rewrites the predicate in terms of the full
+        # size(array_sort(array_distinct(shingle_hashes(...)))) tree
+        # below the projection, re-evaluating the interpreted lambda
+        # pipeline per row — measured 1.4 s -> 18.5 s at sf0.1 for
+        # that one filter (the q_c8 pathology class in predicate
+        # form). It is also unnecessary: a shingle-less doc explodes
+        # to zero probe/index rows, so it can never reach a candidate
+        # pair or the containment division.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t_thresh = 0.8
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(t_thresh) * F.col("n") - 1e-9) + 1
+    ).cast("int")
+    probe = sets.select(
+        F.col("doc_id").alias("src_doc"),
+        F.explode(F.slice("s", F.lit(1), prefix_len)).alias("p"),
+    )
+    index = sets.select(
+        F.col("doc_id").alias("dst_doc"), F.explode("s").alias("p")
+    )
+    cand = (
+        probe.join(index, "p")
+        .filter(F.col("src_doc") != F.col("dst_doc"))
+        .select("src_doc", "dst_doc")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("src_doc"),
+        F.col("s").alias("s_src"),
+        F.col("n").alias("n_src"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("dst_doc"), F.col("s").alias("s_dst")
+    )
+    inter = F.size(F.array_intersect("s_src", "s_dst"))
+    return (
+        cand.join(sa, "src_doc")
+        .join(sb, "dst_doc")
+        .filter(
+            inter.cast("double") >= t_thresh * F.col("n_src") - 1e-6
+        )
+        .select(
+            "src_doc",
+            "dst_doc",
+            (inter.cast("double") / F.col("n_src")).alias("containment"),
+        )
+    )

@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table
@@ -742,4 +742,81 @@ def q_m9_cdc_chunk_dedup(spark, sf_dir):
             F.sum("chunk_len").cast("long").alias("total_bytes"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "q_m10_tar_member_offsets",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_bytes,
+             CAST(FLOOR(CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_bytes AS DOUBLE)
+                        / 4096) AS BIGINT) AS shard_id,
+             512 + CAST(CEIL(n_bytes / 512.0) AS BIGINT) * 512
+               AS padded_bytes
+      FROM p
+    )
+    SELECT doc_id, shard_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           padded_bytes,
+           COALESCE(CAST(SUM(padded_bytes) OVER (PARTITION BY shard_id
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0) AS member_offset
+    FROM sharded
+    """,
+)
+def q_m10_tar_member_offsets(spark, sf_dir):
+    """M10 (extension): tar-archive member offsets for WebDataset-style
+    shards — for every payload, its shard (M3's byte-budget prefix-sum
+    assignment) plus the exact byte offset of its tar member within
+    that shard under POSIX tar framing (512 B header + data padded up
+    to 512 B blocks). This is the index a random-access dataloader
+    needs to seek straight to a sample inside a packed .tar shard
+    without scanning it — the manifest-with-offsets contract of
+    WebDataset/tarfiles, derived entirely from metadata.
+
+    Scale: stage 1 is the shared two-phase distributed prefix sum
+    (running_total_before — serial work ~ n_rows/bucket_size, never a
+    single-task global window); stage 2's cumulative sum partitions BY
+    SHARD, and shards are byte-budget-bounded (a few members each at
+    any corpus size), so the per-shard window is trivially parallel
+    and skew-free. Payload bytes never shuffle — only (doc_id,
+    n_bytes) metadata. Exact integer arithmetic end-to-end: offsets
+    must be byte-exact or the reader desyncs, which is also why the
+    oracle can hash-compare them."""
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = extract_media_metadata(d, "payload", "doc_id").select(
+        "doc_id", "n_bytes"
+    )
+    sharded = running_total_before(meta, "doc_id", "n_bytes").select(
+        "doc_id",
+        "n_bytes",
+        F.floor(F.col("__cum_before").cast("double") / 4096)
+        .cast("bigint")
+        .alias("shard_id"),
+        (512 + F.ceil(F.col("n_bytes") / 512.0).cast("bigint") * 512).alias(
+            "padded_bytes"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sharded.select(
+        "doc_id",
+        "shard_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "padded_bytes",
+        F.coalesce(F.sum("padded_bytes").over(w), F.lit(0))
+        .cast("long")
+        .alias("member_offset"),
     )

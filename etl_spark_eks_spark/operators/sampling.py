@@ -873,3 +873,73 @@ def q_c59_split_divergence(spark, sf_dir):
             F.round("jsd", 6).alias("corpus_jsd"),
         )
     )
+
+
+@query(
+    "q_c63_k_anonymity",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 251 = 0 THEN 'rare' ELSE lang END AS lang,
+             source
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, source, COUNT(*) AS n_docs
+      FROM seeded GROUP BY lang, source
+    ),
+    lang_totals AS (
+      SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_docs
+      FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+           l.lang_docs,
+           CASE WHEN c.n_docs >= 10 THEN 'exact'
+                WHEN l.lang_docs >= 10 THEN 'generalized'
+                ELSE 'suppressed' END AS release_level
+    FROM cells c JOIN lang_totals l USING (lang)
+    """,
+)
+def q_c63_k_anonymity(spark, sf_dir):
+    """C63 (extension): k-anonymity small-cell release audit (k=10)
+    over the (lang, source) quasi-identifier — the privacy gate a
+    corpus-stats export needs before publication: cells with fewer
+    than k members re-identify contributors, so each cell is either
+    released exactly (n >= k), GENERALIZED up the hierarchy to its
+    lang rollup (cell < k but the lang total >= k), or suppressed
+    outright (even the rollup is small). The fixture's (lang, source)
+    grid has natural 1-2 doc cells, and a planted rare lang (every
+    251st doc — fabricate-then-audit) keeps the suppressed tier
+    non-vacuous.
+
+    Scale: two map-side-combined aggregations (cell counts, then a
+    lang rollup OVER THE CELL TABLE — cells-count rows, never a
+    second corpus pass) and one broadcast-sized join; the corpus
+    shuffles once, on (lang, source). The k threshold and hierarchy
+    column are the only policy knobs; swapping in a finer
+    quasi-identifier (e.g. + date) changes the group key, not the
+    plan."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 251 == 0, F.lit("rare"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    lang_totals = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("lang_docs")
+    )
+    return (
+        cells.join(F.broadcast(lang_totals), "lang")
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "lang_docs",
+            F.when(F.col("n_docs") >= 10, F.lit("exact"))
+            .when(F.col("lang_docs") >= 10, F.lit("generalized"))
+            .otherwise(F.lit("suppressed"))
+            .alias("release_level"),
+        )
+    )

@@ -678,3 +678,60 @@ def test_unicode_normalize_planted_path(spark, sf_dir):
         assert r["changed"], f"doc {r['doc_id']} should be denormalized"
         assert r["norm_len"] < r["raw_len"]
     assert all(r["norm_len"] <= r["raw_len"] for r in rows)
+
+
+def test_k_anonymity_tiers_are_consistent(spark, sf_dir):
+    """C63: release tiers must follow from the counts row-by-row, and
+    the planted rare lang must land in the suppressed tier."""
+    rows = registry.QUERIES["q_c63_k_anonymity"](spark, sf_dir).collect()
+    assert rows
+    saw_suppressed = False
+    for r in rows:
+        if r["n_docs"] >= 10:
+            assert r["release_level"] == "exact"
+        elif r["lang_docs"] >= 10:
+            assert r["release_level"] == "generalized"
+        else:
+            assert r["release_level"] == "suppressed"
+            saw_suppressed = True
+    assert saw_suppressed, "planted rare lang must be suppressed"
+
+
+def test_containment_finds_planted_fragments(spark, sf_dir):
+    """C64's positive path: every planted fragment (first 60% of a
+    source doc's tokens, id + 4,000,000) must be reported contained in
+    its source with containment exactly 1.0 — its shingle set is a
+    subset by construction. Also: containment values in (0, 1]."""
+    rows = registry.QUERIES["q_c64_containment_neardup"](spark, sf_dir).collect()
+    assert rows
+    found = {(r["src_doc"], r["dst_doc"]): r["containment"] for r in rows}
+    planted_ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 101 == 0)
+        .collect()
+    ]
+    assert planted_ids
+    for did in planted_ids:
+        key = (did + 4_000_000, did)
+        assert key in found, f"fragment of doc {did} not detected"
+        assert found[key] == 1.0
+    assert all(0 < v <= 1.0 + 1e-12 for v in found.values())
+
+
+def test_tar_offsets_reconstruct_shards(spark, sf_dir):
+    """M10: within every shard, members ordered by doc_id must tile
+    the archive exactly — offset_0 = 0, offset_{i+1} = offset_i +
+    padded_i — and each padded size is the tar framing of n_bytes."""
+    rows = registry.QUERIES["q_m10_tar_member_offsets"](spark, sf_dir).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for m in members:
+            assert m["member_offset"] == expect
+            assert m["padded_bytes"] == 512 + -(-m["n_bytes"] // 512) * 512
+            expect += m["padded_bytes"]
