@@ -260,3 +260,158 @@ def q_b85_funnel_analysis(spark, sf_dir):
         .unionByName(staged(c, "2_click"))
         .unionByName(staged(p, "3_purchase"))
     )
+
+
+@query(
+    "q_c65_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events WHERE user_id < 200
+    ),
+    runs AS (
+      SELECT user_id, event_type, MIN(ts) AS valid_from
+      FROM ordered GROUP BY user_id, event_type, rn - rn_type
+    ),
+    hist AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM runs
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM hist
+    """,
+)
+def q_c65_scd2_history(spark, sf_dir):
+    """C65 (extension): SCD Type-2 history build — collapse each
+    user's event stream into attribute-validity intervals: one row per
+    RUN of consecutive identical event_types, with valid_from /
+    valid_to half-open bounds and an is_current flag on the open run.
+    This is the other half of the lakehouse upsert story: B87's MERGE
+    keeps only the latest value (SCD-1); the dimension table that can
+    answer "what was this user doing AS OF last Tuesday" needs the
+    interval form, and building it from an append-only event log is
+    exactly this query. The run-collapse is the gaps-and-islands
+    identity (rn − rn_per_type is constant within a run — same device
+    as B47's batch sessionization but keyed on value change, not time
+    gap), then one LEAD closes each interval with the next run's
+    start.
+
+    Scale: both row_numbers, the run aggregation, and the LEAD all
+    partition by user_id, so the corpus shuffles ONCE on user and
+    every later step reuses that partitioning with local sorts; state
+    per user is its run list, never the raw events. Ordering
+    tie-breaks on event_id, making run assignment — hence the whole
+    history — deterministic under equal timestamps. The user_id < 200
+    slice keeps the oracle's verify cost bounded; the plan is
+    slice-independent."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = (
+        e.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_type))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("valid_from"))
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "q_c66_feed_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(n_events) AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+           (d.n_events - CAST(s1 AS DOUBLE) / n_days)
+             / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n_days AS DOUBLE) * n_days)) AS zscore,
+           abs((d.n_events - CAST(s1 AS DOUBLE) / n_days)
+             / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n_days AS DOUBLE) * n_days))) > 2.0
+             AS anomalous
+    FROM daily d JOIN stats USING (event_type)
+    WHERE n_days * s2 > s1 * s1
+    """,
+)
+def q_c66_feed_anomaly_zscore(spark, sf_dir):
+    """C66 (extension): feed-volume anomaly detection — per
+    (event_type, day) ingest counts z-scored against that type's own
+    daily distribution, days with |z| > 2 flagged. The monitoring
+    query that catches what B83's gap detector cannot: a feed that
+    never stops but silently halves (or a retry storm that doubles
+    it) produces no empty hour, only an anomalous count.
+
+    Numeric contract — deliberately NOT the stddev builtin: both
+    engines' stddev aggregates use different single-pass algorithms
+    whose last-ulp disagreement would sit exactly where ROUND can
+    flip. Instead the z-score is derived from exact integer moments
+    (n, Σc, Σc² — bigint sums of bigint counts), so every double in
+    the expression comes from the same integer inputs through IEEE
+    basic ops (divide, sqrt — both correctly rounded by the
+    standard), making the result BIT-identical cross-engine with no
+    rounding guard at all. Population variance in the exact form
+    (n·Σc² − (Σc)²)/n²; zero-variance types are excluded by the
+    integer predicate n·Σc² > (Σc)².
+
+    Scale: one (type, day) map-side-combined shuffle over the raw
+    events, then a types-sized stats agg broadcast back onto the
+    daily table — the audit is two small exchanges past the scan at
+    any corpus size."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n_days").cast("double") * F.col("n_days"))
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(
+            F.col("n_days") * F.col("s2") > F.col("s1") * F.col("s1")
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).alias("anomalous"),
+        )
+    )

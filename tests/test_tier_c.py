@@ -735,3 +735,43 @@ def test_tar_offsets_reconstruct_shards(spark, sf_dir):
             assert m["member_offset"] == expect
             assert m["padded_bytes"] == 512 + -(-m["n_bytes"] // 512) * 512
             expect += m["padded_bytes"]
+
+
+def test_scd2_intervals_tile_each_user(spark, sf_dir):
+    """C65: per user, intervals ordered by valid_from must chain
+    (valid_to == next valid_from), exactly one open (is_current) row
+    per user, consecutive intervals never share an event_type (runs
+    were maximal), and valid_from strictly increases."""
+    rows = registry.QUERIES["q_c65_scd2_history"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] < b["valid_from"]
+            assert a["event_type"] != b["event_type"], (
+                f"user {uid}: adjacent runs share a type — not maximal"
+            )
+
+
+def test_anomaly_zscores_standardize(spark, sf_dir):
+    """C66: within each event_type the emitted z-scores must have
+    ~zero mean and ~unit population variance (they ARE the
+    standardization of the daily counts), and the flag must equal
+    |z| > 2 row-by-row."""
+    rows = registry.QUERIES["q_c66_feed_anomaly_zscore"](spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert r["anomalous"] == (abs(r["zscore"]) > 2.0)
+        by_type.setdefault(r["event_type"], []).append(r["zscore"])
+    for et, zs in by_type.items():
+        m = sum(zs) / len(zs)
+        v = sum(z * z for z in zs) / len(zs) - m * m
+        assert abs(m) < 1e-9, (et, m)
+        assert abs(v - 1.0) < 1e-9, (et, v)
