@@ -10,7 +10,6 @@ Pregel-style computation lowers to when expressed in DataFrames.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from etl_spark_eks_spark.catalog import load_table
 from etl_spark_eks_spark.registry import query
@@ -127,7 +126,7 @@ def q_c61_pagerank(spark, sf_dir):
     )
     n_nodes = deg.count()
     ranks = deg.withColumn("r", F.round(F.lit(1.0) / n_nodes, 15))
-    for _ in range(_PR_ITERS):
+    for it in range(_PR_ITERS):
         shares = ranks.select(
             "node", F.round(F.col("r") / F.col("deg"), 15).alias("share")
         )
@@ -147,12 +146,17 @@ def q_c61_pagerank(spark, sf_dir):
                     0.15 / n_nodes + _PR_DAMP * F.col("in_sum"), 15
                 ).alias("r"),
             )
-            # Seal each round (C18's idiom): the next round's broadcast
-            # of `shares` otherwise re-executes every prior round's
-            # join+agg — O(iters^2) work and a lineage that deepens
-            # per round. The checkpointed table is n_nodes rows.
-            .localCheckpoint(eager=True)
         )
+        # Seal each non-final round (C18's idiom): the next round's
+        # broadcast of `shares` otherwise re-executes every prior
+        # round's join+agg — O(iters^2) work and a lineage that
+        # deepens per round. The checkpointed table is n_nodes rows.
+        # The FINAL round stays lazy: its upstream is the sealed
+        # previous table, and leaving it declarative keeps the
+        # broadcast-join + single-exchange shape visible to plan
+        # tests (and to AQE).
+        if it < _PR_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.select(
             "node",

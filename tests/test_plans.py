@@ -433,3 +433,54 @@ def test_cogrouped_map_single_co_shuffle(spark, sf_dir):
     plan = plan_of(registry.QUERIES["q_b100_cogrouped_map"](spark, sf_dir))
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
     assert plan.count("hashpartitioning(") == 2
+
+
+def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
+    """C60: the query-term IN-filter must sit below the (doc, term)
+    aggregation (only query-term pairs shuffle), and the df/idf and
+    scalar stats joins must broadcast — never shuffle the tf side."""
+    plan = plan_of(registry.QUERIES["q_c60_bm25_topk"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    filt = [l for l in plan.splitlines() if "Filter" in l and "term" in l]
+    assert any("join" in l and "vector" in l for l in filt), (
+        "IN-list term filter not found below the aggregation"
+    )
+
+
+def test_pagerank_edges_never_shuffle(spark, sf_dir):
+    """C61: with ranks broadcast, the only exchanges in the final
+    round's plan are the groupBy(dst) aggregations — the edge scan
+    side must join via BroadcastHashJoin."""
+    plan = plan_of(registry.QUERIES["q_c61_pagerank"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unicode_normalize_is_shuffle_free(spark, sf_dir):
+    """C62: normalization must plan as a scan -> ArrowEvalPython
+    projection with ZERO exchanges — it runs at scan speed or it
+    doesn't belong in the ingest path."""
+    plan = plan_of(
+        registry.QUERIES["q_c62_unicode_normalize"](spark, sf_dir), "simple"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    """C65: both row_number windows, the run aggregation, and the
+    LEAD must reuse ONE user_id hash-partitioning — the corpus
+    shuffles once; everything downstream is local sorts."""
+    plan = plan_of(registry.QUERIES["q_c65_scd2_history"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_containment_persists_signature_table(spark, sf_dir):
+    """C64: probe, index, and both fetch-back sides must read the
+    persisted shingle-set table (InMemoryTableScan), not re-run the
+    tokenize+hash pipeline per consumer (the measured 6.5x q_c16
+    failure mode)."""
+    df = registry.QUERIES["q_c64_containment_neardup"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3
