@@ -81,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_c62_unicode_normalize", "q_c63_k_anonymity",
     "q_c64_containment_neardup", "q_m10_tar_member_offsets",
     "q_c65_scd2_history", "q_c66_feed_anomaly_zscore",
+    "q_b104_null_safe_join", "q_b105_running_distinct",
+    "q_c67_corpus_datasheet",
     # -- (4) rows-only keys: refresh r3 evidence --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

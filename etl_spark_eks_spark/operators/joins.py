@@ -633,3 +633,67 @@ def merge_upsert(
         .otherwise(F.lit("inserted"))
         .alias("action"),
     )
+
+
+@query(
+    "q_b104_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS prio,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio,
+             COUNT(*) AS n_side_b
+      FROM orders WHERE o_orderkey % 2 = 1
+      GROUP BY NULLIF(o_orderpriority, '3-MEDIUM')
+    )
+    SELECT a.prio, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           any_value(b.n_side_b) AS n_side_b
+    FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+    GROUP BY a.prio
+    """,
+)
+def q_b104_null_safe_join(spark, sf_dir):
+    """B104: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) —
+    the join form where NULL keys MATCH each other instead of
+    silently dropping. The real-world case is dimension keys with a
+    meaningful 'unknown' bucket: a plain equi-join loses every
+    unknown-keyed fact row (NULL = NULL is NULL), a null-safe join
+    routes them to the unknown dimension row. The fixture has no NULL
+    keys, so both sides NULLIF a priority value away
+    (fabricate-then-audit) — the NULL<=>NULL group must appear in the
+    result with its full count, which is exactly what the oracle's IS
+    NOT DISTINCT FROM checks.
+
+    Scale: `<=>` is still a hash-joinable equality predicate —
+    Catalyst plans the same broadcast/shuffled hash join as `=`
+    (NULLs hash to one bucket), NOT a theta-join fallback; the
+    knowable hazard is that the NULL bucket is a skew key by
+    construction when unknowns are common — the B68 salting rung
+    applies unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio"),
+        "o_totalprice",
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias(
+                "prio"
+            )
+        )
+        .groupBy("prio")
+        .agg(F.count("*").alias("n_side_b"))
+    )
+    return (
+        a.join(F.broadcast(b), a.prio.eqNullSafe(b.prio))
+        .groupBy(a.prio)
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.any_value("n_side_b").alias("n_side_b"),
+        )
+    )

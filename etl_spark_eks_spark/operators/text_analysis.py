@@ -1399,3 +1399,93 @@ def q_c62_unicode_normalize(spark, sf_dir):
         F.length("norm_text").cast("long").alias("norm_len"),
         (F.col("norm_text") != F.col("text")).alias("changed"),
     )
+
+
+@query(
+    "q_c67_corpus_datasheet",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    core AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             ROUND(AVG(n_tokens), 6) AS avg_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM toks
+    ),
+    lang_ent AS (
+      SELECT ROUND(-SUM(p * ln(p) / ln(2)), 6) AS lang_entropy_bits
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM documents) AS p
+            FROM documents GROUP BY lang)
+    ),
+    dups AS (
+      SELECT ROUND(CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM documents), 6) AS exact_dup_rate
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY sha256(text))
+    )
+    SELECT * FROM core CROSS JOIN lang_ent CROSS JOIN dups
+    """,
+)
+def q_c67_corpus_datasheet(spark, sf_dir):
+    """C67 (extension): the corpus datasheet — one row summarizing
+    what a dataset card reports before anyone trains on the data:
+    document and token totals, language/source breadth, the Shannon
+    entropy of the language mix (a 5-language corpus at entropy ~0 is
+    monolingual with noise, at ~log2(5) it is balanced), and the
+    exact-duplicate rate (share of docs whose sha256 appears more
+    than once — C1's dedup pressure as a single number). The point of
+    the operator is the SHAPE: every statistic folds to a 1-row
+    aggregate, so the card is a handful of scans' worth of partial
+    aggregation and six 1-row broadcasts, never a driver-side
+    notebook loop.
+
+    Scale: each CTE is an independent map-side-combined aggregation
+    (the dup-rate one shuffles 32-byte hashes, the entropy one
+    shuffles a langs-sized table); the cross joins are 1-row
+    broadcasts. At 100 TB the card costs what the heaviest single
+    statistic costs, and any statistic can be dropped or added
+    without touching the others. Entropy is the one transcendental:
+    terms are langs-count-sized so ROUND 6 leaves no realistic
+    cross-engine boundary exposure; the dup rate and token stats are
+    exact-integer ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(
+        "lang", "source", F.size(tokenize("text")).alias("n_tokens")
+    )
+    core = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    n_total = d.count()
+    lang_ent = (
+        d.groupBy("lang")
+        .agg((F.count("*").cast("double") / n_total).alias("p"))
+        .agg(
+            F.round(
+                -F.sum(F.col("p") * F.log("p") / F.log(F.lit(2.0))), 6
+            ).alias("lang_entropy_bits")
+        )
+    )
+    dups = (
+        d.groupBy(F.sha2("text", 256))
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+                ).cast("double")
+                / n_total,
+                6,
+            ).alias("exact_dup_rate")
+        )
+    )
+    return core.crossJoin(F.broadcast(lang_ent)).crossJoin(F.broadcast(dups))

@@ -271,3 +271,61 @@ def q_b70_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("n_trailing_1h"),
         F.round(F.sum("value").over(w), 6).alias("value_trailing_1h"),
     )
+
+
+@query(
+    "q_b105_running_distinct",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS distinct_types_so_far
+    FROM events WHERE user_id < 100
+    """,
+)
+def q_b105_running_distinct(spark, sf_dir):
+    """B105: running DISTINCT count over a window — per user, how many
+    distinct event_types have been seen up to each event (the
+    engagement-breadth curve; also the streaming-state shape behind
+    'alert when a session touches its Nth surface'). Spark does not
+    support DISTINCT aggregates in window frames, so this is the
+    canonical REWRITE: flag each (user, type)'s FIRST occurrence with
+    one row_number, then running-SUM the flags — algebraically equal
+    to the distinct count because each type contributes exactly once,
+    at its first row. The oracle deliberately uses DuckDB's NATIVE
+    windowed COUNT(DISTINCT ...) — the equivalence of the rewrite is
+    the thing being checked, not one engine against itself.
+
+    Scale: both windows partition by user_id (the flag window
+    sub-partitions by type — same exchange, finer sort key), so the
+    corpus shuffles once; per-row state is one boolean, never a
+    per-frame distinct set — which is also why the rewrite BEATS a
+    native distinct frame at scale: a frame-local distinct re-scans
+    the frame per row (O(n^2) per user), the flag-sum is O(n log n)
+    sort + linear scan. Ordering tie-breaks on event_id so
+    first-occurrence attribution is deterministic."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn(
+            "is_first",
+            (F.row_number().over(w_first) == 1).cast("long"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+        )
+    )

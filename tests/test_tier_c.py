@@ -775,3 +775,50 @@ def test_anomaly_zscores_standardize(spark, sf_dir):
         v = sum(z * z for z in zs) / len(zs) - m * m
         assert abs(m) < 1e-9, (et, m)
         assert abs(v - 1.0) < 1e-9, (et, v)
+
+
+def test_null_safe_join_keeps_null_group(spark, sf_dir):
+    """B104: the fabricated NULL key must survive the join as its own
+    matched group — the exact rows a plain equi-join would drop."""
+    rows = registry.QUERIES["q_b104_null_safe_join"](spark, sf_dir).collect()
+    assert any(r["prio"] is None for r in rows), "NULL<=>NULL group lost"
+    for r in rows:
+        assert r["n_orders"] > 0 and r["n_side_b"] > 0
+
+
+def test_running_distinct_is_monotone_and_exact(spark, sf_dir):
+    """B105: per user the running count must be non-decreasing, step
+    at most 1, start at 1, and end at the user's true distinct-type
+    count."""
+    rows = registry.QUERIES["q_b105_running_distinct"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    truth = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        counts = [r["distinct_types_so_far"] for r in rs]
+        assert counts[0] == 1
+        assert all(0 <= b - a <= 1 for a, b in zip(counts, counts[1:]))
+        assert counts[-1] == truth[uid]
+
+
+def test_corpus_datasheet_internally_consistent(spark, sf_dir):
+    """C67: the card's fields must satisfy their own identities —
+    entropy within [0, log2(n_langs)], avg*n ~ total, dup rate in
+    [0, 1)."""
+    import math
+
+    [r] = registry.QUERIES["q_c67_corpus_datasheet"](spark, sf_dir).collect()
+    assert r["n_docs"] > 0 and r["total_tokens"] > 0
+    assert abs(r["avg_tokens"] * r["n_docs"] - r["total_tokens"]) < 0.01 * r["n_docs"]
+    assert 0 <= r["lang_entropy_bits"] <= math.log2(r["n_langs"]) + 1e-9
+    assert 0 <= r["exact_dup_rate"] < 1
