@@ -58,6 +58,16 @@ PROBE_QUERIES = (
     "q_b88_robust_stats",
     "q_c51_bpe_pair_stats",
     "q_c56_quota_sample",
+    # late round-4 additions over documents (events/orders/customer-based
+    # ops — q_c61/q_c65/q_c66/q_b103/q_b104/q_b105 — are absent for the
+    # same symlinked-table reason as q_c53/q_b87)
+    "q_c60_bm25_topk",
+    "q_c62_unicode_normalize",
+    "q_c63_k_anonymity",
+    "q_c64_containment_neardup",
+    "q_c67_corpus_datasheet",
+    "q_m9_cdc_chunk_dedup",
+    "q_m10_tar_member_offsets",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
