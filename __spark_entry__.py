@@ -43,11 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-hashable scalar columns (array_join string / posexplode rows),
 # (3) q_c15, whose r3 row was vacuous (0 rows) — the query now plants
 # jittered clones so the official run exercises the positive detection
-# path (>=5 rows). (3b) holds the 32 operators ADDED in round 4
-# (B86-B95, B97-B103, C50-C62, M8-M9 — all oracle-backed except
+# path (>=5 rows). (3b) holds the 43 operators ADDED in round 4
+# (B86-B95, B97-B105, C50-C67, M8-M10 — all oracle-backed except
 # B98/M9, whose semantics are containment-/invariant-tested exactly),
-# needing first
-# official rows. (4) refreshes the r3 rows-only keys, (5) re-rows
+# needing first official rows; the 50-slot cap means the last ~3 of
+# them collect their first row next round. (4) refreshes the r3 rows-only keys, (5) re-rows
 # this round's touched implementations (q_c49 keep-rounding fix, q_c4
 # re-measure), (6) back-fills the 50 slots with greens refreshing
 # newest-evidence-first. Every key remains present and runnable
