@@ -82,7 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c64_containment_neardup", "q_m10_tar_member_offsets",
     "q_c65_scd2_history", "q_c66_feed_anomaly_zscore",
     "q_b104_null_safe_join", "q_b105_running_distinct",
-    "q_c67_corpus_datasheet",
+    "q_c67_corpus_datasheet", "q_c68_curriculum_phases",
     # -- (4) rows-only keys: refresh r3 evidence --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

@@ -943,3 +943,85 @@ def q_c63_k_anonymity(spark, sf_dir):
             .alias("release_level"),
         )
     )
+
+
+@query(
+    "q_c68_curriculum_phases",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             ROUND(CAST(len(list_distinct(list_filter(
+                     string_split_regex(text, '\s+'), x -> x <> '')))
+                   AS DOUBLE)
+                   / len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')), 6) AS quality
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(1000000 - ROUND(quality * 1000000) AS BIGINT)
+               * 10000000 + doc_id AS sort_key
+      FROM q
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+           CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY sort_key ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS DOUBLE) / 20000) AS BIGINT)
+             AS phase
+    FROM keyed
+    """,
+)
+def q_c68_curriculum_phases(spark, sf_dir):
+    """C68 (extension): quality-ordered curriculum phases — rank the
+    corpus by C10's distinct-token quality ratio (best first), then
+    cut it into fixed token budgets (20k tokens/phase): phase 0 is
+    the highest-quality first budget, later phases are progressively
+    noisier. This is the data-side half of curriculum training /
+    quality-annealed pretraining (clean data early or late, by
+    schedule): the trainer consumes phases in order, and because
+    phase assignment is a pure function of (quality, doc_id) it is
+    reproducible and incrementally recomputable.
+
+    The global quality ORDER would naively be a full sort + one-task
+    running sum; instead the quality is quantized into a bigint sort
+    key ((1e6 − round(q·1e6)) · 1e7 + doc_id — quality desc, doc_id
+    tiebreak, collision-free while doc_id < 1e7) and fed to the
+    SHARED two-phase distributed prefix sum (running_total_before —
+    C24/C45/M3/M10's machinery): bucket totals, offset broadcast,
+    within-bucket windows. Serial work ~ n_rows/bucket_size; no
+    global sort ever materializes. The quantization is also why the
+    SQL oracle (a plain single-node window) agrees: the rounded
+    6dp ratio maps to the identical integer key on both engines.
+
+    Scale: one aggregation-free projection computes (quality, key),
+    then the prefix sum's two tiny shuffles; the budget knob moves
+    phase boundaries without replanning. Swapping the ranking column
+    (C49 prob, C52 perplexity) changes one expression — the C58
+    lesson applies here too."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    q = widen(d).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("quality"),
+    )
+    keyed = q.withColumn(
+        "sort_key",
+        (F.lit(1_000_000) - F.round(F.col("quality") * 1_000_000)).cast(
+            "bigint"
+        )
+        * 10_000_000
+        + F.col("doc_id"),
+    )
+    return running_total_before(keyed, "sort_key", "n_tokens").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        F.floor(F.col("__cum_before").cast("double") / 20_000)
+        .cast("bigint")
+        .alias("phase"),
+    )

@@ -822,3 +822,28 @@ def test_corpus_datasheet_internally_consistent(spark, sf_dir):
     assert abs(r["avg_tokens"] * r["n_docs"] - r["total_tokens"]) < 0.01 * r["n_docs"]
     assert 0 <= r["lang_entropy_bits"] <= math.log2(r["n_langs"]) + 1e-9
     assert 0 <= r["exact_dup_rate"] < 1
+
+
+def test_curriculum_phases_are_quality_monotone(spark, sf_dir):
+    """C68: phases must partition the corpus into contiguous token
+    budgets in quality order — every doc in phase p has quality >=
+    the best doc of phase p+2's worst... more precisely: the MINIMUM
+    quality of phase p is >= the MAXIMUM quality of phase p+1 up to
+    the one boundary doc that straddles a budget cut (same quantized
+    quality can span a cut), and phase token totals are ~20k except
+    the last."""
+    rows = registry.QUERIES["q_c68_curriculum_phases"](spark, sf_dir).collect()
+    assert rows
+    phases = {}
+    for r in rows:
+        phases.setdefault(r["phase"], []).append(r)
+    ps = sorted(phases)
+    assert ps == list(range(len(ps)))
+    for a, b in zip(ps, ps[1:]):
+        min_a = min(r["quality"] for r in phases[a])
+        max_b = max(r["quality"] for r in phases[b])
+        assert min_a >= max_b - 1e-9, (a, b, min_a, max_b)
+    for p in ps[:-1]:
+        tot = sum(r["n_tokens"] for r in phases[p])
+        # each full phase covers its 20k budget within one doc's slack
+        assert tot <= 20_000 + max(r["n_tokens"] for r in phases[p])
