@@ -35,94 +35,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The round driver caps each CORRECTNESS run at the FIRST 50 keys of the
 # dict this module returns, in order — registry insertion order is
-# therefore a measurement decision, not cosmetics. After rounds 1-3,
-# every key except 12 has an official row (merged r1+r2+r3). Round 4
-# leads with exactly those: (1) the 10 keys added after round 3's
-# 50-slot cutoff (q_b81-85, q_c46-49, q_m7 — all with exact oracles),
-# (2) the two official r3 ERRs q_c42/q_c43, reshaped this round to
-# driver-hashable scalar columns (array_join string / posexplode rows),
-# (3) q_c15, whose r3 row was vacuous (0 rows) — the query now plants
-# jittered clones so the official run exercises the positive detection
-# path (>=5 rows). (3b) holds the 43 operators ADDED in round 4
-# (B86-B95, B97-B105, C50-C67, M8-M10 — all oracle-backed except
-# B98/M9, whose semantics are containment-/invariant-tested exactly),
-# needing first official rows; the 50-slot cap means the last ~3 of
-# them collect their first row next round. (4) refreshes the r3 rows-only keys, (5) re-rows
-# this round's touched implementations (q_c49 keep-rounding fix, q_c4
-# re-measure), (6) back-fills the 50 slots with greens refreshing
-# newest-evidence-first. Every key remains present and runnable
-# regardless of order; tools/verify_driver.py checks all of them.
+# therefore a measurement decision, not cosmetics. Merged r1-r4 evidence:
+# 170 keys have an official hash-green row, 16 rows-only keys have
+# healthy official runs, and exactly 4 keys — q_b104_null_safe_join,
+# q_b105_running_distinct, q_c67_corpus_datasheet, q_c68_curriculum_phases,
+# added after round 4's driver run — have no official row at all.
+# Round 5 therefore leads with: (1) those 4 keys (all oracle-backed),
+# (2) any operators ADDED in round 5, (3) the 13 rows-only keys whose
+# last official run is r3 (q_b48, q_b49, q_b74, q_c8, q_c9, q_c12,
+# q_c14, q_c17, q_c21, q_c30, q_c39, q_c44, q_m4), plus q_b102 whose
+# r4 bench entry was flagged >2x and was re-measured this round,
+# (4) back-fills the remaining slots with the OLDEST official greens
+# (r1-era q_a*/q_b1-16/q_b18/q_b23-40 keys) as regression re-checks so
+# no key's newest evidence stays four rounds stale. Every key remains
+# present and runnable regardless of order; tools/verify_driver.py
+# checks all of them.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) post-cutoff round-3 additions: first official rows --
-    "q_b81_unpivot", "q_b82_try_cast_audit", "q_b83_event_gap_detection",
-    "q_b84_recursive_cte", "q_b85_funnel_analysis",
-    "q_c46_stable_seq_ids", "q_c47_sketch_partials",
-    "q_c48_zipf_histogram", "q_c49_classifier_quality",
-    "q_m7_checksum_audit",
-    # -- (2) the r3 ERRs, reshaped to driver-hashable outputs --
-    "q_c42_inverted_index", "q_c43_embedding_winsorize",
-    # -- (3) the r3 vacuous row, now with a planted positive path --
-    "q_c15_embedding_neardup",
-    # -- (3b) NEW in round 4: first official rows (all with oracles) --
-    "q_b86_lateral_join", "q_b87_merge_upsert", "q_b88_robust_stats",
-    "q_b89_csv_source", "q_b90_multiset_ops", "q_b91_stream_complete_mode",
-    "q_c50_boilerplate_ngrams", "q_c52_doc_perplexity",
-    "q_c53_int8_quantize", "q_c54_filter_ensemble",
-    "q_c55_ngram_contamination",
-    "q_b92_orc_source", "q_b93_xml_source", "q_c56_quota_sample",
-    "q_m8_container_sniff_audit",
-    "q_b94_variant_type", "q_b95_pipe_syntax", "q_b97_python_datasource",
-    "q_c51_bpe_pair_stats", "q_c57_embedding_outliers",
-    "q_c58_cluster_canonicals", "q_b98_stream_session_window",
-    "q_b99_map_in_arrow", "q_b100_cogrouped_map", "q_b101_sql_udf",
-    "q_b102_stat_aggregates", "q_c59_split_divergence",
-    "q_m9_cdc_chunk_dedup",
-    "q_b103_listagg", "q_c60_bm25_topk", "q_c61_pagerank",
-    "q_c62_unicode_normalize", "q_c63_k_anonymity",
-    "q_c64_containment_neardup", "q_m10_tar_member_offsets",
-    "q_c65_scd2_history", "q_c66_feed_anomaly_zscore",
+    # -- (1) the only keys with no official driver row (added post-r4-run) --
     "q_b104_null_safe_join", "q_b105_running_distinct",
     "q_c67_corpus_datasheet", "q_c68_curriculum_phases",
-    # -- (4) rows-only keys: refresh r3 evidence --
+    # -- (2) operators added in round 5: first official rows --
+    # (inserted here as they land)
+    # -- (3) rows-only keys last officially run in r3, + the r4 bench flag --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",
     "q_c9_simhash_neardup", "q_c12_fingerprint", "q_c14_knn_ann_lsh",
     "q_c17_knn_ivf", "q_c21_knn_pq", "q_c30_kmeans",
     "q_c39_knn_random_projection", "q_c44_coreset_medoids",
     "q_m4_media_phash_neardup",
-    # -- (5) implementations touched this round --
-    "q_c4_embedding_stats",
-    # -- (6) already green; refresh newest-evidence-first --
-    "q_b65_range_join_bucketed", "q_b66_stream_static_join",
-    "q_b67_dynamic_partition_pruning", "q_b68_salted_skew_join",
-    "q_b69_corrupt_json_audit", "q_b70_range_frame", "q_b71_array_hof",
-    "q_b72_foreachbatch_upsert", "q_b73_python_udtf",
-    "q_b75_corrupt_file_scan", "q_b76_explode_outer",
-    "q_b77_union_missing_columns", "q_b78_observed_metrics",
-    "q_b79_map_functions", "q_b80_jsonl_source",
-    "q_c31_length_quantiles", "q_c32_doc_chunking", "q_c33_domain_caps",
-    "q_c34_snapshot_diff", "q_c35_sorted_layout",
-    "q_c36_stratified_sample", "q_c37_shared_chunks", "q_c38_bigram_lm",
-    "q_c40_temperature_mix", "q_c41_source_drift",
-    "q_c45_length_banded_packing",
-    "q_m1_multimodal_meta", "q_m2_frame_sample", "q_m3_media_shard_pack",
-    "q_m5_media_curation", "q_m6_training_manifest",
-    "q_c26_unigram_logprob", "q_c27_incremental_dedup",
-    "q_b57_stream_stream_join",
-    "q_c7_tfidf", "q_c5_top_terms", "q_c6_doc_stats",
-    "q_b60_bucketed_join", "q_b19_approx_cd", "q_b61_persistent_catalog",
-    "q_b62_schema_drift", "q_a9_compat_current_date",
-    "q_b63_salted_grouped_map", "q_b64_window_navigation",
-    "q_c28_repetition_metrics", "q_c29_content_split",
+    "q_b102_stat_aggregates",
+    # -- (4) oldest official greens (r1): regression re-checks --
+    "q_a1_scan", "q_a2_add_ingest_ts", "q_a4_limit20", "q_a5_count",
+    "q_a6_repartition_roundtrip", "q_a7_write_roundtrip",
+    "q_a8_catalog_projection",
+    "q_b1_register_star", "q_b2_json_extract", "q_b3_partitioned_write",
+    "q_b4_filter_conj", "q_b5_filter_disj_in", "q_b6_project_arith",
+    "q_b7_case_when", "q_b8_join_inner", "q_b9_join_outer",
+    "q_b10_join_semi", "q_b11_join_anti", "q_b15_join_asof",
+    "q_b16_cross_small", "q_b18_count_distinct", "q_b24_drop_duplicates",
+    "q_b26_ranking", "q_b27_topn_per_group", "q_b28_lag_lead",
+    "q_b29_running_sum", "q_b30_sliding_avg", "q_b31_ntile",
+    "q_b32_sort_multi", "q_b33_topk", "q_b34_union", "q_b35_intersect",
+    "q_b36_except", "q_b37_string_funcs", "q_b38_regex",
+    "q_b39_date_funcs", "q_b40_math_funcs", "q_b58_percentiles",
+    "q_b59_pivot", "q_b23_grouping_sets",
+    # -- (5) r2-era greens, next-oldest evidence --
     "q_b17_pricing_summary", "q_b12_join_broadcast", "q_b13_join_theta",
-    "q_b14_join_3way", "q_b20_having", "q_b21_rollup", "q_b22_cube",
-    "q_b25_revenue_by_nation",
+    "q_b14_join_3way", "q_b19_approx_cd", "q_b20_having", "q_b21_rollup",
+    "q_b22_cube", "q_b25_revenue_by_nation", "q_a9_compat_current_date",
     "q_b41_array_explode", "q_b42_props_map", "q_b43_scalar_subquery",
     "q_b44_exists_subquery", "q_b45_tumbling", "q_b46_sliding",
     "q_b47_session", "q_b50_exactly_once_rerun", "q_b51_python_udf",
     "q_b52_pandas_udf", "q_b53_grouped_map", "q_b54_grouped_agg_udaf",
     "q_b55_udtf_explode", "q_b56_stateful_user_stats",
+    "q_b60_bucketed_join", "q_b61_persistent_catalog",
+    "q_b62_schema_drift", "q_b63_salted_grouped_map",
+    "q_b64_window_navigation",
     "q_c1_exact_dedup", "q_c2_near_dedup_jaccard", "q_c3_knn_cosine",
+    "q_c4_embedding_stats", "q_c5_top_terms", "q_c6_doc_stats",
+    "q_c7_tfidf", "q_c10_quality_score", "q_c11_token_count_regex",
+    "q_c13_lang_id", "q_c16_ngram_jaccard", "q_c18_dedup_clusters",
+    "q_c19_curation_pipeline", "q_c20_pii_scrub", "q_c22_hash_sample",
+    "q_c23_domain_mix", "q_c24_pack_shards", "q_c25_decontaminate",
+    "q_c28_repetition_metrics", "q_c29_content_split",
 )
 
 

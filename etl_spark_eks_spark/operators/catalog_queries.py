@@ -31,7 +31,10 @@ from etl_spark_eks_spark.functions.exact import dsum
 from etl_spark_eks_spark.operators.tier_a import INGEST_TS
 from etl_spark_eks_spark.registry import query
 from etl_spark_eks_spark.sources.parquet_io import (
+    fixture_fingerprint as _fixture_fingerprint,
     fresh_scratch,
+    is_staged as _staged,
+    mark_staged as _mark_staged,
     scratch_path,
     write_parquet,
 )
@@ -435,17 +438,14 @@ def q_b92_orc_source(spark, sf_dir):
     ingestion: CSV/JSONL/XML rows (B89/B80/B93) parse once into a
     columnar format; ORC-vs-parquet is a producer compatibility
     choice, not a plan change."""
-    import os
-
     tag = _tag(sf_dir)
     landing = scratch_path("q_b92", tag, "orc")
-    done = os.path.join(landing, "_STAGED")
-    if not os.path.exists(done):
+    fp = _fixture_fingerprint(sf_dir, "orders")
+    if not _staged(landing, fp):
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority", "o_totalprice"
         ).write.mode("overwrite").orc(landing)
-        with open(done, "w") as fh:
-            fh.write("ok")
+        _mark_staged(landing, fp)
     back = spark.read.orc(landing).filter(F.col("o_totalprice") > 100000)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
@@ -482,19 +482,16 @@ def q_b93_xml_source(spark, sf_dir):
     so ingest parallelism comes from many files (the landing dir is
     written with the upstream partitioning preserved). Same
     parse-once-then-parquet contract as B80/B89."""
-    import os
-
     tag = _tag(sf_dir)
     landing = scratch_path("q_b93", tag, "xml")
-    done = os.path.join(landing, "_STAGED")
-    if not os.path.exists(done):
+    fp = _fixture_fingerprint(sf_dir, "events")
+    if not _staged(landing, fp):
         load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         ).write.format("xml").option("rootTag", "events").option(
             "rowTag", "event"
         ).mode("overwrite").save(landing)
-        with open(done, "w") as fh:
-            fh.write("ok")
+        _mark_staged(landing, fp)
     schema = "event_id long, event_type string, value double"
     back = (
         spark.read.format("xml")

@@ -480,8 +480,16 @@ def q_b91_stream_complete_mode(spark, sf_dir):
         events_stream_batched,
     )
 
+    # Run the stream in a CLONED session (shared SparkContext, isolated
+    # SQLConf) so the state-partition override is scoped to this query
+    # and can never be observed by a concurrently-executing query on
+    # the caller's session — streaming reads shuffle.partitions from
+    # the session at query start, so per-query scoping requires a
+    # per-query session, not a set/restore around start().
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
     agg = (
-        events_stream_batched(spark, sf_dir)
+        events_stream_batched(sess, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -490,24 +498,20 @@ def q_b91_stream_complete_mode(spark, sf_dir):
             .alias("value_micros"),
         )
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("q_b91_complete")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_b91_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     # Materialize off the transient memory sink so the returned frame
-    # outlives the query (the driver collects later).
+    # outlives the query and the cloned session (the driver collects
+    # later, via the CALLER's session).
     return spark.createDataFrame(
-        spark.table("q_b91_complete").collect(),
-        schema=spark.table("q_b91_complete").schema,
+        sess.table("q_b91_complete").collect(),
+        schema=sess.table("q_b91_complete").schema,
     )
 
 
@@ -558,3 +562,104 @@ def q_b98_stream_session_window(spark, sf_dir):
     )
     run_available_now(agg, sink, ckpt)
     return spark.read.parquet(sink)
+
+
+def tws_available() -> bool:
+    """Automated availability probe for B96 (transformWithStateInPandas).
+
+    Spark 4's successor stateful API routes its driver<->worker state
+    control channel through protobuf, so the Python side imports
+    ``google.protobuf`` at query start — a hard dependency this
+    container lacks and cannot install. Probe it each session: when the
+    environment gains protobuf, q_b96 self-registers below with no code
+    change; until then B56's ``applyInPandasWithState`` covers the
+    arbitrary-stateful surface (same state semantics, prior API).
+    tests/test_streaming.py records the probe outcome either way."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if tws_available():
+
+    @query(
+        "q_b96_transform_with_state",
+        oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def q_b96_transform_with_state(spark, sf_dir):
+        """B96: transformWithStateInPandas — the documented one-class
+        swap from B56: the same per-user running (count, total) carried
+        across real micro-batches, expressed as a StatefulProcessor
+        (init/handleInputRows/close) with named ValueState instead of
+        B56's single GroupState tuple. Final emission per user equals
+        the batch aggregate (the SQL oracle), exactly as B56.
+
+        Scale: identical state-store placement as B56 — state is keyed
+        and partitioned by the shuffle; TWS adds typed state primitives
+        (value/list/map state, timers) without changing the plan shape.
+        """
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        tag = _tag(sf_dir)
+        sink = fresh_scratch("q_b96", tag, "sink")
+        ckpt = fresh_scratch("q_b96", tag, "ckpt")
+
+        class UserStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState("agg", "n bigint, tot double")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, tot = self._agg.get() if self._agg.exists() else (0, 0.0)
+                for pdf in rows:
+                    n += len(pdf)
+                    tot += float(pdf["value"].sum())
+                self._agg.update((n, tot))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [tot],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        running = (
+            events_stream_batched(spark, sf_dir)
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserStats(),
+                outputStructType=(
+                    "user_id bigint, n_events bigint, total_value double"
+                ),
+                outputMode="Append",
+                timeMode="None",
+            )
+        )
+        run_available_now(running, sink, ckpt)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            spark.read.parquet(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                F.round("total_value", 4).alias("total_value"),
+            )
+        )

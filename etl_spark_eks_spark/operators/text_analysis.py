@@ -1338,7 +1338,7 @@ def q_c60_bm25_topk(spark, sf_dir):
     """,
 )
 def q_c62_unicode_normalize(spark, sf_dir):
-    """C62 (extension): Unicode normalization audit — NFC
+    r"""C62 (extension): Unicode normalization audit — NFC
     composition + case folding + whitespace collapse per document,
     reporting raw/normalized code-point lengths and a changed flag.
     The canonicalization gate every multilingual training corpus

@@ -58,3 +58,42 @@ def fresh_scratch(*parts: str) -> str:
     path = scratch_path(*parts)
     shutil.rmtree(path, ignore_errors=True)
     return path
+
+
+def fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """Content key for staged-landing sentinels: name+size+mtime of every
+    file under the source parquet table. If the fixture is regenerated in
+    place, the fingerprint changes and the landing copy is re-staged —
+    a tag-only sentinel would silently keep comparing a stale staged copy
+    against a live oracle read of the regenerated fixture."""
+    import hashlib
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()
+
+
+def is_staged(landing: str, fingerprint: str) -> bool:
+    """True iff the landing dir's _STAGED sentinel matches ``fingerprint``."""
+    done = os.path.join(landing, "_STAGED")
+    if not os.path.exists(done):
+        return False
+    with open(done) as fh:
+        return fh.read().strip() == fingerprint
+
+
+def mark_staged(landing: str, fingerprint: str) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, "_STAGED"), "w") as fh:
+        fh.write(fingerprint)

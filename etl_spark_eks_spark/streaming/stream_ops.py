@@ -84,13 +84,18 @@ def events_stream_batched(
     raw_schema = spark.read.parquet(path).schema
     tag = sf_dir.strip("/").replace("/", "_")
     indir = scratch_path("stream_in_multi", tag, "events", "_")[: -len("/_")]
-    done = os.path.join(indir, "_STAGED")
-    if not os.path.exists(done):
+    from etl_spark_eks_spark.sources.parquet_io import (
+        fixture_fingerprint,
+        is_staged,
+        mark_staged,
+    )
+
+    fp = fixture_fingerprint(sf_dir, "events")
+    if not is_staged(indir, fp):
         spark.read.parquet(path).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(indir)
-        with open(done, "w") as fh:
-            fh.write("ok")
+        mark_staged(indir, fp)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -124,8 +129,14 @@ def events_stream_time_ordered(
     from etl_spark_eks_spark.sources.parquet_io import scratch_path
 
     indir = scratch_path("stream_in_ordered", tag, "events", "_")[: -len("/_")]
-    done = os.path.join(indir, "_STAGED")
-    if not os.path.exists(done):
+    from etl_spark_eks_spark.sources.parquet_io import (
+        fixture_fingerprint,
+        is_staged,
+        mark_staged,
+    )
+
+    fp = fixture_fingerprint(sf_dir, "events")
+    if not is_staged(indir, fp):
         import glob
         import shutil
 
@@ -156,8 +167,7 @@ def events_stream_time_ordered(
             shutil.move(src, dst)
             shutil.rmtree(part_dir)
             os.utime(dst, (now + k, now + k))
-        with open(done, "w") as fh:
-            fh.write("ok")
+        mark_staged(indir, fp)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -188,7 +198,14 @@ def run_available_now(
     coalesce stateful exchanges. Deployment knob: set it to cluster
     cores at scale; the default 8 sizes fixture-scale streams (a plain
     200-partition session spends 25x the data's share of each batch on
-    empty state commits). None = leave the session value."""
+    empty state commits). None = leave the session value.
+
+    Concurrency note: the set/finally-restore brackets the caller's
+    SESSION conf, which is correct under the bench/driver's serial
+    execution but briefly visible to any concurrent query on the same
+    session. Callers that need full isolation should build ``df`` on
+    ``spark.newSession()`` (own SQLConf, shared context) and pass
+    ``state_partitions=None`` — the pattern q_b91 uses."""
     spark = df.sparkSession
     prev = None
     if state_partitions is not None:

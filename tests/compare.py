@@ -60,7 +60,26 @@ def assert_driver_canonicalizable(df: pd.DataFrame, name: str, side: str):
     RAW cells, which raises ``TypeError: unhashable type`` on list/dict
     columns — a shape this repo's stringify-first comparator would
     otherwise tolerate (the exact gap that shipped q_c42/q_c43 broken
-    in round 3). Fail locally on any shape the driver can't hash."""
+    in round 3). Fail locally on any shape the driver can't hash.
+
+    sort_values alone is NOT a sufficient gate: a SINGLE list-valued
+    column sorts fine in pandas (lexicographic list compare never needs
+    a hash), yet the driver's canonicalizer still chokes downstream —
+    so first reject any container-typed cell explicitly."""
+    import numpy as np
+
+    for col in df.columns:
+        # scan the column's non-null cells for container types the
+        # driver can't canonicalize; sample-free because fixture-scale
+        # results are small and a single bad cell is disqualifying
+        for v in df[col]:
+            if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+                raise AssertionError(
+                    f"{name}: {side} result column {col!r} holds a "
+                    f"{type(v).__name__} cell — not driver-"
+                    "canonicalizable; emit scalar columns (posexplode "
+                    "rows or array_join strings), not arrays/maps"
+                )
     try:
         cols = sorted(df.columns)
         df[cols].sort_values(by=cols)
