@@ -484,3 +484,60 @@ def test_containment_persists_signature_table(spark, sf_dir):
     df = registry.QUERIES["q_c64_containment_neardup"](spark, sf_dir)
     plan = plan_of(df, "simple")
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_cluster_canonicals_rerank_on_label_table_only(spark, sf_dir):
+    """C58: the quality re-rank must run on the LABEL table, not a
+    re-clustered corpus — the clustering arm is localCheckpoint'd, so
+    the final plan may scan documents.parquet exactly ONCE (the quality
+    branch); and both windows (rank + cluster size) must partition by
+    cluster_id — a SinglePartition window over the corpus would be the
+    single-task cliff at 100x."""
+    plan = plan_of(registry.QUERIES["q_c58_cluster_canonicals"](spark, sf_dir))
+    doc_scans = [
+        l for l in plan.splitlines()
+        if "Scan parquet" in l or ("Location" in l and "documents.parquet" in l)
+    ]
+    doc_locations = [l for l in doc_scans if "documents.parquet" in l]
+    assert len(doc_locations) == 1, doc_locations
+    assert "hashpartitioning(cluster_id" in plan
+    # the only windows in the plan are the two cluster-bounded ones
+    win_lines = [l for l in plan.splitlines() if l.strip().startswith("Window")
+                 or ") Window" in l]
+    assert win_lines, "expected Window nodes in plan"
+    assert "SinglePartition" not in plan
+
+
+def _prefix_sum_plan_is_bucket_serial_only(plan: str) -> None:
+    """Shared assertion for the two-phase prefix sum consumers: the
+    in-bucket running-sum window must run partitioned by __bucket, and
+    any SinglePartition exchange may feed ONLY the bucket-offset window
+    (a bucket-count-sized table), never a corpus-sized input. In the
+    physical plan the offset window shows up as the unpartitioned
+    `Window ... ORDER BY __bucket` over the per-bucket aggregate —
+    whose input is the groupBy(__bucket) HashAggregate, so its row
+    count is n/bucket_size by construction."""
+    assert "hashpartitioning(__bucket" in plan or (
+        "hashpartitioning(" in plan and "__bucket" in plan
+    ), "in-bucket window must be partitioned by __bucket"
+    # every SinglePartition exchange must be bucket-table-sized: the only
+    # path that materializes one is the offset window over the
+    # per-bucket aggregate, which orders by __bucket
+    if "SinglePartition" in plan:
+        assert "__bucket" in plan
+
+
+def test_pack_shards_prefix_sum_bucket_serial_only(spark, sf_dir):
+    """C24: the token packer's only serial step is the bucket-offset
+    window (n/bucket_size rows), pinned via the shared prefix-sum
+    assertion."""
+    plan = plan_of(registry.QUERIES["q_c24_pack_shards"](spark, sf_dir))
+    _prefix_sum_plan_is_bucket_serial_only(plan)
+
+
+def test_curriculum_phases_prefix_sum_bucket_serial_only(spark, sf_dir):
+    """C68: the quality-curriculum binning rides the same two-phase
+    prefix sum — same pin: corpus-side window partitioned by __bucket,
+    serial work bounded by the bucket table."""
+    plan = plan_of(registry.QUERIES["q_c68_curriculum_phases"](spark, sf_dir))
+    _prefix_sum_plan_is_bucket_serial_only(plan)

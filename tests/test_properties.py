@@ -505,3 +505,100 @@ def test_multiset_ops_match_counter(spark, a, b):
     assert inter == (ca & cb)
     diff = Counter(r["k"] for r in da.exceptAll(db).collect())
     assert diff == (ca - cb)
+
+
+nullable_keys = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(a=nullable_keys, b=nullable_keys)
+@_settings
+def test_null_safe_join_matches_bruteforce(spark, a, b):
+    """B104's `<=>` semantics against a brute-force pair count: the
+    NULL<=>NULL bucket must contribute exactly len(a_nulls)*len(b_nulls)
+    matches, while a plain `=` join drops every NULL-keyed row — the
+    two claims q_b104's fabricate-then-audit design rests on."""
+    adf = spark.createDataFrame([(x,) for x in a], "k int").alias("a")
+    bdf = spark.createDataFrame([(x,) for x in b], "k int").alias("b")
+
+    want_nullsafe = sum(
+        1 for x in a for y in b if (x is None and y is None) or x == y
+    )
+    want_plain = sum(
+        1 for x in a for y in b
+        if x is not None and y is not None and x == y
+    )
+
+    got_nullsafe = adf.join(
+        bdf, F.col("a.k").eqNullSafe(F.col("b.k"))
+    ).count()
+    got_plain = adf.join(bdf, F.col("a.k") == F.col("b.k")).count()
+
+    assert got_nullsafe == want_nullsafe
+    assert got_plain == want_plain
+    # the delta is exactly the NULL bucket's cross product
+    n_null_a = sum(1 for x in a if x is None)
+    n_null_b = sum(1 for y in b if y is None)
+    assert got_nullsafe - got_plain == n_null_a * n_null_b
+
+
+running_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # user
+        st.integers(min_value=0, max_value=10),   # ts (ties common)
+        st.integers(min_value=0, max_value=4),    # event_type
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=running_events)
+@_settings
+def test_running_distinct_rewrite_matches_bruteforce(spark, rows):
+    """B105's first-occurrence-flag + running-SUM rewrite must equal a
+    brute-force per-prefix distinct count on arbitrary event sets —
+    including ts ties, where both the rewrite and the brute force
+    order by (ts, event_id) so attribution is deterministic."""
+    from pyspark.sql import Window
+
+    data = [
+        (i, int(u), int(ts), f"t{et}") for i, (u, ts, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts long, event_type string"
+    )
+
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r["event_id"]: r["d"]
+        for r in df.withColumn(
+            "is_first", (F.row_number().over(w_first) == 1).cast("long")
+        )
+        .select("event_id", F.sum("is_first").over(w_run).alias("d"))
+        .collect()
+    }
+
+    # brute force: per user, walk (ts, event_id)-sorted prefix
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, u, ts, et in data:
+        by_user[u].append((ts, eid, et))
+    want = {}
+    for u, evs in by_user.items():
+        seen = set()
+        for ts, eid, et in sorted(evs):
+            seen.add(et)
+            want[eid] = len(seen)
+    assert got == want
