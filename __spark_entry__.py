@@ -55,7 +55,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_b104_null_safe_join", "q_b105_running_distinct",
     "q_c67_corpus_datasheet", "q_c68_curriculum_phases",
     # -- (2) operators added in round 5: first official rows --
-    # (inserted here as they land)
+    "q_b106_bitmap_distinct", "q_b107_boolean_aggregates",
+    "q_b108_transpose", "q_b109_interval_overlap_join",
+    "q_c69_weighted_reservoir", "q_c70_interleave_curriculum",
+    "q_c71_pii_class_audit", "q_c72_ngram_novelty",
     # -- (3) rows-only keys last officially run in r3, + the r4 bench flag --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

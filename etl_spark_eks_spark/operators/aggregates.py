@@ -638,3 +638,143 @@ def q_b103_listagg(spark, sf_dir):
     driver-hashable, same contract as C42's postings_csv."""
     register_views(spark, sf_dir)
     return spark.sql(_B103_SPARK_SQL)
+
+
+@query(
+    "q_b106_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_b106_bitmap_distinct(spark, sf_dir):
+    """B106: EXACT distinct counting via bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count, Spark 3.5+) — the third rung of the
+    count-distinct ladder: B18 is the naive exact form (shuffles every
+    distinct value), B19 is approximate HLL (mergeable, 2% error), this
+    is exact AND mergeable: each 32k-id bucket folds into a 4KB bitmap
+    map-side, the shuffle carries (group, bucket, bitmap) instead of
+    raw ids, and bucket bitmaps OR together associatively. The oracle
+    is the plain COUNT(DISTINCT) it must equal exactly.
+
+    Scale: this is how warehouses do exact distinct users at 100 TB —
+    shuffle volume is bounded by (groups x id-range/32768) bitmaps, not
+    by row count, and the partial aggregate is a bitwise OR (no sort,
+    no hash set). The two-level fold below IS the incremental-rollup
+    shape: persisted per-bucket bitmaps can absorb new days of data by
+    re-ORing only touched buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+            F.col("user_id").alias("uid"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("uid"))).alias(
+                "bm"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "q_b107_boolean_aggregates",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0)  AS all_positive,
+           bool_or(value > 400) AS any_large,
+           CAST(count_if(value > 250) AS BIGINT) AS n_over_250,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_b107_boolean_aggregates(spark, sf_dir):
+    """B107: boolean/conditional aggregate family — bool_and / bool_or
+    / count_if per group (the data-quality assertion surface: 'every
+    reading positive', 'any outlier present', 'how many breached the
+    threshold'). Declarative, null-skipping, and — unlike the
+    CASE-WHEN-SUM idioms they replace — self-documenting in the plan.
+
+    Scale: all three fold to single-byte/8-byte partial states with
+    associative merges, so the shuffle carries (group, bool, bool,
+    long) regardless of input size — the cheapest aggregate family
+    there is; same one-exchange shape as B17."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_large"),
+        F.count_if(F.col("value") > 250).alias("n_over_250"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_b108_transpose",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS DOUBLE) AS n_items,
+             ROUND(AVG(l_discount), 6) AS avg_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS metric,
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS "A",
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS "N",
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS "R"
+    FROM m
+    UNION ALL
+    SELECT 'n_items',
+           MAX(CASE WHEN l_returnflag = 'A' THEN n_items END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN n_items END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN n_items END)
+    FROM m
+    UNION ALL
+    SELECT 'avg_disc',
+           MAX(CASE WHEN l_returnflag = 'A' THEN avg_disc END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN avg_disc END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN avg_disc END)
+    FROM m
+    """,
+)
+def q_b108_transpose(spark, sf_dir):
+    """B108: DataFrame transpose (Spark 4.0's `df.transpose`) — flip a
+    small aggregate table so metrics become rows and groups become
+    columns, the report/dashboard orientation (B59's pivot rotates
+    values into columns; transpose rotates the WHOLE frame). The melt
+    side of the pair is B81's unpivot.
+
+    Scale: transpose collects the frame's first column to the driver
+    to mint the output schema — by contract a driver-sized operation,
+    correct ONLY downstream of an aggregate (here: 3 groups x 4
+    metrics). The 100 TB discipline is aggregate-then-transpose,
+    never transpose-the-corpus; the input here is the already-reduced
+    B17-style summary, which is exactly that shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    summary = (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").cast("double").alias("n_items"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+    # transpose: first column's values become column names; remaining
+    # rows keyed by the former column names
+    t = summary.transpose()
+    first = t.columns[0]
+    return t.withColumnRenamed(first, "metric")

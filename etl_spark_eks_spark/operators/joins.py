@@ -697,3 +697,128 @@ def q_b104_null_safe_join(spark, sf_dir):
             F.any_value("n_side_b").alias("n_side_b"),
         )
     )
+
+
+@query(
+    "q_b109_interval_overlap_join",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL '30 minutes' AS s_end
+      FROM (SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM su)
+      GROUP BY user_id, sid
+    ), bu AS (
+      SELECT event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), burst AS (
+      SELECT event_type,
+             MIN(ts) AS b_start,
+             MAX(ts) + INTERVAL '5 minutes' AS b_end
+      FROM (SELECT event_type, ts,
+                   SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS bid
+            FROM bu)
+      GROUP BY event_type, bid
+    )
+    SELECT s.user_id, b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bursts,
+           CAST(SUM(epoch_us(LEAST(s.s_end, b.b_end))
+                    - epoch_us(GREATEST(s.s_start, b.b_start)))
+                AS BIGINT) AS overlap_micros
+    FROM sess s JOIN burst b
+      ON s.s_start < b.b_end AND b.b_start < s.s_end
+    GROUP BY s.user_id, b.event_type
+    """,
+)
+def q_b109_interval_overlap_join(spark, sf_dir):
+    """B109: interval-interval OVERLAP join — per-user activity
+    sessions (30-min gap islands) joined to per-type event bursts
+    (5-min gap islands) wherever the two time intervals intersect,
+    aggregated to (user, type) overlap exposure. The interval join is
+    the op Spark lacks natively (B15 as-of = point-to-latest-point,
+    B65 = point-in-interval; this is interval-to-interval), and the
+    naive formulation is a theta-join — a broadcast nested loop that
+    compares every session to every burst.
+
+    Implementation is the GRID-BUCKET decomposition: each interval
+    explodes to the hourly epoch buckets it covers, candidates pair
+    inside a bucket (equi-join Catalyst hash-partitions), the exact
+    overlap predicate filters, and a distinct on the two interval
+    identities collapses pairs that co-occupy several buckets. Every
+    stage is key-partitioned; nothing is O(sessions x bursts).
+
+    Overlap mass accumulates in exact integer MICROSECONDS (epoch_us
+    on both engines under UTC) so the hash comparison is
+    associative-order-proof.
+
+    Scale: shuffle volume = sum over intervals of buckets covered —
+    linear in data for bounded-length intervals (sessions/bursts are
+    gap-bounded by construction). The bucket width is the knob: ~the
+    median interval length keeps the explode factor near 2; a skewed
+    bucket (one hot hour) is a B68 salting candidate. Half-open
+    semantics [start, end): touching intervals do NOT overlap."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+
+    def islands(df, key, gap):
+        return df.groupBy(
+            key, F.session_window("ts", gap).alias("w")
+        ).agg(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("a_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("b_us"),
+        )
+
+    sess = islands(ev, "user_id", "30 minutes").withColumnRenamed(
+        "user_id", "s_key"
+    )
+    burst = islands(ev, "event_type", "5 minutes").withColumnRenamed(
+        "event_type", "b_key"
+    )
+
+    def gridded(df, prefix):
+        return df.select(
+            F.col("s_key" if prefix == "s" else "b_key"),
+            F.col("a_us").alias(f"{prefix}_a"),
+            F.col("b_us").alias(f"{prefix}_b"),
+            F.explode(
+                F.sequence(
+                    (F.col("a_us") / hour_us).cast("bigint"),
+                    ((F.col("b_us") - 1) / hour_us).cast("bigint"),
+                )
+            ).alias("bkt"),
+        )
+
+    cand = (
+        gridded(sess, "s")
+        .join(gridded(burst, "b"), "bkt")
+        .filter((F.col("s_a") < F.col("b_b")) & (F.col("b_a") < F.col("s_b")))
+        # an (interval, interval) pair may share several buckets: keep one
+        .select("s_key", "s_a", "s_b", "b_key", "b_a", "b_b")
+        .distinct()
+    )
+    return (
+        cand.groupBy(
+            F.col("s_key").alias("user_id"), F.col("b_key").alias("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_bursts"),
+            F.sum(
+                F.least("s_b", "b_b") - F.greatest("s_a", "b_a")
+            ).cast("long").alias("overlap_micros"),
+        )
+    )

@@ -1025,3 +1025,120 @@ def q_c68_curriculum_phases(spark, sf_dir):
         .cast("bigint")
         .alias("phase"),
     )
+
+
+@query(
+    "q_c69_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  + 1) / 4294967296.0) / n_chars AS r
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(r * 1000000, 6) AS key_e6
+    FROM keyed
+    ORDER BY r, doc_id
+    LIMIT 100
+    """,
+)
+def q_c69_weighted_reservoir(spark, sf_dir):
+    """C69 (extension): weight-proportional sampling WITHOUT
+    replacement — Efraimidis-Spirakis A-ES: every doc gets key
+    r = -ln(u)/w with u a DETERMINISTIC uniform minted from md5(doc_id)
+    (C22's engine-portable hash discipline) and w = n_chars; the k
+    smallest keys ARE a weighted sample without replacement. The
+    training-mix primitive C40's temperature sampling can't give you:
+    C40 keeps a RATE per group, this draws an exact-size sample where
+    a doc's inclusion probability is proportional to its length —
+    "sample 100 docs by token mass" — and, being a pure function of
+    the keys, it is reproducible across engines, retries, and appends
+    (new docs re-rank but never reshuffle the hash stream).
+
+    Scale: one pass, no shuffle of the corpus — ORDER BY r LIMIT k
+    plans as TakeOrderedAndProject: each partition keeps a k-sized
+    heap and the driver merges p*k rows. The classic distributed
+    weighted-reservoir; at any corpus size the serial work is k log k.
+    The md5->uniform is u in (0,1] (the +1 dodges ln(0)); cross-engine
+    float risk is confined to libm ln ulps, handled by emitting the
+    key scaled+rounded and tie-breaking the order by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    r = -F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            r.alias("r"),
+        )
+        .orderBy("r", "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("r") * 1_000_000, 6).alias("key_e6"),
+        )
+    )
+
+
+_INTERLEAVE_WEIGHTS = (("src0", 4.0), ("src1", 2.0), ("src2", 1.0), ("src3", 0.5))
+_INTERLEAVE_DEFAULT = 1.0
+
+
+@query(
+    "q_c70_interleave_curriculum",
+    oracle=f"""
+    WITH w AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(r.wt, {_INTERLEAVE_DEFAULT}) AS wt,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY d.doc_id) AS src_rank
+      FROM documents d
+      LEFT JOIN (VALUES {", ".join(f"('{s}', {w})" for s, w in _INTERLEAVE_WEIGHTS)})
+             AS r(source, wt)
+        ON d.source = r.source
+    )
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           ROUND((src_rank - 0.5) / wt, 6) AS pos
+    FROM w
+    """,
+)
+def q_c70_interleave_curriculum(spark, sf_dir):
+    """C70 (extension): deterministic weighted interleave — assign every
+    doc a global STRIDE position pos = (rank_within_source - 0.5)/weight
+    so that reading the corpus in pos order interleaves sources at the
+    target ratio in EVERY prefix (weight 4 : 2 : 1 means any window of
+    the stream holds ~4 cc docs per 2 wiki per 1 books). This is the
+    smooth weighted round-robin a training dataloader wants: epoch
+    order is reproducible, ratio drift over any prefix is bounded by
+    one doc per source (the property test pins it), and changing the
+    mix changes ONE constant. C23 decides WHAT to keep; this decides
+    the ORDER it's consumed in.
+
+    Scale: the only non-map work is one rank window PARTITIONED BY
+    source — no global window, no shuffle beyond the per-source
+    exchange; pos itself is the sort key for the downstream writer
+    (C35's sorted layout), so the global order materializes only as
+    a range-partitioned write, never a single-task sort."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(_INTERLEAVE_WEIGHTS), ["source", "wt"]
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(rates), "source", "left")
+        .withColumn("wt", F.coalesce("wt", F.lit(_INTERLEAVE_DEFAULT)))
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "src_rank",
+            F.round((F.col("src_rank") - 0.5) / F.col("wt"), 6).alias("pos"),
+        )
+    )

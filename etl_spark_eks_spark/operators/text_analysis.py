@@ -1489,3 +1489,196 @@ def q_c67_corpus_datasheet(spark, sf_dir):
         )
     )
     return core.crossJoin(F.broadcast(lang_ent)).crossJoin(F.broadcast(dups))
+
+
+@query(
+    "q_c71_pii_class_audit",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT source, n_chars,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 5 AS VARCHAR)
+                          || '.example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                          || '.' || CAST(doc_id % 250 AS VARCHAR)
+                          || '.' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                     ELSE '' END AS t
+      FROM documents
+    ), counted AS (
+      SELECT source, n_chars,
+             len(regexp_extract_all(t,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS e,
+             len(regexp_extract_all(t,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ip,
+             len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS ph
+      FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(ip) AS BIGINT) AS n_ipv4,
+           CAST(SUM(ph) AS BIGINT) AS n_phones,
+           CAST(count_if(e + ip + ph > 0) AS BIGINT) AS n_docs_with_pii,
+           ROUND(CAST(SUM(e + ip + ph) AS DOUBLE)
+                 / SUM(n_chars) * 1000, 6) AS pii_per_kchar
+    FROM counted
+    GROUP BY source
+    """,
+)
+def q_c71_pii_class_audit(spark, sf_dir):
+    r"""C71 (extension): per-class PII AUDIT — the governance report
+    that precedes C20's scrub: per source, how many emails / IPv4
+    addresses / phone numbers, how many documents carry any PII at
+    all, and PII density per 1000 chars. A release decision needs the
+    per-source census ('which crawl slice leaks contact info')
+    before anything is redacted; C20 is the row-level fix, this is
+    the corpus-level measurement that prioritizes it.
+
+    The fixture corpus is synthetic word-soup with no PII, so three
+    classes are planted deterministically on interleaved doc_id
+    residue slices (%7 email, %11 IP, %13 phone — co-prime, so docs
+    carry 0-3 classes) on BOTH engines: the B69/C15
+    fabricate-then-audit pattern. Patterns are dialect-safe (shared
+    Java-regex/RE2 subset: explicit classes, no lookaround), counted
+    with regexp_count / len(regexp_extract_all) — both count
+    non-overlapping left-to-right matches.
+
+    Scale: pure per-row regex then one map-side-combined groupBy on
+    the 20-value source key — the corpus never shuffles, counts and
+    char totals fold exactly (integers), the single division happens
+    per group."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    ipv4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    phone = r"\+1-555-[0-9]{4}"
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    counted = d.select(
+        "source",
+        "n_chars",
+        F.regexp_count(t, F.lit(email)).alias("e"),
+        F.regexp_count(t, F.lit(ipv4)).alias("ip"),
+        F.regexp_count(t, F.lit(phone)).alias("ph"),
+    )
+    total = F.col("e") + F.col("ip") + F.col("ph")
+    return counted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("e").cast("long").alias("n_emails"),
+        F.sum("ip").cast("long").alias("n_ipv4"),
+        F.sum("ph").cast("long").alias("n_phones"),
+        F.count_if(total > 0).alias("n_docs_with_pii"),
+        F.round(
+            F.sum(total).cast("double") / F.sum("n_chars") * 1000, 6
+        ).alias("pii_per_kchar"),
+    )
+
+
+@query(
+    "q_c72_ngram_novelty",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+             ))) AS s
+      FROM t
+    ), first AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(count_if(f.first_doc = sh.doc_id) AS BIGINT) AS n_novel,
+           ROUND(CAST(count_if(f.first_doc = sh.doc_id) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN first f ON sh.s = f.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q_c72_ngram_novelty(spark, sf_dir):
+    """C72 (extension): n-gram NOVELTY curve — per document, the
+    fraction of its distinct trigrams whose FIRST corpus occurrence
+    (minimum doc_id, standing in for crawl order) is this document.
+    The curriculum/dedup diagnostic between C28 (within-doc
+    repetition) and C55 (overlap vs a fixed benchmark): a novelty
+    near 0 means the doc is assembled from already-seen phrasing
+    (boilerplate, template spam, near-dup tail) even when no single
+    pair-wise match fires; the novelty-over-doc_id curve is the
+    'how fast is the crawl exhausting fresh text' report every
+    corpus datasheet (C67) wants.
+
+    Spark side shingles via the injective xxhash64 ladder (C50's
+    trick — trigram identity is a hash of 3 token hashes, no string
+    concat); the oracle uses string trigrams — min-doc attribution
+    and counts are preserved under injectivity.
+
+    Scale: two content-keyed exchanges — groupBy(trigram) for the
+    min-doc table, then the join back to the per-doc stream — the
+    C50 join-back shape, both sides linear in corpus trigrams. The
+    min-doc table is the corpus vocabulary: too big to broadcast by
+    design; the join key is the trigram hash, uniformly distributed,
+    so no salting is needed (hot n-grams concentrate COUNT, not key
+    cardinality — the count lives in the aggregate, not the join)."""
+    from etl_spark_eks_spark.functions.text import (
+        ordered_token_hashes,
+        shingle_hashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = widen(d).select(
+        "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_hashes("th", 3))).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )

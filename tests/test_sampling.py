@@ -248,3 +248,49 @@ def test_stable_seq_ids_dense_permutation_and_repartition_stable(
         .collect()
     }
     assert again == out
+
+
+def test_interleave_prefix_holds_mix_exactly(spark, sf_dir):
+    """C70: the stride interleave's defining invariant — cutting the
+    pos-ordered stream at ANY position X must hold, for every source,
+    count_s = min(n_s, floor(X * w_s + 0.5)): the mix is exact in
+    every prefix (one-doc-rounded), not just in expectation."""
+    import math
+
+    from etl_spark_eks_spark.operators.sampling import (
+        _INTERLEAVE_DEFAULT,
+        _INTERLEAVE_WEIGHTS,
+    )
+
+    pdf = (
+        registry.QUERIES["q_c70_interleave_curriculum"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["pos", "source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    weights = dict(_INTERLEAVE_WEIGHTS)
+    n_per_source = pdf.groupby("source").size().to_dict()
+    cuts = [0.5, 1.0, 3.7, 10.0, 25.0, 60.0, 200.0]
+    for x in cuts:
+        prefix = pdf[pdf["pos"] <= x]
+        got = prefix.groupby("source").size().to_dict()
+        for s, n_s in n_per_source.items():
+            w = weights.get(s, _INTERLEAVE_DEFAULT)
+            want = min(n_s, math.floor(x * w + 0.5))
+            assert got.get(s, 0) == want, (s, x, got.get(s, 0), want)
+
+
+def test_weighted_reservoir_is_deterministic_and_length_biased(spark, sf_dir):
+    """C69: two runs select the IDENTICAL set (pure function of keys),
+    and the sample's mean n_chars exceeds the corpus mean — the
+    length-proportional inclusion A-ES exists to deliver."""
+    q = registry.QUERIES["q_c69_weighted_reservoir"]
+    a = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
+    assert a == b and len(a) == 100
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (
+        q(spark, sf_dir).agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_mean > corpus_mean

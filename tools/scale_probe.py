@@ -135,11 +135,14 @@ def build_replica(spark, mult: int) -> str:
 def main() -> int:
     mults = [1, 4, 10]
     reps = 2
+    only = None
     for arg in sys.argv[1:]:
         if arg.startswith("--mults="):
             mults = [int(x) for x in arg.split("=", 1)[1].split(",")]
         elif arg.startswith("--reps="):
             reps = int(arg.split("=", 1)[1])
+        elif arg.startswith("--only="):
+            only = tuple(arg.split("=", 1)[1].split(","))
 
     from etl_spark_eks_spark import registry
     from etl_spark_eks_spark.session import get_spark
@@ -151,10 +154,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    times: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    probe_queries = only if only else PROBE_QUERIES
+    times: dict[str, dict[int, float]] = {q: {} for q in probe_queries}
     for mult in mults:
         sf_dir = build_replica(spark, mult)
-        for q in PROBE_QUERIES:
+        for q in probe_queries:
             best = None
             for _ in range(reps):
                 t0 = time.perf_counter()
