@@ -1247,3 +1247,134 @@ def q_c64_containment_neardup(spark, sf_dir):
             (inter.cast("double") / F.col("n_src")).alias("containment"),
         )
     )
+
+
+@query(
+    "q_c73_signature_probe_neardup",
+    oracle=r"""
+    WITH sized AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                       t -> t <> '')) AS toks
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, toks, len(toks) AS n FROM sized WHERE doc_id % 10 <> 7
+    ), batch AS (
+      SELECT doc_id, toks, len(toks) AS n FROM sized WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT d.doc_id + 1000000,
+             list_distinct(list_filter(
+               string_split_regex(d.text || ' zz9qq', '\s+'), t -> t <> '')),
+             len(list_distinct(list_filter(
+               string_split_regex(d.text || ' zz9qq', '\s+'), t -> t <> '')))
+      FROM documents d WHERE d.doc_id % 10 <> 7 AND d.doc_id % 50 = 0
+    ), pairs AS (
+      SELECT b.doc_id,
+             c.doc_id AS c_id,
+             CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+               / (b.n + c.n - len(list_intersect(b.toks, c.toks))) AS j
+      FROM batch b JOIN corpus c ON TRUE
+      WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+              / (b.n + c.n - len(list_intersect(b.toks, c.toks))) >= 0.8
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(c_id) AS match_doc_id,
+           ROUND(MAX(j), 6) AS best_jaccard
+    FROM pairs
+    GROUP BY doc_id
+    """,
+)
+def q_c73_signature_probe_neardup(spark, sf_dir):
+    """C73 (extension): incremental near-dup via the PERSISTED
+    signature index — the scale path C27's docstring promises: the
+    standing corpus is represented ONLY by its MinHash band table
+    (16 longs + id per doc, built once, persisted), and an arriving
+    batch probes it — band equi-join for candidates, exact token-set
+    Jaccard >= 0.8 to verify, one row per duplicate batch doc with
+    its match count, smallest matching corpus doc, and best Jaccard.
+    C27 recomputes the blocked-Jaccard probe from corpus TEXT every
+    ingest; this is the amortized form where daily batches reuse the
+    index and only the batch side is ever tokenized fresh.
+
+    Batch = doc_id % 10 == 7 plus planted one-token-extended clones of
+    corpus docs (% 50 == 0, offset +1,000,000) so the positive path is
+    exercised on both engines (fabricate-then-audit). The oracle is
+    the UNBANDED brute-force join: equality holds because banding
+    recall on every J >= 0.8 pair is 1 to fixture precision — with
+    32 hashes / 16 bands the miss probability at the planted J >= 0.88
+    is <= 1e-11 (and the corpus's max natural cross-doc Jaccard is
+    0.018, so no pair sits near the threshold; same argument family
+    as C8's superset invariant, here strong enough to carry a full
+    hash oracle).
+
+    Scale: the corpus never shuffles and is never re-read as text —
+    the index is bands + token-hash arrays (both persisted, both tiny
+    vs the corpus); the batch side broadcasts (batch-sized by
+    construction); candidate volume is banded, never |batch|x|corpus|.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    corpus_txt = d.filter(F.col("doc_id") % 10 != 7)
+    batch_txt = d.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "text"
+    ).unionByName(
+        corpus_txt.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9qq")).alias("text"),
+        )
+    )
+
+    def index(df):
+        htoks = widen(df).select(
+            "doc_id", token_hashes(tokenize(F.col("text"))).alias("htoks")
+        )
+        sigs = htoks.select(
+            "doc_id",
+            "htoks",
+            minhash_band_hashes("htoks", 32, 16).alias("bands"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        bands = sigs.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+        )
+        return sigs.select("doc_id", "htoks"), bands
+
+    c_toks, c_bands = index(corpus_txt)
+    b_toks, b_bands = index(batch_txt)
+
+    cand = (
+        F.broadcast(
+            b_bands.select(
+                F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
+            )
+        )
+        .join(c_bands, ["band_idx", "band_hash"])
+        .select(F.col("b_id"), F.col("doc_id").alias("c_id"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("b_htoks", "c_htoks"))
+    union = F.size("b_htoks") + F.size("c_htoks") - inter
+    j = inter.cast("double") / union
+    verified = (
+        cand.join(
+            F.broadcast(
+                b_toks.select(
+                    F.col("doc_id").alias("b_id"),
+                    F.col("htoks").alias("b_htoks"),
+                )
+            ),
+            "b_id",
+        )
+        .join(
+            c_toks.select(
+                F.col("doc_id").alias("c_id"), F.col("htoks").alias("c_htoks")
+            ),
+            "c_id",
+        )
+        .select("b_id", "c_id", j.alias("j"))
+        .filter(F.col("j") >= 0.8)
+    )
+    return verified.groupBy(F.col("b_id").alias("doc_id")).agg(
+        F.count("*").alias("n_matches"),
+        F.min("c_id").alias("match_doc_id"),
+        F.round(F.max("j"), 6).alias("best_jaccard"),
+    )

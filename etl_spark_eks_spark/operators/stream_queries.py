@@ -663,3 +663,66 @@ if tws_available():
                 F.round("total_value", 4).alias("total_value"),
             )
         )
+
+
+@query(
+    "q_b110_stream_update_mode",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value * 1000000 AS DECIMAL(38,0))) AS BIGINT)
+             AS value_micros
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_b110_stream_update_mode(spark, sf_dir):
+    """B110: UPDATE-output-mode streaming aggregation — the final rung
+    of the output-mode ladder (B48 append withholds open windows, B91
+    complete rewrites the whole aggregate each batch, update emits
+    ONLY the rows whose state changed in this micro-batch: the
+    changelog a downstream upsert sink consumes; B72 hand-rolls the
+    same contract with foreachBatch+MERGE, this is the declarative
+    form). The events table replays over 4 micro-batches; the memory
+    sink accumulates each batch's changed rows, so the LAST emission
+    per key — selected by the monotone n_events, exactly B56's
+    read-back discipline — must equal the batch aggregate, which is
+    the oracle.
+
+    Exact integer micros for the same reason as B91: update mode
+    re-folds running state across batches, so double summation order
+    differs from both the batch plan and DuckDB; DECIMAL(38,0) keeps
+    the fold associative.
+
+    Scale: update mode's emission volume per batch is the CHANGED key
+    set, not the full aggregate (complete's cost) and not nothing
+    (append's silence until watermark close) — the right mode when
+    the key space is large but each batch touches few keys. State
+    store placement identical to B91/B56."""
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    agg = (
+        events_stream_batched(sess, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") * 1000000).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_b110_update")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    final = (
+        sess.table("q_b110_update")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "value_micros")
+    )
+    return spark.createDataFrame(final.collect(), schema=final.schema)
