@@ -541,3 +541,46 @@ def test_curriculum_phases_prefix_sum_bucket_serial_only(spark, sf_dir):
     serial work bounded by the bucket table."""
     plan = plan_of(registry.QUERIES["q_c68_curriculum_phases"](spark, sf_dir))
     _prefix_sum_plan_is_bucket_serial_only(plan)
+
+
+def test_weighted_reservoir_take_ordered_no_shuffle(spark, sf_dir):
+    """C69: the A-ES sample must plan as TakeOrderedAndProject with
+    ZERO exchanges — per-partition k-heaps, driver merges p*k rows;
+    a global sort or a corpus shuffle here would be the 100x cliff."""
+    plan = plan_of(registry.QUERIES["q_c69_weighted_reservoir"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_interval_overlap_join_is_hash_join(spark, sf_dir):
+    """B109: the grid-bucket decomposition must plan the candidate
+    pairing as a HASH join on the bucket key — never the
+    BroadcastNestedLoopJoin/CartesianProduct a raw interval-theta-join
+    degenerates to."""
+    plan = plan_of(
+        registry.QUERIES["q_b109_interval_overlap_join"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_bitmap_distinct_partial_fold(spark, sf_dir):
+    """B106: the bitmap fold must aggregate map-side — partial
+    bitmap_construct_agg BEFORE the (event_type, bucket) exchange, so
+    the shuffle carries bitmaps, never raw user_ids; and the final
+    fold is bucket-count-bounded."""
+    plan = plan_of(registry.QUERIES["q_b106_bitmap_distinct"](spark, sf_dir))
+    assert "partial_bitmap_construct_agg" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ngram_novelty_single_corpus_scan(spark, sf_dir):
+    """C72: min-doc table and per-doc stream must both derive from ONE
+    tokenize pass — the join-back shape re-uses the exploded shingle
+    stream via exchange/subquery reuse or a second scan of the SAME
+    pruned columns; pinned loosely: no SinglePartition anywhere and
+    the join is on the shingle hash."""
+    plan = plan_of(registry.QUERIES["q_c72_ngram_novelty"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(sh" in plan
