@@ -587,3 +587,134 @@ def q_b97_python_datasource(spark, sf_dir):
         F.count("*").alias("n_readings"),
         F.sum(F.round(F.col("reading") * 10).cast("long")).alias("sum_deci"),
     )
+
+
+@query(
+    "q_b111_text_source",
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_b111_text_source(spark, sf_dir):
+    r"""B111: line-oriented TEXT source — the documents table staged as
+    tab-separated lines (`doc_id\tlang\ttext`, one per row) and read
+    back through `spark.read.text`, the rawest landing format every
+    lake still ingests (log shipping, crawler dumps, `.txt` corpora).
+    Text carries no schema at all: the reader yields one `value`
+    column and the query owns the parse (split on the first two tabs
+    — positions, not a regex over the payload), which is exactly the
+    schema-on-read contract's floor. Per-language doc/token/char
+    totals must equal the parquet truth.
+
+    The fixture text is verified single-line ASCII with no tabs, so
+    the framing is lossless; a production corpus would escape or
+    length-prefix instead — the parse seam is the same.
+
+    Scale: text splits on newlines, so ingest parallelism is
+    bytes-based like CSV/JSONL (B89/B80): many splits per file, one
+    pass, parse-once-then-columnar. Same one-exchange aggregate as
+    every landing audit here."""
+    d = load_table(spark, sf_dir, "documents")
+    tag = _tag(sf_dir)
+    landing = scratch_path("q_b111", tag, "text")
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    if not _staged(landing, fp):
+        d.select(
+            F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text"))
+            .alias("value")
+        ).write.mode("overwrite").text(landing)
+        _mark_staged(landing, fp)
+    back = spark.read.text(landing)
+    tab1 = F.instr("value", "\t")
+    rest = F.expr("substring(value, instr(value, '\t') + 1)")
+    tab2 = F.instr(rest, "\t")
+    parsed = back.select(
+        F.substring("value", F.lit(1), tab1 - 1).cast("long").alias("doc_id"),
+        F.substring(rest, F.lit(1), tab2 - 1).alias("lang"),
+        F.expr(
+            "substring(substring(value, instr(value, '\t') + 1),"
+            " instr(substring(value, instr(value, '\t') + 1), '\t') + 1)"
+        ).alias("text"),
+    )
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "q_b112_binaryfile_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) + COUNT(*) - 1 AS BIGINT) AS blob_bytes,
+           sha256(string_agg(text, chr(10) ORDER BY doc_id)) AS blob_sha256
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_b112_binaryfile_source(spark, sf_dir):
+    """B112: whole-file BINARY source (`spark.read.format("binaryFile")`)
+    — one opaque blob per upstream source (each source's docs joined
+    by newline in doc_id order, the deterministic framing), read back
+    as (path, length, content) and audited: per-source byte length and
+    sha256 must equal the parquet truth's aggregate, computed
+    independently by DuckDB over the text column. binaryFile is the
+    ingestion door for everything that is NOT rows — model
+    checkpoints, images, tarballs (M-tier's media path assumes
+    exactly this reader shape); the audit (size + digest per blob) is
+    the integrity gate a lake applies before any decode.
+
+    Scale: binaryFile is one task per FILE (no intra-file splitting) —
+    parallelism = file count, and each content cell materializes
+    whole in executor memory; the documented contract is
+    many-files-of-bounded-size (M3's shard packer exists to produce
+    exactly that), never one giant blob. The sha256/length audit is
+    per-file map work, zero shuffles beyond the final 20-row fold."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    tag = _tag(sf_dir)
+    landing = scratch_path("q_b112", tag, "bin")
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    if not _staged(landing, fp):
+        rows = (
+            d.select("source", "doc_id", "text")
+            .orderBy("source", "doc_id")
+            .collect()
+        )
+        # driver-side staging loop: fixture-scale landing simulation
+        # (20 files); at scale the producer is M3's shard packer
+        blobs: dict[str, list[str]] = {}
+        for r in rows:
+            blobs.setdefault(r["source"], []).append(r["text"])
+        os.makedirs(landing, exist_ok=True)
+        for src, texts in blobs.items():
+            with open(os.path.join(landing, f"{src}.blob"), "wb") as fh:
+                fh.write("\n".join(texts).encode("utf-8"))
+        _mark_staged(landing, fp)
+    back = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.blob"
+    ).load(landing)
+    src = F.regexp_extract(
+        F.col("path"), r"([^/]+)\.blob$", 1
+    ).alias("source")
+    per_file = back.select(
+        src,
+        F.col("length").alias("blob_bytes"),
+        F.sha2("content", 256).alias("blob_sha256"),
+    )
+    n_docs = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    return per_file.join(F.broadcast(n_docs), "source").select(
+        "source", "n_docs", "blob_bytes", "blob_sha256"
+    )
