@@ -68,6 +68,18 @@ PROBE_QUERIES = (
     "q_c67_corpus_datasheet",
     "q_m9_cdc_chunk_dedup",
     "q_m10_tar_member_offsets",
+    # round-5 additions over replicated tables (documents/lineitem;
+    # q_b106/q_b107/q_b110 run on the symlinked events table and
+    # q_b109 on event-derived intervals — absent for the same
+    # measure-the-op-not-the-copy reason as earlier rounds)
+    "q_c69_weighted_reservoir",
+    "q_c70_interleave_curriculum",
+    "q_c71_pii_class_audit",
+    "q_c72_ngram_novelty",
+    "q_c73_signature_probe_neardup",
+    "q_b108_transpose",
+    "q_b111_text_source",
+    "q_b112_binaryfile_source",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
