@@ -602,3 +602,72 @@ def test_running_distinct_rewrite_matches_bruteforce(spark, rows):
             seen.add(et)
             want[eid] = len(seen)
     assert got == want
+
+
+join_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # key
+        st.integers(min_value=-9, max_value=9),                        # payload
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(l=join_rows, r=join_rows,
+       how=st.sampled_from(["inner", "left", "right", "full", "semi", "anti"]))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_type_differential_vs_duckdb(spark, l, r, how):
+    """Differential fuzz of every join type against DuckDB on generated
+    tables WITH NULL keys — pins the full join-semantics matrix the
+    B8-B11 operators rely on: NULL keys never match under `=` in any
+    type, outer padding appears exactly where SQL says, semi/anti are
+    existence tests (no duplication from multiple matches)."""
+    import duckdb
+    import pandas as pd
+
+    ldf = pd.DataFrame(l, columns=["k", "a"]).astype({"a": "int64"})
+    rdf = pd.DataFrame(r, columns=["k", "b"]).astype({"b": "int64"})
+    sql_how = {
+        "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+        "full": "FULL OUTER JOIN", "semi": "SEMI JOIN", "anti": "ANTI JOIN",
+    }[how]
+    if how in ("semi", "anti"):
+        sql = f"SELECT l.k, l.a FROM l {sql_how} r ON l.k = r.k"
+    else:
+        sql = f"SELECT l.k AS lk, l.a, r.k AS rk, r.b FROM l {sql_how} r ON l.k = r.k"
+    def canon(rows):
+        return sorted(
+            (tuple(None if v is None or pd.isna(v) else int(v) for v in row)
+             for row in rows),
+            key=lambda t: tuple((v is None, v or 0) for v in t),
+        )
+
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    want = canon(con.execute(sql).fetchall())
+    con.close()
+
+    schema_l, schema_r = "k int, a long", "k int, b long"
+    sl = spark.createDataFrame(l, schema_l) \
+        if l else spark.createDataFrame([], schema_l)
+    sr = spark.createDataFrame(r, schema_r) \
+        if r else spark.createDataFrame([], schema_r)
+    spark_how = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
+    joined = sl.alias("l").join(
+        sr.alias("r"), F.col("l.k") == F.col("r.k"), spark_how
+    )
+    if how in ("semi", "anti"):
+        out = joined.select(F.col("l.k"), F.col("l.a"))
+    else:
+        out = joined.select(
+            F.col("l.k").alias("lk"), F.col("l.a"),
+            F.col("r.k").alias("rk"), F.col("r.b"),
+        )
+    got = canon(tuple(row) for row in out.collect())
+    assert got == want
