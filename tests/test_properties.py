@@ -671,3 +671,61 @@ def test_join_type_differential_vs_duckdb(spark, l, r, how):
         )
     got = canon(tuple(row) for row in out.collect())
     assert got == want
+
+
+win_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # partition key
+        st.integers(min_value=0, max_value=5),    # order key (ties common)
+        st.integers(min_value=-9, max_value=9),   # value
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=win_rows)
+@_settings
+def test_window_functions_differential_vs_duckdb(spark, rows):
+    """Differential fuzz of the window core (rank, dense_rank, running
+    sum, lag) against DuckDB on generated partitions with heavy order
+    ties — row identity disambiguates (id in the ORDER BY), so every
+    function is deterministic and must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    data = [(i, k, o, v) for i, (k, o, v) in enumerate(rows)]
+    pdf = pd.DataFrame(data, columns=["id", "k", "o", "v"]).astype("int64")
+    sql = """
+    SELECT id,
+           RANK() OVER w AS rk,
+           DENSE_RANK() OVER (PARTITION BY k ORDER BY o) AS drk,
+           CAST(SUM(v) OVER w AS BIGINT) AS run,
+           LAG(v) OVER w AS prev
+    FROM t WINDOW w AS (PARTITION BY k ORDER BY o, id
+                        ROWS UNBOUNDED PRECEDING)
+    """
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
+    con.close()
+
+    schema = "id long, k long, o long, v long"
+    df = spark.createDataFrame(data, schema) \
+        if data else spark.createDataFrame([], schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_ord = Window.partitionBy("k").orderBy("o", "id")
+    w_ties = Window.partitionBy("k").orderBy("o")
+    out = df.select(
+        "id",
+        F.rank().over(w_ord).alias("rk"),
+        F.dense_rank().over(w_ties).alias("drk"),
+        F.sum("v").over(w).alias("run"),
+        F.lag("v").over(w_ord).alias("prev"),
+    )
+    got = {r["id"]: (r["rk"], r["drk"], r["run"], r["prev"]) for r in out.collect()}
+    assert got == want
