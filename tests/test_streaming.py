@@ -285,3 +285,49 @@ def test_b96_tws_probe_and_registration(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_update_mode_emissions_are_monotone_changelog(spark, sf_dir):
+    """B110: update mode must emit a CHANGELOG — per key, between 1 and
+    n_batches rows (only batches that touched the key emit), with
+    n_events strictly increasing across emissions; the final emission
+    equals the batch aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    from etl_spark_eks_spark.streaming.stream_ops import (
+        events_stream_batched,
+    )
+
+    agg = (
+        events_stream_batched(sess, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tb110_changelog")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sess.table("tb110_changelog").collect()
+    by_key: dict[str, list[int]] = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r["n_events"])
+    batch = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(by_key) == set(batch)
+    for k, emissions in by_key.items():
+        assert 1 <= len(emissions) <= 4, (k, emissions)
+        assert emissions == sorted(emissions) and len(set(emissions)) == len(
+            emissions
+        ), f"{k}: emissions not strictly increasing: {emissions}"
+        assert max(emissions) == batch[k]
