@@ -1308,16 +1308,10 @@ def q_c73_signature_probe_neardup(spark, sf_dir):
     as C8's superset invariant, here strong enough to carry a full
     hash oracle).
 
-    Scale: the corpus is never re-read as text — the index is bands +
-    token-hash arrays (both persisted, both tiny vs the corpus), and
-    candidate volume is banded, never |batch|x|corpus|. Join strategy
-    is deliberately UNHINTED: at the bounded-daily-batch regime AQE
-    broadcasts the batch side by itself (verified at fixture scale —
-    identical results and slightly faster than the forced hint), and
-    when a backfill batch outgrows the broadcast threshold AQE
-    degrades to a co-partitioned shuffle join instead of OOMing the
-    executors on a forced 60k-doc broadcast — the 100x probe regime
-    that exposed this (SCALE.md round-5 100x table).
+    Scale: the corpus never shuffles and is never re-read as text —
+    the index is bands + token-hash arrays (both persisted, both tiny
+    vs the corpus); the batch side broadcasts (batch-sized by
+    construction); candidate volume is banded, never |batch|x|corpus|.
     """
     d = load_table(spark, sf_dir, "documents")
     corpus_txt = d.filter(F.col("doc_id") % 10 != 7)
@@ -1348,8 +1342,10 @@ def q_c73_signature_probe_neardup(spark, sf_dir):
     b_toks, b_bands = index(batch_txt)
 
     cand = (
-        b_bands.select(
-            F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
+        F.broadcast(
+            b_bands.select(
+                F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
+            )
         )
         .join(c_bands, ["band_idx", "band_hash"])
         .select(F.col("b_id"), F.col("doc_id").alias("c_id"))
@@ -1360,9 +1356,11 @@ def q_c73_signature_probe_neardup(spark, sf_dir):
     j = inter.cast("double") / union
     verified = (
         cand.join(
-            b_toks.select(
-                F.col("doc_id").alias("b_id"),
-                F.col("htoks").alias("b_htoks"),
+            F.broadcast(
+                b_toks.select(
+                    F.col("doc_id").alias("b_id"),
+                    F.col("htoks").alias("b_htoks"),
+                )
             ),
             "b_id",
         )
