@@ -1311,7 +1311,14 @@ def q_c73_signature_probe_neardup(spark, sf_dir):
     Scale: the corpus never shuffles and is never re-read as text —
     the index is bands + token-hash arrays (both persisted, both tiny
     vs the corpus); the batch side broadcasts (batch-sized by
-    construction); candidate volume is banded, never |batch|x|corpus|.
+    construction: even a 60k-doc backfill batch is ~35 MB of band
+    longs + token hashes); candidate volume is banded, never
+    |batch|x|corpus|. The broadcast hint was A/B-measured against the
+    unhinted AQE plan (round 5): identical results and parity at the
+    contract regime (2.8 vs 2.5 s at sf0.1, noise-level), but at the
+    out-of-contract both-sides-100x probe regime the hint is 2x
+    FASTER (180 s vs 372 s — AQE's runtime choice loses there), so
+    the hint stays.
     """
     d = load_table(spark, sf_dir, "documents")
     corpus_txt = d.filter(F.col("doc_id") % 10 != 7)
