@@ -451,3 +451,58 @@ def q_b101_sql_udf(spark, sf_dir):
         "RETURN disc_price(p, d) * (1 + t)"
     )
     return spark.sql(_B101_SQL)
+
+
+@query(
+    "q_b113_apply_in_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+             AS total_cents,
+           CAST(MAX(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+             AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_b113_apply_in_arrow(spark, sf_dir):
+    """B113: grouped-map via applyInArrow (Spark 4.0) — the last cell
+    of the Python-execution matrix: (pandas x arrow) x (map x
+    grouped-map x cogrouped): B52/B53 pandas scalar/grouped, B99
+    arrow map, B100 pandas cogrouped, this arrow grouped-map. The
+    UDF receives each group as a raw ``pyarrow.Table`` — no pandas
+    index/dtype round-trip — and folds it with pyarrow.compute
+    kernels into exact integer cents, so the per-group aggregate
+    matches the SQL oracle bit-for-bit.
+
+    Same single co-shuffle plan as B53 (one exchange on the group
+    key, then Python); the arrow path's payoff is per-batch constant
+    cost, which at 100 TB of many small groups is the difference
+    between the Python stage being conversion-bound vs compute-bound.
+    The B53/B63 salting rule applies unchanged when the group key is
+    skewed — the Spark key sizes the Arrow table the UDF holds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fold(table: "pa.Table") -> "pa.Table":
+        cents = pc.round(
+            pc.multiply(table.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
+                "n_orders": [table.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return o.groupBy("o_orderpriority").applyInArrow(
+        fold,
+        "o_orderpriority string, n_orders long, total_cents long, "
+        "max_cents long",
+    )
