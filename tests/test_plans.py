@@ -584,3 +584,25 @@ def test_ngram_novelty_single_corpus_scan(spark, sf_dir):
     plan = plan_of(registry.QUERIES["q_c72_ngram_novelty"](spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(sh" in plan
+
+
+def test_plan_lint_no_new_antipatterns(spark, sf_dir):
+    """Mechanical plan lint over EVERY batch query (tools/plan_lint.py):
+    no CartesianProduct/BroadcastNestedLoopJoin, no row-at-a-time
+    Python, no SinglePartition exchange — except the explicitly
+    allowlisted shapes whose docstrings own the justification
+    (k-sized tails, 1-row stat tables, bucket-offset windows, the
+    declared theta/cross surface demos). A new operator that silently
+    plans an anti-pattern fails here with a pointer to the lint."""
+    import sys
+    from pathlib import Path
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import plan_lint
+
+    # reuse the session fixture's scale via the lint's own tiny SF;
+    # the lint builds plans only (no DuckDB), ~2 min for the suite
+    violations = plan_lint.lint()
+    assert not violations, f"plan anti-patterns: {violations}"
