@@ -41,15 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_b105_running_distinct, q_c67_corpus_datasheet, q_c68_curriculum_phases,
 # added after round 4's driver run — have no official row at all.
 # Round 5 therefore leads with: (1) those 4 keys (all oracle-backed),
-# (2) any operators ADDED in round 5, (3) the 13 rows-only keys whose
-# last official run is r3 (q_b48, q_b49, q_b74, q_c8, q_c9, q_c12,
-# q_c14, q_c17, q_c21, q_c30, q_c39, q_c44, q_m4), plus q_b102 whose
-# r4 bench entry was flagged >2x and was re-measured this round,
+# (2) the 13 operators ADDED in round 5 (q_b106-q_b113, q_c69-q_c73 —
+# all oracle-backed), (3) the 13 rows-only keys whose last official
+# run is r3 (q_b48, q_b49, q_b74, q_c8, q_c9, q_c12, q_c14, q_c17,
+# q_c21, q_c30, q_c39, q_c44, q_m4) plus q_b102, whose r4 bench entry
+# was flagged >2x and re-measured this round (0.95x, noise — SCALE.md),
 # (4) back-fills the remaining slots with the OLDEST official greens
-# (r1-era q_a*/q_b1-16/q_b18/q_b23-40 keys) as regression re-checks so
-# no key's newest evidence stays four rounds stale. Every key remains
-# present and runnable regardless of order; tools/verify_driver.py
-# checks all of them.
+# as regression re-checks. Arithmetic: 4 + 13 + 14 = 31 lead keys,
+# so exactly 19 r1-era greens (q_a1..q_b15) make the 50-slot cap;
+# the remaining r1/r2 greens queue behind and refresh next round.
+# Every key remains present and runnable regardless of order;
+# tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) the only keys with no official driver row (added post-r4-run) --
     "q_b104_null_safe_join", "q_b105_running_distinct",
