@@ -191,3 +191,35 @@ def q_b90_multiset_ops(spark, sf_dir):
         )
     )
     return both_ms.unionByName(only96)
+
+
+@query(
+    "q_b114_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 30
+    """,
+)
+def q_b114_offset_pagination(spark, sf_dir):
+    """B114: keyset-free pagination — `ORDER BY ... LIMIT k OFFSET n`
+    (Spark 3.4+ SQL / `df.offset`), page 3 of the order book by price.
+    The API/report surface every SQL gateway exposes; deterministic
+    only because the sort key is TOTAL (price then key) — an
+    under-specified ORDER BY makes OFFSET return different pages
+    run-to-run, the classic pagination bug.
+
+    Scale: Spark plans global-sort + offset+limit collection; the
+    executors keep (n+k)-sized heads, the driver materializes n+k rows
+    and drops n — fine for report pages, and exactly why DEEP
+    pagination (n in the millions) should switch to keyset pagination
+    (WHERE sort_key > last_seen, B33's top-k shape) instead; the
+    docstring is the contract note."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(30)
+        .limit(15)
+    )

@@ -729,3 +729,62 @@ def test_window_functions_differential_vs_duckdb(spark, rows):
     )
     got = {r["id"]: (r["rk"], r["drk"], r["run"], r["prev"]) for r in out.collect()}
     assert got == want
+
+
+rollup_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # a
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # b
+        st.integers(min_value=-9, max_value=9),                       # v
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=rollup_rows.filter(lambda r: len(r) > 0),
+       mode=st.sampled_from(["ROLLUP", "CUBE"]))
+@_settings
+def test_rollup_cube_differential_vs_duckdb(spark, rows, mode):
+    """Differential fuzz of ROLLUP/CUBE with NULL-valued group keys —
+    the classic cross-engine hazard: subtotal rows use NULL as the
+    'all' marker, so natural NULL keys are only distinguishable via
+    GROUPING(). Both engines must agree on every (a, b, grouping_id,
+    count, sum) tuple, natural NULLs included.
+
+    Discovered divergence, excluded by the generator and recorded
+    here: on EMPTY input DuckDB emits the grand-total grouping set as
+    one (NULL, NULL, 3, 0, NULL) row (SQL-standard `GROUP BY ()`
+    yields one row over zero rows) while Spark's ROLLUP/CUBE returns
+    an empty result. None of this repo's oracle queries aggregate a
+    possibly-empty relation through grouping sets, so no operator is
+    exposed; any future one must pin one semantic explicitly."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["a", "b", "v"])
+    sql = f"""
+    SELECT a, b,
+           CAST(GROUPING(a) * 2 + GROUPING(b) AS BIGINT) AS gid,
+           COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+    FROM t GROUP BY {mode}(a, b)
+    """
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(
+        (tuple(None if v is None or pd.isna(v) else int(v) for v in r)
+         for r in con.execute(sql).fetchall()),
+        key=lambda t: tuple((x is None, x or 0) for x in t),
+    )
+    con.close()
+
+    schema = "a int, b int, v long"
+    df = spark.createDataFrame(rows, schema) \
+        if rows else spark.createDataFrame([], schema)
+    df.createOrReplaceTempView("t")
+    got = sorted(
+        (tuple(None if v is None else int(v) for v in r)
+         for r in spark.sql(sql).collect()),
+        key=lambda t: tuple((x is None, x or 0) for x in t),
+    )
+    assert got == want
