@@ -788,3 +788,69 @@ def test_rollup_cube_differential_vs_duckdb(spark, rows, mode):
         key=lambda t: tuple((x is None, x or 0) for x in t),
     )
     assert got == want
+
+
+page_rows = st.lists(
+    st.tuples(st.integers(min_value=-20, max_value=20)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=page_rows, n=st.integers(min_value=0, max_value=10),
+       k=st.integers(min_value=0, max_value=10))
+@_settings
+def test_limit_offset_pagination_differential(spark, rows, n, k):
+    """B114's pagination contract fuzzed: under a TOTAL order (value
+    then unique id), LIMIT k OFFSET n must return exactly the Python
+    slice sorted[n:n+k] — every page boundary, including past-the-end
+    offsets and k=0."""
+    data = [(i, v[0]) for i, v in enumerate(rows)]
+    schema = "id long, v long"
+    df = spark.createDataFrame(data, schema) \
+        if data else spark.createDataFrame([], schema)
+    got = [
+        (r["id"], r["v"])
+        for r in df.orderBy("v", "id").offset(n).limit(k).collect()
+    ]
+    want = sorted(((i, v) for i, v in data), key=lambda t: (t[1], t[0]))[
+        n : n + k
+    ]
+    assert got == want
+
+
+nullable_grouped = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                       # group
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)), # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=nullable_grouped)
+@_settings
+def test_count_distinct_nulls_differential_vs_duckdb(spark, rows):
+    """COUNT(DISTINCT) / COUNT(col) / COUNT(*) NULL semantics per group
+    must agree with DuckDB on generated data: DISTINCT and COUNT(col)
+    skip NULLs, COUNT(*) does not — the exact contract B18's operator
+    and every audit query in the suite lean on."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    sql = """
+    SELECT g, COUNT(DISTINCT v) AS d, COUNT(v) AS c, COUNT(*) AS n
+    FROM t GROUP BY g
+    """
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(tuple(int(x) for x in r) for r in con.execute(sql).fetchall())
+    con.close()
+    schema = "g long, v int"
+    df = spark.createDataFrame(rows, schema) \
+        if rows else spark.createDataFrame([], schema)
+    df.createOrReplaceTempView("t")
+    got = sorted(tuple(int(x) for x in r) for r in spark.sql(sql).collect())
+    assert got == want
