@@ -778,3 +778,75 @@ def q_b108_transpose(spark, sf_dir):
     t = summary.transpose()
     first = t.columns[0]
     return t.withColumnRenamed(first, "metric")
+
+
+@query(
+    "q_b115_mode_median",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+               COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY COUNT(*) DESC, l_quantity ASC
+               ) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    best AS (
+        SELECT l_returnflag, l_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey DESC
+               ) AS rn
+        FROM lineitem
+    )
+    SELECT m.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(MEDIAN(m.l_quantity::DOUBLE), 6) AS median_qty,
+           MAX(r.l_quantity) AS mode_qty,
+           MAX(b.l_orderkey) AS top_revenue_order
+    FROM lineitem m
+    JOIN ranked r ON r.l_returnflag = m.l_returnflag AND r.rn = 1
+    JOIN best   b ON b.l_returnflag = m.l_returnflag AND b.rn = 1
+    GROUP BY m.l_returnflag
+    ORDER BY m.l_returnflag
+    """,
+)
+def q_b115_mode_median(spark, sf_dir):
+    """B115: order-statistic / argmax aggregate family — exact
+    ``median`` (interpolated, the percentile_cont(0.5) shorthand),
+    ``mode`` with ``deterministic=True`` (ties resolve to the LOWEST
+    value — without it the answer is partition-order-dependent and the
+    value hash would flip run to run), and ``max_by`` (argmax: WHICH
+    order carried the group's highest revenue — the lookup that
+    otherwise costs a join back). The max_by ordering key is
+    ``struct(l_extendedprice, l_orderkey)`` — struct comparison is
+    lexicographic, so equal prices break ties on the key and the
+    argmax is total-ordered; a bare double ordering key would be
+    nondeterministic under price ties, same class of bug as an
+    unordered listagg (B103).
+
+    The oracle spells both tie-broken aggregates as count/row_number
+    rewrites — the semantics, independently derived, rather than
+    trusting DuckDB's mode/arg_max tie behavior to coincide.
+
+    Scale: median and mode are the two non-trivially-mergeable members
+    — Spark plans them as sort-based aggregates carrying the group's
+    values; fine while a group fits a reducer (3 groups here), and the
+    documented ladder beyond that is B88's percentile_approx for
+    median and a count-groupBy + max_by two-pass for mode (both
+    mergeable, both one shuffle). max_by itself is a 16-byte
+    associative state — scales like MAX."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.median("l_quantity"), 6).alias("median_qty"),
+            F.mode("l_quantity", True).alias("mode_qty"),
+            F.max_by(
+                "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+            ).alias("top_revenue_order"),
+        )
+        .orderBy("l_returnflag")
+    )

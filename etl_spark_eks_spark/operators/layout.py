@@ -84,3 +84,88 @@ def q_c35_sorted_layout(spark, sf_dir):
     return spark.read.parquet(out).select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
     )
+
+
+_Z_BITS = 8  # per-dimension quantization width; z-value uses 2*_Z_BITS bits
+
+
+def zvalue_column(qa, qb):
+    """Morton (Z-curve) interleave of two ``_Z_BITS``-bit quantized
+    columns, built entirely from JVM bitwise expressions (shiftright /
+    AND / multiply-by-power-of-two folded constant) — no UDF, stays
+    inside whole-stage codegen. ``qa``'s bits land in odd positions
+    (it gets the tie-break priority), ``qb``'s in even."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        bit_a = F.shiftright(qa, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(qb, i).bitwiseAND(F.lit(1))
+        z = z + bit_a * F.lit(1 << (2 * i + 1)) + bit_b * F.lit(1 << (2 * i))
+    return z
+
+
+@query(
+    "q_c74_zorder_layout",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    """,
+)
+def q_c74_zorder_layout(spark, sf_dir):
+    """C74 (extension): Z-ORDER (Morton-curve) multi-column layout —
+    the 2-D generalization C35's docstring points at. A 1-D range
+    cluster on l_partkey gives perfect zone maps on l_partkey and
+    USELESS ones on l_suppkey (every file spans the full supplier
+    range); interleaving the bits of both quantized keys into one sort
+    key localizes files in BOTH dimensions at once, so footer min/max
+    prunes predicates on either column. The lakehouse engines (Delta
+    OPTIMIZE ZORDER BY, Iceberg sort orders) sell exactly this rewrite;
+    here it is ~15 lines of bitwise Catalyst expressions.
+
+    Shape: 1-row min/max agg over the two keys (broadcast crossJoin) ->
+    integer quantization to 8 bits per dimension ((x-lo)*256 integer-div
+    span, exact cross-engine) -> bit-interleave (zvalue_column, pure
+    JVM) -> repartitionByRange(z) + sortWithinPartitions(z) write. The
+    content is untouched — the oracle is the identity SELECT, as C35 —
+    and the layout property (both dimensions prune from footers alone;
+    a 1-D layout provably cannot on the second) is asserted in
+    tests/test_tier_c.py from parquet footer stats.
+
+    Scale: identical cost envelope to C35 — one stats agg (map-side
+    fold to 1 row), one range shuffle on the z key, per-partition
+    spillable sort; runs once after corpus assembly, amortized over
+    every 2-D-predicate scan. Knobs: bits per dimension (8 here; 16 for
+    billion-key domains) and the dimension list — beyond ~4 dimensions
+    per-dimension selectivity collapses (each gets 2*BITS/d bits) and a
+    Hilbert curve or separate layouts win; that cliff is a documented
+    property of the encoding, not of this plan."""
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = fresh_scratch("q_c74", tag, "out")
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    bounds = li.agg(
+        F.min("l_partkey").alias("p_lo"), F.max("l_partkey").alias("p_hi"),
+        F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"),
+    )
+    q = li.crossJoin(F.broadcast(bounds))
+    span = 1 << _Z_BITS
+    qa = ((F.col("l_partkey") - F.col("p_lo")) * span).cast("long") / (
+        F.col("p_hi") - F.col("p_lo") + 1
+    )
+    qb = ((F.col("l_suppkey") - F.col("s_lo")) * span).cast("long") / (
+        F.col("s_hi") - F.col("s_lo") + 1
+    )
+    z = zvalue_column(F.floor(qa).cast("int"), F.floor(qb).cast("int"))
+    (
+        q.withColumn("zval", z)
+        .repartitionByRange(_LAYOUT_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .select(*cols)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(*cols)

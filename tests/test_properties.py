@@ -854,3 +854,46 @@ def test_count_distinct_nulls_differential_vs_duckdb(spark, rows):
     df.createOrReplaceTempView("t")
     got = sorted(tuple(int(x) for x in r) for r in spark.sql(sql).collect())
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5),
+                  st.integers(-100, 100)),
+        min_size=1, max_size=40,
+    )
+)
+def test_mode_median_maxby_deterministic_tiebreak(spark, rows):
+    """B115: Spark's mode(col, deterministic=True) must equal the
+    count/row_number rewrite (lowest value among tied frequencies),
+    and max_by over a struct(ord, key) must equal the sort-based
+    argmax with the same tie-break — on tie-heavy generated groups
+    where a bare nondeterministic aggregate would flip."""
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [(g, v, k) for g, v, k in rows], "g int, v int, k int"
+    )
+    got = {
+        r["g"]: (r["m"], r["am"])
+        for r in df.groupBy("g")
+        .agg(
+            F.mode("v", True).alias("m"),
+            F.max_by("k", F.struct("v", "k")).alias("am"),
+        )
+        .collect()
+    }
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for g, v, k in rows:
+        by_g.setdefault(g, []).append((v, k))
+    for g, pairs in by_g.items():
+        cnt = Counter(v for v, _ in pairs)
+        best = max(cnt.values())
+        expect_mode = min(v for v, c in cnt.items() if c == best)
+        expect_argmax = max(pairs)[1]
+        assert got[g] == (expect_mode, expect_argmax), (
+            f"group {g}: got {got[g]}, "
+            f"expected {(expect_mode, expect_argmax)}"
+        )

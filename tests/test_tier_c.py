@@ -443,6 +443,31 @@ def test_sorted_layout_zone_maps_disjoint(spark, sf_dir):
         )
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
+    """C74: after the Z-order rewrite, parquet footer min/max must
+    localize files in BOTH cluster dimensions — a point predicate at
+    the low corner of l_partkey AND of l_suppkey each skips at least
+    a quarter of the files without opening them. A 1-D range layout
+    can only ever prune on its own sort column (every file spans the
+    full range of the other), which is exactly what this pins."""
+    from etl_spark_eks_spark.operators.layout import file_ranges
+    from etl_spark_eks_spark.sources.parquet_io import scratch_path
+
+    registry.QUERIES["q_c74_zorder_layout"](spark, sf_dir).count()
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = scratch_path("q_c74", tag, "out")
+    for col in ("l_partkey", "l_suppkey"):
+        ranges = file_ranges(out, col)
+        assert len(ranges) > 1, "layout should produce multiple files"
+        lo = min(r[1] for r in ranges)
+        containing = sum(1 for _, mn, mx in ranges if mn <= lo <= mx)
+        pruned = len(ranges) - containing
+        assert pruned >= len(ranges) // 4, (
+            f"{col}: corner predicate prunes only {pruned} of "
+            f"{len(ranges)} files — z-interleave not localizing"
+        )
+
+
 def test_media_phash_neardup_invariants(spark, sf_dir):
     """M4: identical payloads must collapse to identical perceptual
     hashes (and so appear as Hamming-0 candidate pairs when cloned);
