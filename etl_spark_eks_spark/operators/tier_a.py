@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.functions.exact import dsum
 from etl_spark_eks_spark.registry import query
 from etl_spark_eks_spark.sources.parquet_io import scratch_path, write_parquet
 
@@ -117,3 +118,65 @@ def q_a8_catalog_projection(spark, sf_dir):
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         F.lit(INGEST_TS).cast("timestamp").alias("ingest_ts"),
     )
+
+
+@query(
+    "q_b117_cached_multi_action",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT 'n_rows' AS metric, l_returnflag AS key,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM base GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'revenue' AS metric, l_returnflag AS key,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS value
+    FROM base GROUP BY l_returnflag
+    ORDER BY metric, key
+    """,
+)
+def q_b117_cached_multi_action(spark, sf_dir):
+    """B117: explicit cache for multi-consumer plans — the fix for the
+    reference job's one real plan-level defect. The reference runs
+    show(20), count(), and the write as three separate actions off the
+    same logical tree, so the parquet scan executes THREE times
+    (reference workflow-examples/pyspark-taxi-trip.py:43-51; SURVEY
+    §3.3 calls this "the first thing the new engine fixes"). Here one
+    filtered projection is `.cache()`d and two downstream aggregations
+    (row counts and exact-decimal revenue per returnflag) read the
+    materialized columnar block instead of re-scanning: the returned
+    plan shows two InMemoryTableScans over ONE FileScan, pinned in
+    tests/test_plans.py.
+
+    The cache is deliberately NOT unpersisted inside this function —
+    the driver materializes the returned DataFrame after we return, and
+    an unpersisted plan would silently fall back to re-scanning (the
+    bug this operator exists to demonstrate against). The entry is
+    projected+filtered first (cache AFTER pruning, so the block stores
+    4 columns of the matching rows, not the table).
+
+    Scale: caching is a cost decision, not a default — a 100 TB scan
+    cached at full width evicts everything else; the discipline shown
+    is cache-the-reduced-intermediate (post-filter, post-projection,
+    pre-fan-out), the same rule Spark's own docs give for iterative
+    consumers. MEMORY_AND_DISK default spills gracefully; localCheckpoint
+    (used by C18/C61's loops) is the lineage-truncating sibling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(F.col("l_shipdate") < "1998-09-02")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .cache()
+    )
+    n = base.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("value")
+    ).select(F.lit("n_rows").alias("metric"),
+             F.col("l_returnflag").alias("key"), "value")
+    rev = base.groupBy("l_returnflag").agg(
+        dsum((F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("value")
+    ).select(F.lit("revenue").alias("metric"),
+             F.col("l_returnflag").alias("key"), "value")
+    return n.unionByName(rev).orderBy("metric", "key")

@@ -415,3 +415,88 @@ def q_c66_feed_anomaly_zscore(spark, sf_dir):
             (F.abs(z) > 2.0).alias("anomalous"),
         )
     )
+
+
+@query(
+    "q_b116_event_sequence_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY date_trunc('milliseconds', ts), event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           seq,
+           CAST(LENGTH(seq) AS BIGINT) AS n_events,
+           CAST(LENGTH(seq) - LENGTH(REPLACE(seq, 'e', '')) AS BIGINT)
+               AS n_errors,
+           (LENGTH(seq) - LENGTH(REPLACE(seq, 'vp', ''))) / 2
+               AS n_direct_vp,
+           regexp_matches(seq, 'v[^e]*c[^e]*p') AS has_clean_conversion
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def q_b116_event_sequence_match(spark, sf_dir):
+    """B116: ordered event-SEQUENCE pattern matching — the
+    MATCH_RECOGNIZE / complex-event-processing analogue Spark has no
+    native operator for. Each user's event history becomes a compact
+    symbol string (one initial per event type, totally ordered by
+    (epoch-ms, event_id) — the fixture's five types have distinct
+    initials), and sequence questions become string/regex questions:
+    did a view lead to a click lead to a purchase with no error
+    between them ('v[^e]*c[^e]*p'), how many immediate view→purchase
+    adjacencies ('vp' literal count via the replace-length identity,
+    whose left-to-right non-overlap semantics are identical across
+    engines). B85's funnel counts stage arrivals; this keeps the whole
+    ordered trace, so any regular-language pattern is one expression
+    away. The full symbol string is a returned column — the value hash
+    therefore pins the exact total order, not just derived counts.
+
+    The regex is deliberately alternation-free and anchored by
+    existence (regexp_matches), where Java regex and RE2 agree;
+    counting under greedy backtracking vs RE2 automata is the
+    documented dialect hazard this query's design avoids.
+
+    Scale: one shuffle on user_id; collect_list holds one user's
+    events (the per-entity-trace invariant every CEP engine shares —
+    a 10M-event single user needs B63's salting or a time-sliced
+    pre-fold first, documented not silent). The sort is per-group
+    array_sort, never a global orderBy; the ms tie-break + event_id
+    makes the symbol string deterministic at both engines' timestamp
+    precisions (events.ts is ns in parquet, µs in Spark — ms + id is
+    stable under both truncations; date_trunc not unix_micros because
+    the fixture loads as TIMESTAMP_NTZ, which unix_* refuses)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("millisecond", "ts").alias("ms"),
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ms", "event_id", "ini"))),
+                lambda x: x["ini"],
+            ),
+        ).alias("seq")
+    )
+    return (
+        seqs.select(
+            "user_id",
+            "seq",
+            F.length("seq").cast("long").alias("n_events"),
+            (F.length("seq") - F.length(F.regexp_replace("seq", "e", "")))
+            .cast("long")
+            .alias("n_errors"),
+            (
+                (F.length("seq") - F.length(F.regexp_replace("seq", "vp", "")))
+                / 2
+            ).alias("n_direct_vp"),
+            F.col("seq").rlike("v[^e]*c[^e]*p").alias("has_clean_conversion"),
+        )
+        .orderBy("user_id")
+    )

@@ -606,3 +606,47 @@ def test_plan_lint_no_new_antipatterns(spark, sf_dir):
     # the lint builds plans only (no DuckDB), ~2 min for the suite
     violations = plan_lint.lint()
     assert not violations, f"plan anti-patterns: {violations}"
+
+
+def test_cached_multi_action_reads_memory_not_files(spark, sf_dir):
+    """B117: both aggregation branches of the union must read the
+    cached intermediate (two InMemoryTableScans), and the file scan
+    must appear only INSIDE the cached relation — the whole point is
+    that lineitem is scanned once, not once per consumer (the
+    reference job's triple-scan defect, SURVEY §3.3)."""
+    df = registry.QUERIES["q_b117_cached_multi_action"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # The only FileScan of lineitem lives inside the InMemoryRelation
+    # (the cache's own materialization plan), not at the leaves of
+    # either aggregation branch.
+    physical = plan.split("== Physical Plan ==")[1]
+    before_cache = physical.split("InMemoryRelation")[0]
+    assert "Scan parquet" not in before_cache, before_cache
+
+
+def test_zorder_layout_is_single_range_exchange(spark, sf_dir):
+    """C74: the z-value bit-interleave must stay a JVM expression —
+    no Python evaluation anywhere — and the only wide operation in
+    the write plan is the range exchange on the z key (the stats agg
+    broadcast-joins)."""
+    from etl_spark_eks_spark.catalog import load_table
+    from etl_spark_eks_spark.operators.layout import zvalue_column
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("p_lo"), F.max("l_partkey").alias("p_hi"),
+        F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"),
+    )
+    q = li.crossJoin(F.broadcast(bounds))
+    qa = F.floor(((F.col("l_partkey") - F.col("p_lo")) * 256).cast("long")
+                 / (F.col("p_hi") - F.col("p_lo") + 1)).cast("int")
+    qb = F.floor(((F.col("l_suppkey") - F.col("s_lo")) * 256).cast("long")
+                 / (F.col("s_hi") - F.col("s_lo") + 1)).cast("int")
+    laid = q.withColumn("zval", zvalue_column(qa, qb)).repartitionByRange(
+        8, "zval"
+    )
+    plan = plan_of(laid)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("rangepartitioning") + plan.count("RangePartitioning") >= 1, plan
