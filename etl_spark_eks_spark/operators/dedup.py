@@ -1385,3 +1385,120 @@ def q_c73_signature_probe_neardup(spark, sf_dir):
         F.min("c_id").alias("match_doc_id"),
         F.round(F.max("j"), 6).alias("best_jaccard"),
     )
+
+
+@query(
+    "q_c75_segment_dedup_rewrite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), c AS (
+      SELECT s.doc_id, CAST(i / 10 AS INTEGER) AS seg_idx,
+             array_to_string(s.toks[i + 1 : i + 10], ' ') AS seg_text
+      FROM s, UNNEST(range(0, n, 10)) AS r(i)
+    ), hot AS (
+      SELECT seg_text FROM c GROUP BY seg_text
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT c.doc_id, c.seg_idx, c.seg_text,
+             (hot.seg_text IS NOT NULL) AS removed
+      FROM c LEFT JOIN hot USING (seg_text)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           ROUND(SUM(CASE WHEN removed THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS removed_frac,
+           COALESCE(string_agg(CASE WHEN NOT removed THEN seg_text END,
+                               ' ' ORDER BY seg_idx), '') AS new_text
+    FROM m GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_c75_segment_dedup_rewrite(spark, sf_dir):
+    """C75 (extension): segment-granular corpus dedup that REWRITES
+    documents — the RefinedWeb/C4 "line dedup" pass. Whole-doc dedup
+    (C1) drops copies; C37 merely REPORTS shared passages; this one
+    removes every 10-token segment whose exact text occurs in >= 2
+    distinct documents and re-assembles each doc from its surviving
+    segments in order — boilerplate headers/footers vanish while the
+    unique prose stays. Per doc: segment counts, removed fraction, and
+    the rewritten text itself (hash-checked, so the reassembly order
+    and the empty-doc edge — an all-boilerplate doc collapses to '' —
+    are both pinned; the oracle needs the COALESCE for exactly that
+    row).
+
+    Shape: tokenize → non-overlapping 10-token segments (explode of a
+    stride sequence, zero shuffle) → one (seg_text) groupBy for the
+    distinct-doc frequency → the HOT-segment table (df >= 2 is a tiny
+    fraction of the corpus) joins back → one doc_id groupBy rebuilds
+    the text via array_sort(collect_list(struct(seg_idx, seg))).
+
+    Scale: two map-side-combined shuffles (segment frequency, doc
+    reassembly) + one join whose build side is only the boilerplate
+    segments — broadcastable at any corpus size where boilerplate is
+    sparse; if it isn't sparse the join degrades to a hash join on
+    seg_text, still never all-pairs. collect_list holds ONE document's
+    segments (bounded by doc length), the same per-entity invariant as
+    B116. Segments hash as full strings here for oracle parity; at
+    100 TB the join key would be xxhash64(seg_text) (C50's injective
+    ladder) so only 8-byte keys shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select("doc_id", tokenize("text").alias("toks"))
+    toks = toks.withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    segs = toks.withColumn(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(10))),
+    ).select(
+        "doc_id",
+        (F.col("start") / 10).cast("int").alias("seg_idx"),
+        F.array_join(F.slice("toks", F.col("start") + 1, 10), " ")
+        .alias("seg_text"),
+    )
+    hot = (
+        segs.groupBy("seg_text")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("seg_text")
+    )
+    marked = segs.join(
+        F.broadcast(hot.withColumn("removed", F.lit(True))),
+        "seg_text",
+        "left",
+    ).withColumn("removed", F.coalesce("removed", F.lit(False)))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("removed"),
+                                F.struct("seg_idx", "seg_text"),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg_text"],
+                ),
+            ).alias("new_text"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_removed",
+            F.round(F.col("n_removed") / F.col("n_segments"), 6)
+            .alias("removed_frac"),
+            "new_text",
+        )
+        .orderBy("doc_id")
+    )

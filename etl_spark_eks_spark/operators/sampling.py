@@ -1142,3 +1142,93 @@ def q_c70_interleave_curriculum(spark, sf_dir):
             F.round((F.col("src_rank") - 0.5) / F.col("wt"), 6).alias("pos"),
         )
     )
+
+
+@query(
+    "q_c76_epoch_upsample",
+    oracle=f"""
+    WITH stats AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+        FROM documents GROUP BY lang
+    ), budget AS (
+        SELECT MAX(lang_chars) AS target FROM stats
+    ), rates AS (
+        SELECT s.lang,
+               CAST(b.target AS DOUBLE) / s.lang_chars AS epochs
+        FROM stats s CROSS JOIN budget b
+    )
+    SELECT d.doc_id, d.lang, r.repeat_idx,
+           ROUND(rr.epochs, 6) AS epochs
+    FROM documents d
+    JOIN rates rr USING (lang),
+         UNNEST(range(0, CAST(CEIL(rr.epochs) AS BIGINT))) AS r(repeat_idx)
+    WHERE r.repeat_idx < FLOOR(rr.epochs)
+       OR (r.repeat_idx = FLOOR(rr.epochs)
+           AND {_bucket_sql("d.doc_id * 1000 + r.repeat_idx")}
+               < CAST(FLOOR(1000 * (rr.epochs - FLOOR(rr.epochs)))
+                      AS BIGINT))
+    ORDER BY d.doc_id, r.repeat_idx
+    """,
+)
+def q_c76_epoch_upsample(spark, sf_dir):
+    """C76 (extension): epoch-aware UP-sampling to a per-language token
+    budget — the other half of C23/C40's down-sampling story. When a
+    mixture calls for more of a language than the corpus holds, the
+    dataloader repeats it: every language is raised to the LARGEST
+    language's character budget, each doc emitted floor(epochs) times
+    plus one fractional epoch selected by the C22 permille bucket of
+    (doc_id, repeat_idx) — so the fractional pass picks a reproducible
+    subset, disjoint decisions per repeat, stable under reruns and
+    appends. Output is the materialized replication plan (doc_id,
+    repeat_idx): exactly what a training manifest consumes, and the
+    value hash pins every per-doc keep/drop decision at the fractional
+    boundary.
+
+    Shape: one map-side-combined stats agg (5 rows) → broadcast rates
+    join → explode(sequence(0, ceil(epochs)-1)) with the bucket filter
+    fused into the generator output — zero corpus shuffle; rows out ≈
+    corpus × mean epochs.
+
+    Scale: the corpus is touched once and never exchanged; the only
+    aggregate is language-cardinality-sized. The documented hazard is
+    DEGENERATE BUDGETS — one language 1000× smaller than the largest
+    explodes 1000 repeat rows per doc; production caps epochs (the
+    D4/DoReMi guidance caps ~4-5 epochs before repetition hurts), and
+    the cap is one LEAST() on the rate table, not a plan change."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.sum("n_chars").alias("lang_chars"))
+    budget = stats.agg(F.max("lang_chars").alias("target"))
+    rates = stats.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        (F.col("target").cast("double") / F.col("lang_chars")).alias("epochs"),
+    )
+    rep = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .withColumn(
+            "repeat_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil("epochs").cast("long") - 1, F.lit(1)
+                )
+            ),
+        )
+    )
+    # floor BEFORE the integer cast on both sides: DuckDB's
+    # double->BIGINT CAST rounds-to-nearest while Spark's truncates —
+    # measured as a one-row divergence at a .6 permille boundary.
+    frac_keep = hash_bucket(
+        F.col("doc_id") * 1000 + F.col("repeat_idx")
+    ) < F.floor(1000 * (F.col("epochs") - F.floor("epochs"))).cast("long")
+    return (
+        rep.filter(
+            (F.col("repeat_idx") < F.floor("epochs")) | frac_keep
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "repeat_idx",
+            F.round("epochs", 6).alias("epochs"),
+        )
+        .orderBy("doc_id", "repeat_idx")
+    )

@@ -1682,3 +1682,88 @@ def q_c72_ngram_novelty(spark, sf_dir):
             F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "q_c77_vocab_oov_audit",
+    oracle="""
+    WITH inst AS (
+        SELECT d.lang, t.tok
+        FROM documents d,
+             UNNEST(list_filter(string_split_regex(d.text, '\\s+'),
+                                x -> x <> '')) AS t(tok)
+    ), lt AS (
+        SELECT lang, tok, COUNT(*) AS cnt FROM inst GROUP BY lang, tok
+    ), freq AS (
+        SELECT tok, CAST(SUM(cnt) AS BIGINT) AS cnt FROM lt GROUP BY tok
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+            FROM freq
+        ) WHERE rn <= 256
+    )
+    SELECT lt.lang,
+           CAST(SUM(lt.cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN lt.cnt ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN lt.cnt ELSE 0 END)::DOUBLE
+                 / SUM(lt.cnt), 6) AS oov_rate,
+           CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN lt.tok END)
+                AS BIGINT) AS distinct_oov
+    FROM lt LEFT JOIN vocab v USING (tok)
+    GROUP BY lt.lang
+    ORDER BY lt.lang
+    """,
+)
+def q_c77_vocab_oov_audit(spark, sf_dir):
+    """C77 (extension): tokenizer-vocabulary coverage audit — fix a
+    vocabulary (top-256 tokens by corpus frequency, ties to the
+    lexicographically smallest so the cut is total-ordered) and report
+    each language's out-of-vocabulary mass: total tokens, OOV tokens,
+    OOV rate, distinct OOV types. This is the "does the tokenizer fit
+    the corpus" gate run before committing a vocab size — the per-lang
+    split shows exactly which language pays for a shared vocabulary
+    (the under-represented ones, whose text fragments into OOV/bytes —
+    the fertility problem C51's BPE induction then addresses).
+
+    Shape: one (lang, token) map-side-combined agg over the exploded
+    corpus — every later stage works on that table, never the corpus:
+    global frequencies re-aggregate it (vocab-bounded), the top-256
+    rank window runs on the frequency table, and the vocab join is a
+    256-row broadcast against the (lang, token) counts. The corpus is
+    scanned once and shuffled once.
+
+    Scale: the vocab cut is rank-over-token-table (C42's hot-key
+    lesson: never rank the instance stream); the (lang, token) table
+    is vocab x languages, millions of rows at web scale — trivially
+    shuffleable. distinct-OOV folds from the same table with no extra
+    pass."""
+    d = load_table(spark, sf_dir, "documents")
+    inst = widen(d).select(
+        "lang", F.explode(tokenize("text")).alias("tok")
+    )
+    lt = inst.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    freq = lt.groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 256)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    joined = lt.join(F.broadcast(vocab), "tok", "left")
+    oov_cnt = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(oov_cnt).alias("oov_tokens"),
+            F.round(F.sum(oov_cnt) / F.sum("cnt"), 6).alias("oov_rate"),
+            F.count_distinct(
+                F.when(F.col("in_vocab").isNull(), F.col("tok"))
+            ).alias("distinct_oov"),
+        )
+        .orderBy("lang")
+    )

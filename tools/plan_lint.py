@@ -71,6 +71,7 @@ ALLOW_CARTESIAN = {
     "q_c55_ngram_contamination",  # broadcast benchmark shingle set
     "q_c64_containment_neardup",  # pigeonhole prefix probe (docstring: measured shape)
     "q_c68_curriculum_phases",    # 1-row budget total
+    "q_c76_epoch_upsample",    # 1-row budget x language-count rate table (docstring: zero corpus shuffle)
     "q_c45_length_banded_packing",  # band-offset table
     "q_c24_pack_shards",       # bucket-offset broadcast
     "q_m3_media_shard_pack",
