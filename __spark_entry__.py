@@ -41,15 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_b105_running_distinct, q_c67_corpus_datasheet, q_c68_curriculum_phases,
 # added after round 4's driver run — have no official row at all.
 # Round 5 therefore leads with: (1) those 4 keys (all oracle-backed),
-# (2) the 14 operators ADDED in round 5 (q_b106-q_b114, q_c69-q_c73 —
+# (2) the 25 operators ADDED in round 5 (q_b106-q_b117, q_c69-q_c77 —
 # all oracle-backed), (3) the 13 rows-only keys whose last official
 # run is r3 (q_b48, q_b49, q_b74, q_c8, q_c9, q_c12, q_c14, q_c17,
 # q_c21, q_c30, q_c39, q_c44, q_m4) plus q_b102, whose r4 bench entry
 # was flagged >2x and re-measured this round (0.95x, noise — SCALE.md),
 # (4) back-fills the remaining slots with the OLDEST official greens
-# as regression re-checks. Arithmetic: 4 + 14 + 14 = 32 lead keys,
-# so exactly 18 r1-era greens (q_a1..q_b11) make the 50-slot cap;
-# the remaining r1/r2 greens queue behind and refresh next round.
+# as regression re-checks. Arithmetic: 4 + 25 + 14 = 43 lead keys,
+# so exactly 7 r1-era greens (q_a1..q_a8, minus the A3 gap) make the
+# 50-slot cap; the remaining r1/r2 greens queue behind for next round.
 # Every key remains present and runnable regardless of order;
 # tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
