@@ -726,3 +726,70 @@ def q_b110_stream_update_mode(spark, sf_dir):
         .select("event_type", "n_events", "value_micros")
     )
     return spark.createDataFrame(final.collect(), schema=final.schema)
+
+
+@query(
+    "q_b118_stream_progress_metrics",
+    oracle="""
+    WITH q AS (
+        SELECT ntile(4) OVER (
+            ORDER BY date_trunc('microseconds', ts), event_id
+        ) AS k
+        FROM events
+    )
+    SELECT CAST(k - 1 AS BIGINT) AS batch_idx,
+           CAST(COUNT(*) AS BIGINT) AS num_input_rows
+    FROM q GROUP BY k ORDER BY batch_idx
+    """,
+)
+def q_b118_stream_progress_metrics(spark, sf_dir):
+    """B118: streaming OBSERVABILITY surface — per-micro-batch progress
+    metrics read back from the engine's own instrumentation
+    (``StreamingQuery.recentProgress``), the Spark-native form of the
+    reference's metrics plumbing (Prometheus servlet on the driver,
+    sensor-sqs-sparkjobs.yaml:111-123; event logs to the History
+    Server, spark-operator-taxi.yaml:33-36). A pipeline you cannot
+    see processing is a pipeline you cannot operate: every production
+    streaming deployment alarms on exactly these numbers (rows per
+    trigger, batch cadence, watermark lag).
+
+    The time-ordered replay stages file k as the k-th (ts, event_id)
+    ntile of events, and the file source processes oldest-first — so
+    batch k's ``numInputRows`` must equal the k-th quantile's row
+    count, which is a plain SQL window statement: the oracle
+    recomputes the engine's own telemetry from the data. (DuckDB
+    orders by the µs-truncated ts to match Spark's parquet-ns
+    truncation; event_id breaks the remaining ties totally.)
+
+    Scale: recentProgress is driver-resident, bounded (last ~100
+    updates), and costs nothing on executors — the metrics are
+    byproducts of batch planning, not an extra job. The returned
+    frame is batch-count-sized. Zero-row trailing batches (an
+    availableNow artifact) are filtered, documented here rather than
+    silently absent."""
+    from etl_spark_eks_spark.streaming.stream_ops import (
+        events_stream_time_ordered,
+    )
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = events_stream_time_ordered(sess, sf_dir)
+    q = (
+        stream.writeStream.format("noop")
+        .option(
+            "checkpointLocation",
+            fresh_scratch("q_b118", sf_dir.strip("/").replace("/", "_"), "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (i, int(p["numInputRows"]))
+        for i, p in enumerate(
+            p for p in q.recentProgress if int(p["numInputRows"]) > 0
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "batch_idx bigint, num_input_rows bigint"
+    )

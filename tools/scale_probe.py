@@ -80,6 +80,15 @@ PROBE_QUERIES = (
     "q_b108_transpose",
     "q_b111_text_source",
     "q_b112_binaryfile_source",
+    # this session's additions over replicated tables (documents/
+    # lineitem; q_b116 runs on the symlinked events table — absent for
+    # the measure-the-op-not-the-copy reason above)
+    "q_c74_zorder_layout",
+    "q_c75_segment_dedup_rewrite",
+    "q_c76_epoch_upsample",
+    "q_c77_vocab_oov_audit",
+    "q_b115_mode_median",
+    "q_b117_cached_multi_action",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
