@@ -17,9 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from etl_spark_eks_spark.catalog import load_table
-from etl_spark_eks_spark.functions.text import token_stats
+from etl_spark_eks_spark.catalog import load_table, widen
+from etl_spark_eks_spark.functions.text import token_stats, tokenize
 from etl_spark_eks_spark.operators.dedup import jaccard_near_dedup
+from etl_spark_eks_spark.operators.sampling import (
+    hash_bucket,
+    running_total_before,
+)
 from etl_spark_eks_spark.registry import query
 
 
@@ -233,3 +237,115 @@ def q_c54_filter_ensemble(spark, sf_dir):
         n_failed.cast("int").alias("n_failed"),
         (~fail_len & ~fail_rep & ~fail_shape & ~fail_clf).alias("keep"),
     )
+
+
+@query(
+    "q_c78_training_data_plan",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sha256(text)), 1, 8))::BIGINT % 1000
+               AS bucket,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             ROUND(CAST(len(list_distinct(list_filter(
+                     string_split_regex(text, '\s+'), x -> x <> '')))
+                   AS DOUBLE)
+                   / len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')), 6) AS quality
+      FROM documents
+    ),
+    train AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(1000000 - ROUND(quality * 1000000) AS BIGINT)
+               * 10000000 + doc_id AS sort_key
+      FROM q WHERE bucket < 900 AND n_tokens >= 20
+    ),
+    phased AS (
+      SELECT doc_id, n_tokens, quality, sort_key,
+             CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY sort_key ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS DOUBLE) / 20000) AS BIGINT)
+               AS phase
+      FROM train
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality, phase,
+           CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY phase
+                  ORDER BY sort_key ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS DOUBLE) / 4000) AS BIGINT)
+             AS shard_id
+    FROM phased
+    ORDER BY doc_id
+    """,
+)
+def q_c78_training_data_plan(spark, sf_dir):
+    """C78 (extension): the END-TO-END training-run data plan — what a
+    user of this engine actually ships to the trainer, as ONE
+    declarative query. Stages, each individually proven elsewhere:
+
+    1. leakage-safe TRAIN selection (C29's content-keyed permille
+       bucket of sha256(text) < 900) fused with a minimal quality
+       floor (>= 20 tokens) — per-row, zero shuffle, prunes first;
+    2. quality-ordered CURRICULUM phases (C68: quantized 6dp bigint
+       sort key into the shared two-phase prefix sum, 20k-token
+       budgets — best data in phase 0);
+    3. within-phase SHARD packing (C24's machinery partitioned by
+       phase, 4k-token shards) — the dataloader's file-granularity
+       unit, phase-aligned so a phase boundary is always a shard
+       boundary.
+
+    Output manifest: (doc_id, n_tokens, quality, phase, shard_id) —
+    join it back to text/payloads at materialization time (M6's
+    pattern). Every stage is a pure function of content, so the whole
+    plan is reproducible under retries, appends, and re-runs; the
+    oracle replays it as two plain SQL windows.
+
+    Scale: one corpus projection + the prefix sum's two tiny shuffles,
+    run TWICE (global for phases, phase-partitioned for shards) —
+    serial work stays n/bucket_size per phase; no global sort, no
+    stage sees more than (bucket-count x phases) rows at the driver.
+    This is the composition argument made concrete: the capstone plan
+    costs what its heaviest primitive costs (C68's prefix sum), not
+    the sum of a pipeline of materializations."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    b = hash_bucket(F.sha2(F.col("text"), 256))
+    q = widen(d).select(
+        "doc_id",
+        b.alias("bucket"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("quality"),
+    )
+    train = q.filter((F.col("bucket") < 900) & (F.col("n_tokens") >= 20))
+    keyed = train.withColumn(
+        "sort_key",
+        (F.lit(1_000_000) - F.round(F.col("quality") * 1_000_000)).cast(
+            "bigint"
+        )
+        * 10_000_000
+        + F.col("doc_id"),
+    )
+    phased = running_total_before(keyed, "sort_key", "n_tokens").select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "sort_key",
+        F.floor(F.col("__cum_before").cast("double") / 20_000)
+        .cast("bigint")
+        .alias("phase"),
+    )
+    sharded = running_total_before(
+        phased, "sort_key", "n_tokens", partition_cols=("phase",)
+    )
+    return sharded.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        "phase",
+        F.floor(F.col("__cum_before").cast("double") / 4_000)
+        .cast("bigint")
+        .alias("shard_id"),
+    ).orderBy("doc_id")
