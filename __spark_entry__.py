@@ -68,7 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_b116_event_sequence_match", "q_b117_cached_multi_action",
     "q_c75_segment_dedup_rewrite", "q_c76_epoch_upsample",
     "q_c77_vocab_oov_audit", "q_b118_stream_progress_metrics",
-    "q_c78_training_data_plan",
+    "q_c78_training_data_plan", "q_b119_analyze_cbo_stats",
     # -- (3) rows-only keys last officially run in r3, + the r4 bench flag --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

@@ -718,3 +718,109 @@ def q_b112_binaryfile_source(spark, sf_dir):
     return per_file.join(F.broadcast(n_docs), "source").select(
         "source", "n_docs", "blob_bytes", "blob_sha256"
     )
+
+
+@query(
+    "q_b119_analyze_cbo_stats",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total
+    FROM orders o JOIN dim ON o.o_custkey = dim.c_custkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_b119_analyze_cbo_stats(spark, sf_dir):
+    """B119: table/column STATISTICS + cost-based optimization — the
+    Spark-native form of the reference's Glue crawler (addons.tf:
+    289-297): the crawler's whole job is to walk landed files and
+    record table metadata so the SQL engine (Athena) can plan against
+    sizes it never re-measures. Here: two catalog tables are ANALYZEd
+    (`COMPUTE STATISTICS` table-level + `FOR COLUMNS` on the join
+    keys), CBO is enabled, and the fact⋈dim join is planned WITH
+    ADAPTIVE EXECUTION OFF — so the broadcast decision can only come
+    from the catalog's cost model, not from AQE's runtime shuffle
+    sizes. The plan test pins BroadcastHashJoin with zero hints: the
+    statistics alone carried the decision (and at 100 TB, stats-driven
+    planning is what works BEFORE the first shuffle materializes —
+    AQE only re-plans after).
+
+    Session discipline: the AQE/CBO overrides live on a CLONED session
+    (q_b91's isolation rule) so no concurrently-running query observes
+    them; the result is re-materialized onto the caller's session.
+
+    Scale: ANALYZE is one scan per table, amortized across every later
+    query (and incremental in real deployments — partition-level
+    stats). The join output is aggregated to priority cardinality
+    before returning."""
+    tag = _tag(sf_dir)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.cbo.enabled", "true")
+    sess.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    # Well under the dim's analyzed size at every sf, far under orders':
+    # stats, not defaults, must pick the build side.
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+    fact = f"wh_cbo_orders_{tag}"
+    dim = f"wh_cbo_customer_{tag}"
+    load_table(sess, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.format("parquet").mode("overwrite").option(
+        "path", scratch_path("q_b119", tag, "orders")
+    ).saveAsTable(fact)
+    load_table(sess, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).write.format("parquet").mode("overwrite").option(
+        "path", scratch_path("q_b119", tag, "customer")
+    ).saveAsTable(dim)
+    for t, cols in ((fact, "o_custkey"), (dim, "c_custkey, c_mktsegment")):
+        sess.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        sess.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    out = sess.sql(
+        f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total
+        FROM {fact} o
+        JOIN (SELECT c_custkey FROM {dim}
+              WHERE c_mktsegment = 'BUILDING') d
+          ON o.o_custkey = d.c_custkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+def cbo_join_plan(spark, sf_dir) -> str:
+    """The q_b119 join's physical plan under stats+CBO (AQE off), for
+    the plan test: must contain BroadcastHashJoin with NO hint."""
+    import io
+    from contextlib import redirect_stdout
+
+    tag = _tag(sf_dir)
+    # q_b119 must have run first in this session (tables + stats exist)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.cbo.enabled", "true")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+    df = sess.sql(
+        f"""
+        SELECT o.o_orderpriority, COUNT(*) AS n
+        FROM wh_cbo_orders_{tag} o
+        JOIN (SELECT c_custkey FROM wh_cbo_customer_{tag}
+              WHERE c_mktsegment = 'BUILDING') d
+          ON o.o_custkey = d.c_custkey
+        GROUP BY o.o_orderpriority
+        """
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()

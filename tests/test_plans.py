@@ -650,3 +650,19 @@ def test_zorder_layout_is_single_range_exchange(spark, sf_dir):
     plan = plan_of(laid)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("rangepartitioning") + plan.count("RangePartitioning") >= 1, plan
+
+
+def test_cbo_stats_drive_broadcast_without_hint(spark, sf_dir):
+    """B119: with ANALYZEd tables, CBO on, and AQE OFF, the planner
+    must pick BroadcastHashJoin for the filtered dim side purely from
+    catalog statistics — no broadcast() hint anywhere in the query.
+    (With AQE the choice could come from runtime shuffle sizes; AQE is
+    disabled in the probe session precisely to isolate the cost
+    model.)"""
+    from etl_spark_eks_spark.operators.catalog_queries import cbo_join_plan
+
+    # ensure tables + stats exist
+    registry.QUERIES["q_b119_analyze_cbo_stats"](spark, sf_dir).count()
+    plan = cbo_join_plan(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "AdaptiveSparkPlan" not in plan, plan
