@@ -849,3 +849,81 @@ def q_c57_embedding_outliers(spark, sf_dir):
         F.count(F.when(F.col("absz") > 3, 1)).cast("long").alias("n_extreme"),
         (F.max("absz") > 4).alias("is_outlier"),
     )
+
+
+@query(
+    "q_c79_contrastive_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+               (q.label = c.label) AS same_label,
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS sim
+        FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, embeddings c
+        WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT anchor_id, cand_id, same_label, sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id, same_label
+                                  ORDER BY sim DESC, cand_id) AS rnk
+        FROM pairs
+    )
+    SELECT anchor_id, cand_id, same_label, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_c79_contrastive_pairs(spark, sf_dir):
+    """C79 (extension): contrastive training-pair mining — for each
+    anchor vector, the 3 nearest SAME-label vectors (positives) and
+    the 3 nearest DIFFERENT-label vectors (hard negatives, the
+    highest-similarity impostors). This is the pair-construction step
+    behind contrastive embedding training (SimCLR/InfoNCE-style) and
+    behind reranker distillation: random negatives are trivially easy,
+    and models only sharpen on the near-miss ones — which are exactly
+    a top-k-by-similarity query per anchor, stratified by label
+    agreement. One window over (anchor, same_label) produces both
+    lists in a single pass; cosine stays unrounded double (per-row
+    IEEE arithmetic, C3's proven discipline), ties break on cand_id.
+
+    Scale: C3's broadcast-anchors shape — anchors are the small side
+    by construction (a mining batch), the corpus is map-side scanned
+    once, and the per-anchor state is two k-sized heaps
+    (WindowGroupLimit prunes pre-shuffle). For anchor sets too big to
+    broadcast, the documented ladder applies unchanged: C14/C17/C39
+    candidate generation first, this stratified rank as the verify
+    stage — the label-split window composes with any of them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = widen(emb).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("q_label") == F.col("c_label")).alias("same_label"),
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same_label").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("anchor_id", "cand_id", "same_label", "sim", "rnk")
+    )
