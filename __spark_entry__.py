@@ -69,7 +69,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_c75_segment_dedup_rewrite", "q_c76_epoch_upsample",
     "q_c77_vocab_oov_audit", "q_b118_stream_progress_metrics",
     "q_c78_training_data_plan", "q_b119_analyze_cbo_stats",
-    "q_c79_contrastive_pairs",
+    "q_c79_contrastive_pairs", "q_b120_distribute_sort_by",
+    "q_b121_parameterized_sql", "q_c80_fertility_regression",
+    "q_c81_modality_coverage_audit",
     # -- (3) rows-only keys last officially run in r3, + the r4 bench flag --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

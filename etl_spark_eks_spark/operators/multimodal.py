@@ -820,3 +820,62 @@ def q_m10_tar_member_offsets(spark, sf_dir):
         .cast("long")
         .alias("member_offset"),
     )
+
+
+@query(
+    "q_c81_modality_coverage_audit",
+    oracle="""
+    WITH j AS (
+        SELECT d.doc_id, d.source, e.vec_id
+        FROM documents d
+        FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT COALESCE(source, '__no_document__') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+           CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_embedding,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_embedding
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_c81_modality_coverage_audit(spark, sf_dir):
+    """C81 (extension): cross-modality referential completeness audit
+    — per source: how many documents have a paired embedding, how many
+    are missing one, and how many embeddings point at no document at
+    all (orphans land in a synthetic `__no_document__` bucket, since
+    an orphan has no source to charge). M6 builds the manifest by
+    joining the modalities; this is the gate run BEFORE that join,
+    because an inner join silently eats exactly the rows this query
+    counts — the classic way a "100% embedded corpus" claim goes
+    unchecked. Run per ingestion batch, alarmed on the two failure
+    columns (the reference's crawler/validation slot in the landing
+    pipeline).
+
+    Scale: one narrow (id, source) full-outer co-shuffle — the same
+    lone exchange M6 pays — feeding a source-cardinality aggregate.
+    Ids only; text, payloads and vectors never move."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer")
+    return (
+        j.groupBy(
+            F.coalesce("source", F.lit("__no_document__")).alias("source")
+        )
+        .agg(
+            F.count("*").alias("n_ids"),
+            F.sum(
+                (F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull())
+                .cast("long")
+            ).alias("n_paired"),
+            F.sum(F.col("vec_id").isNull().cast("long")).alias(
+                "n_missing_embedding"
+            ),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias(
+                "n_orphan_embedding"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -223,3 +223,44 @@ def q_b114_offset_pagination(spark, sf_dir):
         .offset(30)
         .limit(15)
     )
+
+
+@query(
+    "q_b120_distribute_sort_by",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    """,
+)
+def q_b120_distribute_sort_by(spark, sf_dir):
+    """B120: `DISTRIBUTE BY` / `SORT BY` / `CLUSTER BY` — the
+    Hive-compat SQL surface for PHYSICAL layout without a global
+    order: DISTRIBUTE BY hashes rows to partitions, SORT BY orders
+    within each partition only, CLUSTER BY is the contraction of both
+    on one key. This is how SQL users spell "co-locate and locally
+    order, but don't pay TakeOrdered/global-sort" — the exact shape a
+    partitioned writer or a grouped reader wants (C35's
+    repartitionByRange+sortWithinPartitions is the range-keyed
+    sibling; this is the hash-keyed one).
+
+    CONTENT is unchanged by layout — the oracle is the identity
+    SELECT, and the driver's order-insensitive hash is precisely the
+    right comparator: the operator promises a partitioning+local
+    order, never a row sequence. The plan property (one
+    hashpartitioning exchange, sort with global=false, NO global sort
+    anywhere) is pinned in tests/test_plans.py.
+
+    Scale: one hash exchange + spillable local sorts — strictly
+    cheaper than ORDER BY (no range sampling, no single merge
+    ordering); the 100 TB write-path default."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "b120_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM b120_lineitem
+        DISTRIBUTE BY l_returnflag
+        SORT BY l_returnflag, l_orderkey, l_linenumber
+        """
+    )

@@ -5,7 +5,7 @@ correlated EXISTS -> left semi join) does the decorrelation.
 
 from __future__ import annotations
 
-from etl_spark_eks_spark.catalog import register_views
+from etl_spark_eks_spark.catalog import load_table, register_views
 from etl_spark_eks_spark.registry import query
 
 _B43_SQL = """
@@ -121,3 +121,61 @@ def q_b84_recursive_cte(spark, sf_dir):
     is the final group-by on start_key."""
     register_views(spark, sf_dir)
     return spark.sql(_B84_SPARK_SQL)
+
+
+@query(
+    "q_b121_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice >= 1000.0
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b121_parameterized_sql(spark, sf_dir):
+    """B121: PARAMETERIZED SQL (Spark 3.4+ named parameter markers) —
+    the injection-safe templating surface every SQL gateway needs:
+    values bind as TYPED LITERALS at parse time (`:status`,
+    `:min_total`, array parameter expanded through `array_contains`),
+    never by string concatenation, so a user-supplied
+    `'; DROP TABLE--` is just data. This is the API the reference's
+    Athena surface exposes as prepared statements/execution
+    parameters, re-expressed on `spark.sql(sqlText, args=...)`.
+
+    Because parameters fold to literals BEFORE optimization, the plan
+    is identical to the hand-written query — pushdown, pruning and
+    partial aggregation all intact (same reason B101's SQL UDFs cost
+    nothing). The oracle is the expanded query, which is exactly the
+    semantics being claimed: binding == inlining.
+
+    Scale: parse-time binding means plan CACHING by template works —
+    a dashboard re-issuing the template with new dates reuses the
+    analyzed structure; no engine-side change at any data size."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "b121_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total
+        FROM b121_orders
+        WHERE o_orderstatus = :status
+          AND o_totalprice >= :min_total
+          AND array_contains(:priorities, o_orderpriority)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={
+            "status": "O",
+            "min_total": 1000.0,
+            "priorities": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        },
+    )

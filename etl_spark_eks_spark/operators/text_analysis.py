@@ -1767,3 +1767,68 @@ def q_c77_vocab_oov_audit(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_c80_fertility_regression",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS DOUBLE) AS n_tokens,
+               CAST(n_chars AS DOUBLE) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(REGR_SLOPE(n_tokens, n_chars), 6) AS tokens_per_char,
+           ROUND(REGR_INTERCEPT(n_tokens, n_chars), 4) AS intercept,
+           ROUND(REGR_R2(n_tokens, n_chars), 6) AS r2,
+           ROUND(SUM(n_tokens) / SUM(n_chars), 6) AS mean_fertility
+    FROM per_doc
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_c80_fertility_regression(spark, sf_dir):
+    """C80 (extension): per-language tokenizer FERTILITY regression —
+    fit tokens ~ chars per language (slope, intercept, R²) plus the
+    plain mass ratio. Fertility (tokens emitted per unit of text) is
+    THE cross-language tokenizer-equity number: a language whose slope
+    is 2× another's pays 2× the context window and 2× the compute for
+    the same content, and the regression form separates the per-doc
+    fixed cost (intercept) from the marginal rate (slope) — which the
+    naive ratio conflates. Pairs with C77: OOV says which language the
+    vocab ignores, fertility says what that neglect costs per
+    character. B102's co-moment machinery applied to a C-tier
+    question.
+
+    Intercept rounds 4dp, slope/R² 6dp — B102's measured cancellation
+    discipline (the intercept subtracts two large near-equal moments).
+
+    Scale: one map-side-combined aggregate; the five co-moment partials
+    per language are the whole shuffle. Whitespace tokens here; with a
+    real tokenizer, token counts arrive as a column (C11's contract)
+    and the plan is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = widen(d).select(
+        "lang",
+        F.size(tokenize("text")).cast("double").alias("n_tokens"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.regr_slope("n_tokens", "n_chars"), 6).alias(
+                "tokens_per_char"
+            ),
+            F.round(F.regr_intercept("n_tokens", "n_chars"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("n_tokens", "n_chars"), 6).alias("r2"),
+            F.round(F.sum("n_tokens") / F.sum("n_chars"), 6).alias(
+                "mean_fertility"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -666,3 +666,18 @@ def test_cbo_stats_drive_broadcast_without_hint(spark, sf_dir):
     plan = cbo_join_plan(spark, sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "AdaptiveSparkPlan" not in plan, plan
+
+
+def test_distribute_sort_by_is_local_sort_only(spark, sf_dir):
+    """B120: DISTRIBUTE BY + SORT BY must plan one hash exchange and a
+    NON-global sort — never a range exchange or global ordering (that
+    would be ORDER BY's plan, the thing this surface exists to
+    avoid)."""
+    df = registry.QUERIES["q_b120_distribute_sort_by"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "hashpartitioning(l_returnflag" in plan, plan
+    # formatted mode spells a Sort's arguments "[keys...], <global>, 0";
+    # the layout sort must be local (global=false)
+    assert "], false, 0" in plan, plan
+    assert "], true, 0" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
