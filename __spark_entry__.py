@@ -41,15 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_b105_running_distinct, q_c67_corpus_datasheet, q_c68_curriculum_phases,
 # added after round 4's driver run — have no official row at all.
 # Round 5 therefore leads with: (1) those 4 keys (all oracle-backed),
-# (2) the 25 operators ADDED in round 5 (q_b106-q_b117, q_c69-q_c77 —
+# (2) the 30 operators ADDED in round 5 (q_b106-q_b122, q_c69-q_c81 —
 # all oracle-backed), (3) the 13 rows-only keys whose last official
 # run is r3 (q_b48, q_b49, q_b74, q_c8, q_c9, q_c12, q_c14, q_c17,
 # q_c21, q_c30, q_c39, q_c44, q_m4) plus q_b102, whose r4 bench entry
 # was flagged >2x and re-measured this round (0.95x, noise — SCALE.md),
 # (4) back-fills the remaining slots with the OLDEST official greens
-# as regression re-checks. Arithmetic: 4 + 25 + 14 = 43 lead keys,
-# so exactly 7 r1-era greens (q_a1..q_a8, minus the A3 gap) make the
-# 50-slot cap; the remaining r1/r2 greens queue behind for next round.
+# as regression re-checks. Arithmetic: 4 + 30 + 14 = 48 lead keys,
+# so exactly 2 r1-era greens (q_a1, q_a2) make the 50-slot cap; the
+# remaining r1/r2 greens queue behind for next round.
 # Every key remains present and runnable regardless of order;
 # tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
@@ -71,7 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c78_training_data_plan", "q_b119_analyze_cbo_stats",
     "q_c79_contrastive_pairs", "q_b120_distribute_sort_by",
     "q_b121_parameterized_sql", "q_c80_fertility_regression",
-    "q_c81_modality_coverage_audit",
+    "q_c81_modality_coverage_audit", "q_b122_try_arithmetic",
     # -- (3) rows-only keys last officially run in r3, + the r4 bench flag --
     "q_b48_watermark_stream", "q_b49_stream_dedup",
     "q_b74_stream_outer_join", "q_c8_minhash_bands",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import TABLES, load_table, register_views
+from etl_spark_eks_spark.functions.exact import dsum
 from etl_spark_eks_spark.registry import query
 from etl_spark_eks_spark.sources.parquet_io import scratch_path, write_parquet
 
@@ -291,4 +292,79 @@ def q_b82_try_cast_audit(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_corrupt"),
         F.sum(F.coalesce(F.col("v"), F.lit(0))).alias("parsed_sum"),
+    )
+
+
+@query(
+    "q_b122_try_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey > 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_add_overflow,
+           CAST(SUM(CASE WHEN l_quantity = 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_by_zero,
+           CAST(SUM(CAST(FLOOR(CASE WHEN l_quantity <> 1.0
+                              THEN l_extendedprice / (l_quantity - 1.0)
+                              ELSE 0.0 END * 1000000) AS BIGINT)) AS BIGINT)
+               AS safe_ratio_micros
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_b122_try_arithmetic(spark, sf_dir):
+    """B122: overflow/zero-safe `try_*` ARITHMETIC — the value-level
+    ANSI-safety family completing the resilience ladder (B69 malformed
+    JSON, B75 corrupt files, B82 unparseable scalars; this rung:
+    arithmetic that would THROW under ANSI mode degrades to NULL per
+    row instead of failing the task). `try_add` against a near-MAX
+    bigint overflows exactly where l_orderkey > 1000 (mixed outcomes
+    at every sf — the planted-positive-path rule), `try_divide` nulls
+    where the denominator (l_quantity − 1) is zero; both NULL
+    populations are counted per group in the same single pass, B89's
+    fabricate-then-audit shape.
+
+    The oracle spells each try_* as its explicit CASE guard — which IS
+    the claimed semantics (NULL exactly where the unguarded expression
+    would error), independently derived rather than echoed. The safe
+    ratios accumulate as exact integer MICROS (per-row FLOOR(x·1e6),
+    then a bigint sum — B89/C66's discipline): a division result
+    carries full double precision, and BOTH per-row double->decimal
+    casting and per-row ROUND(x, 6) were measured to drift here
+    (~1e-4 and ~2e-6 over 20k rows — the engines' tie-rounding rules
+    differ), while FLOOR of the identical IEEE product has no ties to
+    disagree on.
+
+    Scale: pure per-row expressions inside whole-stage codegen + one
+    map-side-combined aggregate; try_* costs one branch over the
+    unchecked operator. The alternative — ANSI off, silent wraparound
+    — corrupts data instead of flagging it; try_* is how a 100 TB
+    pipeline gets ANSI's honesty without ANSI's task-killing blast
+    radius."""
+    li = load_table(spark, sf_dir, "lineitem")
+    near_max = 9223372036854774807  # MAX_LONG - 1000
+    audited = li.select(
+        "l_returnflag",
+        F.try_add(F.col("l_orderkey"), F.lit(near_max)).alias("maybe_add"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 1.0
+        ).alias("maybe_ratio"),
+    )
+    return (
+        audited.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("maybe_add").isNull().cast("long")).alias(
+                "n_add_overflow"
+            ),
+            F.sum(F.col("maybe_ratio").isNull().cast("long")).alias(
+                "n_div_by_zero"
+            ),
+            F.sum(
+                F.floor(F.coalesce("maybe_ratio", F.lit(0.0)) * 1000000)
+                .cast("long")
+            ).alias("safe_ratio_micros"),
+        )
+        .orderBy("l_returnflag")
     )
