@@ -850,3 +850,124 @@ def q_b115_mode_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_b123_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q_b123_group_by_all(spark, sf_dir):
+    """B123: GROUP BY ALL / ORDER BY ALL resolution (Spark 3.4+/4.x,
+    same syntax DuckDB pioneered) — the grouping keys are inferred
+    from the non-aggregate select items, the ordering from the whole
+    select list. Pure analyzer surface: the resolved plan is identical
+    to the explicit GROUP BY 1,2, so partial aggregation and the
+    one-shuffle shape are unchanged; the operator exists so a user's
+    modern-SQL scripts run verbatim on both engines.
+
+    Scale: identical to B17's pricing-summary shape — map-side
+    combine into a keys-sized result."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "q_b124_crosstab",
+    oracle="""
+    SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag_l_linestatus
+    """,
+)
+def q_b124_crosstab(spark, sf_dir):
+    """B124: contingency table via ``df.stat.crosstab`` — the
+    two-variable frequency matrix (returnflag x linestatus). The
+    column set is data-dependent (one per distinct linestatus), so the
+    result is projected through an explicit, sorted column list to pin
+    the schema; the oracle spells the same table as the CASE-pivot it
+    desugars to.
+
+    Scale: crosstab plans as a single groupBy over the pair column
+    with a driver-side pivot of the DISTINCT VALUE GRID — fine while
+    the distinct combinations are report-sized (the documented
+    contract; it errors beyond 1e4 distinct pairs), and the ladder
+    beyond that is B59's pivot with explicit values or a plain
+    two-key groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    value_cols = sorted(c for c in ct.columns if c != "l_returnflag_l_linestatus")
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        *[F.col(f"`{c}`").alias(c) for c in value_cols],
+    ).orderBy("l_returnflag_l_linestatus")
+
+
+@query(
+    "q_b125_hll_sketch",
+    oracle="""
+    WITH exact AS (
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, exact_orders, TRUE AS est_within_5pct
+    FROM exact ORDER BY l_returnflag
+    """,
+)
+def q_b125_hll_sketch(spark, sf_dir):
+    """B125: Apache DataSketches HLL aggregates (Spark 3.5+) —
+    ``hll_sketch_agg`` builds a per-group sketch, ``hll_union_agg``
+    MERGES sketches across groups, ``hll_sketch_estimate`` reads the
+    estimate out. The mergeability is the 100 TB point: per-partition
+    (or per-day) sketches union associatively, so a year of daily
+    distinct-user sketches rolls up without ever re-touching raw data
+    — B19's approx_count_distinct gives one number, a stored sketch
+    gives every future rollup for free.
+
+    DuckDB has no compatible sketch, so the oracle checks the
+    DETERMINISTIC contract instead: exact per-group distincts (both
+    engines) plus the assertion that the sketch estimate lands within
+    5% of exact — HLL with default lgK=12 is far tighter than that at
+    these cardinalities, and the sketch hash of a fixed input is
+    deterministic, so the flag is stable, not flaky."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_agg(l_orderkey)").alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return (
+        per_group.select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(
+                    F.expr("hll_sketch_estimate(sk)")
+                    - F.col("exact_orders")
+                )
+                / F.col("exact_orders")
+                < 0.05
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -258,7 +258,7 @@ def q_c54_filter_ensemble(spark, sf_dir):
     train AS (
       SELECT doc_id, n_tokens, quality,
              CAST(1000000 - ROUND(quality * 1000000) AS BIGINT)
-               * 10000000 + doc_id AS sort_key
+               * 1000000000000 + doc_id AS sort_key
       FROM q WHERE bucket < 900 AND n_tokens >= 20
     ),
     phased AS (
@@ -288,7 +288,9 @@ def q_c78_training_data_plan(spark, sf_dir):
        bucket of sha256(text) < 900) fused with a minimal quality
        floor (>= 20 tokens) — per-row, zero shuffle, prunes first;
     2. quality-ordered CURRICULUM phases (C68: quantized 6dp bigint
-       sort key into the shared two-phase prefix sum, 20k-token
+       sort key, stride 1e12 so doc_id < 1e12 never bleeds into the
+       next quality level, into the shared two-phase prefix sum with
+       bucket_size=1e12 — the bucket IS the quality rank, 20k-token
        budgets — best data in phase 0);
     3. within-phase SHARD packing (C24's machinery partitioned by
        phase, 4k-token shards) — the dataloader's file-granularity
@@ -303,8 +305,10 @@ def q_c78_training_data_plan(spark, sf_dir):
 
     Scale: one corpus projection + the prefix sum's two tiny shuffles,
     run TWICE (global for phases, phase-partitioned for shards) —
-    serial work stays n/bucket_size per phase; no global sort, no
-    stage sees more than (bucket-count x phases) rows at the driver.
+    with bucket == quality rank the serial offset window is bounded
+    by the 1e6+1 quantization levels (per phase for the shard pass),
+    independent of n; no global sort, no stage sees more than
+    (quality-level count x phases) rows at the driver.
     This is the composition argument made concrete: the capstone plan
     costs what its heaviest primitive costs (C68's prefix sum), not
     the sum of a pipeline of materializations."""
@@ -320,15 +324,22 @@ def q_c78_training_data_plan(spark, sf_dir):
         ).alias("quality"),
     )
     train = q.filter((F.col("bucket") < 900) & (F.col("n_tokens") >= 20))
+    # Stride 1e12 (doc_id precondition: doc_id < 1e12; max key ~1.000001e18
+    # stays inside bigint). bucket_size=1e12 makes the prefix-sum bucket
+    # exactly the quality rank — a DENSE key (<= 1e6+1 non-empty buckets),
+    # so the serial offset window is bounded by the quantization domain,
+    # not by n as the old sparse sort_key/100 bucketing was.
     keyed = train.withColumn(
         "sort_key",
         (F.lit(1_000_000) - F.round(F.col("quality") * 1_000_000)).cast(
             "bigint"
         )
-        * 10_000_000
+        * 1_000_000_000_000
         + F.col("doc_id"),
     )
-    phased = running_total_before(keyed, "sort_key", "n_tokens").select(
+    phased = running_total_before(
+        keyed, "sort_key", "n_tokens", bucket_size=1_000_000_000_000
+    ).select(
         "doc_id",
         "n_tokens",
         "quality",
@@ -338,7 +349,11 @@ def q_c78_training_data_plan(spark, sf_dir):
         .alias("phase"),
     )
     sharded = running_total_before(
-        phased, "sort_key", "n_tokens", partition_cols=("phase",)
+        phased,
+        "sort_key",
+        "n_tokens",
+        bucket_size=1_000_000_000_000,
+        partition_cols=("phase",),
     )
     return sharded.select(
         "doc_id",

@@ -962,7 +962,7 @@ def q_c63_k_anonymity(spark, sf_dir):
     keyed AS (
       SELECT doc_id, n_tokens, quality,
              CAST(1000000 - ROUND(quality * 1000000) AS BIGINT)
-               * 10000000 + doc_id AS sort_key
+               * 1000000000000 + doc_id AS sort_key
       FROM q
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
@@ -986,12 +986,17 @@ def q_c68_curriculum_phases(spark, sf_dir):
 
     The global quality ORDER would naively be a full sort + one-task
     running sum; instead the quality is quantized into a bigint sort
-    key ((1e6 − round(q·1e6)) · 1e7 + doc_id — quality desc, doc_id
-    tiebreak, collision-free while doc_id < 1e7) and fed to the
+    key ((1e6 − round(q·1e6)) · 1e12 + doc_id — quality desc, doc_id
+    tiebreak, collision-free while doc_id < 1e12) and fed to the
     SHARED two-phase distributed prefix sum (running_total_before —
-    C24/C45/M3/M10's machinery): bucket totals, offset broadcast,
-    within-bucket windows. Serial work ~ n_rows/bucket_size; no
-    global sort ever materializes. The quantization is also why the
+    C24/C45/M3/M10's machinery) with bucket_size=1e12, so the bucket
+    IS the quality rank: a dense key whose non-empty-bucket count is
+    bounded by the 1e6+1 quantization levels, independent of n. The
+    serial offset window is therefore <= 1e6+1 rows at any corpus
+    size; the residual skew knob is a HOT quality level (many docs
+    sharing one rounded ratio serialize inside that bucket's window —
+    quantize finer if a level exceeds the per-task budget). No global
+    sort ever materializes. The quantization is also why the
     SQL oracle (a plain single-node window) agrees: the rounded
     6dp ratio maps to the identical integer key on both engines.
 
@@ -1009,15 +1014,22 @@ def q_c68_curriculum_phases(spark, sf_dir):
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
         ).alias("quality"),
     )
+    # Stride 1e12 (precondition doc_id < 1e12; max key ~1.000001e18 fits
+    # bigint). bucket_size=1e12 => bucket == quality rank, a DENSE key:
+    # the serial offset window is bounded by the 1e6+1 quantization
+    # levels, not by n (the old sort_key/100 bucketing was one bucket
+    # per doc because the stride dwarfed the bucket width).
     keyed = q.withColumn(
         "sort_key",
         (F.lit(1_000_000) - F.round(F.col("quality") * 1_000_000)).cast(
             "bigint"
         )
-        * 10_000_000
+        * 1_000_000_000_000
         + F.col("doc_id"),
     )
-    return running_total_before(keyed, "sort_key", "n_tokens").select(
+    return running_total_before(
+        keyed, "sort_key", "n_tokens", bucket_size=1_000_000_000_000
+    ).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "quality",

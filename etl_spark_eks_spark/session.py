@@ -81,15 +81,16 @@ def get_spark(
     conf["spark.driver.memory"] = driver_mem
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf["spark.sql.files.maxPartitionBytes"] = max_partition_bytes
-    # Deployment escape hatch: ';'-separated key=value pairs appended
-    # last, so a cluster (or a robustness run, e.g. AQE off) can
-    # override any engine default without code changes.
+    if extra_conf:
+        conf.update(extra_conf)
+    # Deployment escape hatch: ';'-separated key=value pairs applied
+    # LAST — after programmatic extra_conf — so a cluster (or a
+    # robustness run, e.g. AQE off) can override any engine or
+    # call-site default without code changes.
     extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for pair in filter(None, (p.strip() for p in extra_env.split(";"))):
         k, _, v = pair.partition("=")
         conf[k.strip()] = v.strip()
-    if extra_conf:
-        conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -139,11 +139,29 @@ ALLOW_SINGLE_PART = {
     "q_c30_kmeans", "q_c61_pagerank",  # k-sized centroid/rank folds
     "q_c59_split_divergence", "q_c41_source_drift",
     "q_b90_multiset_ops", "q_b95_pipe_syntax",
+    # global vocab-rank window runs over the VOCAB table (vocab-sized,
+    # never the corpus — docstring-owned)
+    "q_c77_vocab_oov_audit",
+    # C68-style prefix sum: offset window over quality-rank buckets,
+    # bounded by the 1e6+1 quantization levels, not n
+    "q_c78_training_data_plan",
     "q_c38_bigram_lm", "q_c49_classifier_quality",
     "q_c9_simhash_neardup", "q_m4_media_phash_neardup",
     "q_c2_near_dedup_jaccard", "q_c18_dedup_clusters",
     "q_c58_cluster_canonicals", "q_c16_ngram_jaccard",
     "q_c34_snapshot_diff",
+    # global scalar aggregates: the final single-partition exchange
+    # folds per-partition PARTIAL aggregates (#partitions rows), the
+    # map-side combine having already reduced the data — the canonical
+    # two-phase COUNT/SUM shape, fine at any scale
+    "q_a5_count", "q_b1_register_star", "q_b18_count_distinct",
+    "q_b19_approx_cd", "q_b85_funnel_analysis",
+    # 1-row stat/bound/budget/spine-seed tables feeding broadcasts
+    # (each documented in its query's docstring)
+    "q_b43_scalar_subquery", "q_b83_event_gap_detection",
+    "q_c26_unigram_logprob", "q_c40_temperature_mix",
+    "q_c43_embedding_winsorize", "q_c76_epoch_upsample",
+    "q_c7_tfidf",
 }
 # Streaming queries run real streams inside the builder; their plans are
 # micro-batch internals, not batch plans — lint the batch surface only.
@@ -184,7 +202,11 @@ def lint(only=None) -> dict[str, list[str]]:
             "BatchEvalPython" in plan or "PythonUDTF" in plan
         ) and k not in ALLOW_PY_ROW:
             hits.append("py_row")
-        if "Exchange SinglePartition" in plan and k not in ALLOW_SINGLE_PART:
+        # explain("formatted") prints the exchange as "(n) Exchange" with
+        # "Arguments: SinglePartition ..." on its own line, so match the
+        # argument token alone — the contiguous "Exchange SinglePartition"
+        # form only appears in simple-mode explain output.
+        if "SinglePartition" in plan and k not in ALLOW_SINGLE_PART:
             hits.append("single_part")
         if hits:
             violations[k] = hits
