@@ -35,53 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The round driver caps each CORRECTNESS run at the FIRST 50 keys of the
 # dict this module returns, in order — registry insertion order is
-# therefore a measurement decision, not cosmetics. Merged r1-r4 evidence:
-# 170 keys have an official hash-green row, 16 rows-only keys have
-# healthy official runs, and exactly 4 keys — q_b104_null_safe_join,
-# q_b105_running_distinct, q_c67_corpus_datasheet, q_c68_curriculum_phases,
-# added after round 4's driver run — have no official row at all.
-# Round 5 therefore leads with: (1) those 4 keys (all oracle-backed),
-# (2) the 30 operators ADDED in round 5 (q_b106-q_b122, q_c69-q_c81 —
-# all oracle-backed), (3) the 13 rows-only keys whose last official
-# run is r3 (q_b48, q_b49, q_b74, q_c8, q_c9, q_c12, q_c14, q_c17,
-# q_c21, q_c30, q_c39, q_c44, q_m4) plus q_b102, whose r4 bench entry
-# was flagged >2x and re-measured this round (0.95x, noise — SCALE.md),
-# (4) back-fills the remaining slots with the OLDEST official greens
-# as regression re-checks. Arithmetic: 4 + 30 + 14 = 48 lead keys,
-# so exactly 2 r1-era greens (q_a1, q_a2) make the 50-slot cap; the
-# remaining r1/r2 greens queue behind for next round.
-# Every key remains present and runnable regardless of order;
-# tools/verify_driver.py checks all of them.
+# therefore a measurement decision, not cosmetics. After round 5's run
+# every key in the suite has an official row (CORRECTNESS_r05: 50/50
+# clean — the 4 previously-unevidenced keys, all 30 round-5 additions,
+# the 13 rows-only refreshes, q_b102's re-measure, and 2 r1 re-checks).
+# Round 6 therefore leads with: (1) the 11 operators ADDED in round 6
+# (q_b123-q_b128, q_c82-q_c85, q_m11 — all oracle-backed, no official
+# row yet), (2) q_c68/q_c78, whose sort-key stride and prefix-sum
+# bucketing were REWORKED this round per ADVICE (oracles changed
+# identically on both engines; re-verified locally, need fresh official
+# rows), (3) the OLDEST official greens — the r1-era keys whose last
+# driver check is round 1 and which missed r5's 50-slot cap (q_a4..q_b59
+# family), filling the cap at 13 + 37. The r2-era greens queue behind
+# for round 7. Every key remains present and runnable regardless of
+# order; tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) the only keys with no official driver row (added post-r4-run) --
-    "q_b104_null_safe_join", "q_b105_running_distinct",
-    "q_c67_corpus_datasheet", "q_c68_curriculum_phases",
-    # -- (2) operators added in round 5: first official rows --
-    "q_b106_bitmap_distinct", "q_b107_boolean_aggregates",
-    "q_b108_transpose", "q_b109_interval_overlap_join",
-    "q_c69_weighted_reservoir", "q_c70_interleave_curriculum",
-    "q_c71_pii_class_audit", "q_c72_ngram_novelty",
-    "q_b110_stream_update_mode", "q_c73_signature_probe_neardup",
-    "q_b111_text_source", "q_b112_binaryfile_source",
-    "q_b113_apply_in_arrow", "q_b114_offset_pagination",
-    "q_c74_zorder_layout", "q_b115_mode_median",
-    "q_b116_event_sequence_match", "q_b117_cached_multi_action",
-    "q_c75_segment_dedup_rewrite", "q_c76_epoch_upsample",
-    "q_c77_vocab_oov_audit", "q_b118_stream_progress_metrics",
-    "q_c78_training_data_plan", "q_b119_analyze_cbo_stats",
-    "q_c79_contrastive_pairs", "q_b120_distribute_sort_by",
-    "q_b121_parameterized_sql", "q_c80_fertility_regression",
-    "q_c81_modality_coverage_audit", "q_b122_try_arithmetic",
-    # -- (3) rows-only keys last officially run in r3, + the r4 bench flag --
-    "q_b48_watermark_stream", "q_b49_stream_dedup",
-    "q_b74_stream_outer_join", "q_c8_minhash_bands",
-    "q_c9_simhash_neardup", "q_c12_fingerprint", "q_c14_knn_ann_lsh",
-    "q_c17_knn_ivf", "q_c21_knn_pq", "q_c30_kmeans",
-    "q_c39_knn_random_projection", "q_c44_coreset_medoids",
-    "q_m4_media_phash_neardup",
-    "q_b102_stat_aggregates",
-    # -- (4) oldest official greens (r1): regression re-checks --
-    "q_a1_scan", "q_a2_add_ingest_ts", "q_a4_limit20", "q_a5_count",
+    # -- (1) round-6 additions: first official rows --
+    "q_b123_group_by_all", "q_b124_crosstab", "q_b125_hll_sketch",
+    "q_b126_file_metadata", "q_b127_identifier_clause",
+    "q_b128_collated_compare",
+    "q_c82_blocklist_phrases", "q_c83_source_overlap_matrix",
+    "q_c84_token_budget_waterfill", "q_c85_embedding_source_drift",
+    "q_m11_payload_entropy",
+    # -- (2) reworked this round (new stride/bucketing, oracles changed) --
+    "q_c68_curriculum_phases", "q_c78_training_data_plan",
+    # -- (3) oldest official greens (r1), missed r5's cap --
+    "q_a4_limit20", "q_a5_count",
     "q_a6_repartition_roundtrip", "q_a7_write_roundtrip",
     "q_a8_catalog_projection",
     "q_b1_register_star", "q_b2_json_extract", "q_b3_partitioned_write",
@@ -95,7 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_b36_except", "q_b37_string_funcs", "q_b38_regex",
     "q_b39_date_funcs", "q_b40_math_funcs", "q_b58_percentiles",
     "q_b59_pivot", "q_b23_grouping_sets",
-    # -- (5) r2-era greens, next-oldest evidence --
+    "q_a1_scan", "q_a2_add_ingest_ts",
+    # -- (4) r2-era greens, next-oldest evidence (queue for round 7) --
     "q_b17_pricing_summary", "q_b12_join_broadcast", "q_b13_join_theta",
     "q_b14_join_3way", "q_b19_approx_cd", "q_b20_having", "q_b21_rollup",
     "q_b22_cube", "q_b25_revenue_by_nation", "q_a9_compat_current_date",

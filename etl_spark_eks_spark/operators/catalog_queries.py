@@ -824,3 +824,96 @@ def cbo_join_plan(spark, sf_dir) -> str:
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+@query(
+    "q_b126_file_metadata",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_b126_file_metadata(spark, sf_dir):
+    """B126: the hidden ``_metadata`` file column (Spark 3.4+) — every
+    file-based scan exposes ``_metadata.file_name`` / ``file_size`` /
+    ``row_index`` without the old input_file_name() UDF (which broke
+    under whole-stage codegen boundaries). This is the lineage/audit
+    primitive: WHICH physical file produced a row, joined against a
+    manifest, is how ingest incident forensics work at fleet scale.
+
+    Fixture: write lineitem partitioned by returnflag coalesced to one
+    file per partition (repartition by the partition column first), read
+    it back, and group by partition value counting DISTINCT files — the
+    deterministic projection of the nondeterministic file names (1 per
+    partition by construction; names themselves are uuid-bearing, so
+    they never enter the result).
+
+    Scale: _metadata is populated by the scan operator itself (constant
+    per file, no shuffle, no UDF); grouping by it is an ordinary
+    aggregation. The repartition-to-one-file-per-partition is fixture
+    hygiene, not the operator."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = scratch_path(
+        "q_b126", sf_dir.strip("/").replace("/", "_"), "li_meta"
+    )
+    li.repartition("l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            F.col("l_returnflag").cast("string").alias("l_returnflag"),
+            F.col("_metadata.file_name").alias("fname"),
+            "l_quantity",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("fname").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_b127_identifier_clause",
+    oracle="""
+    SELECT l_returnflag AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY group_key
+    """,
+)
+def q_b127_identifier_clause(spark, sf_dir):
+    """B127: the IDENTIFIER() clause (Spark 3.5+) — SQL-injection-safe
+    PARAMETERIZED table and column names. B121 covers parameter markers
+    for VALUES; identifiers are the other half (a `:tbl` marker can't
+    name a table — IDENTIFIER(:tbl) can), which is how multi-tenant
+    report templates bind `{table, group column}` per run without
+    string-formatting SQL (the injection vector the clause exists to
+    close).
+
+    The plan after binding is identical to the literal query — analyzer
+    surface only, so pushdown/pruning/partial agg all apply unchanged."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS group_key,
+               COUNT(*) AS n_rows,
+               SUM(CAST(IDENTIFIER(:qcol) AS BIGINT)) AS sum_qty
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:gcol)
+        ORDER BY group_key
+        """,
+        args={"gcol": "l_returnflag", "qcol": "l_quantity", "tbl": "lineitem"},
+    )

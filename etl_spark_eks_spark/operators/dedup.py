@@ -26,6 +26,7 @@ from etl_spark_eks_spark.functions.text import (
     minhash_band_hashes,
     ordered_token_hashes,
     shingle_hashes,
+    shingles,
     simhash32,
     token_hashes,
     tokenize,
@@ -1501,4 +1502,87 @@ def q_c75_segment_dedup_rewrite(spark, sf_dir):
             "new_text",
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_c83_source_overlap_matrix",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS s
+      FROM t
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_c83_source_overlap_matrix(spark, sf_dir):
+    """C83 (extension): cross-source provenance overlap matrix — for
+    every source pair, how many distinct 3-token shingles appear in
+    BOTH. This is the corpus-composition audit behind mixing
+    decisions: two crawls of the same site, a mirrored forum, or a
+    syndicated feed show up as an overlap spike long before doc-level
+    dedup (C1/C8) would pair individual documents, and the matrix
+    says which source to DROP wholesale rather than dedup piecemeal.
+
+    Spark-first shape — and the deliberate non-self-join: the oracle's
+    natural `sh a JOIN sh b ON a.s = b.s` is quadratic PER SHINGLE in
+    its occurrence count; a boilerplate shingle appearing in every
+    source would fan out |occurrences|^2 through the shuffle. Instead
+    each distinct (shingle, source) stream aggregates to
+    (shingle -> sorted source set) first — bounded by |sources|, NOT
+    by occurrences — and the pair expansion happens per shingle from
+    that set (<= C(|S|,2) pairs each, here C(20,2)=190). One shuffle
+    on the shingle, one keys-sized aggregation; at 100 TB with S
+    sources the worst per-shingle work is S^2, independent of corpus
+    size. (Same contraction C61 uses for edges and C18 for labels.)"""
+    d = load_table(spark, sf_dir, "documents")
+    per_sh = (
+        widen(d)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles(tokenize("text"), 3))
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = per_sh.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("srcs"),
+                            i + 2,
+                            F.greatest(
+                                F.size("srcs") - (i + 1), F.lit(0)
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("src_a"), b.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("src_a", "src_b")
     )

@@ -879,3 +879,94 @@ def q_c81_modality_coverage_audit(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+ENTROPY_SCHEMA = (
+    "doc_id long, n_bytes long, n_distinct_bytes long, entropy double"
+)
+
+
+def payload_byte_entropy(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """mapInPandas over binary payloads -> per-payload Shannon entropy
+    of the byte distribution, computed with one numpy ``bincount`` per
+    payload INSIDE the Arrow batch. The alternative — exploding bytes
+    into rows and aggregating — would push |payload| rows per document
+    through a shuffle; here the histogram never leaves the Python
+    worker and only (id, 3 stats) rows exit. This is the
+    compression-readiness / corruption triage stat for media lakes:
+    near-8-bit entropy = already-compressed or encrypted (don't
+    recompress, can't dedup by chunk), low entropy = padding, stuck
+    sensors, or synthetic fills."""
+    import numpy as np
+
+    def batches(it):
+        for pdf in it:
+            ids, nb, nd, ent = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = arr.size
+                counts = np.bincount(arr, minlength=256).astype(np.float64)
+                nz = counts[counts > 0]
+                p = nz / n
+                ids.append(i)
+                nb.append(n)
+                nd.append(nz.size)
+                ent.append(float(np.round(-np.sum(p * np.log2(p)), 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "n_distinct_bytes": pd.Series(nd, dtype="int64"),
+                    "entropy": pd.Series(ent, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, ENTROPY_SCHEMA)
+
+
+@query(
+    "q_m11_payload_entropy",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n,
+             substring(h, CAST(2 * r.i - 1 AS INT), 2) AS byte
+      FROM p, UNNEST(range(1, n + 1)) AS r(i)
+    ), c AS (
+      SELECT doc_id, n, byte, COUNT(*) AS cnt
+      FROM b GROUP BY doc_id, n, byte
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+           ROUND(-SUM((CAST(cnt AS DOUBLE) / n)
+                      * log2(CAST(cnt AS DOUBLE) / n)), 6) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_m11_payload_entropy(spark, sf_dir):
+    """M11 (extension): per-payload byte-level Shannon entropy over the
+    opaque binary column — the triage stat that routes media through
+    the right pipeline (high entropy: skip recompression and
+    chunk-dedup (M9) which both assume redundancy; low entropy:
+    suspect padding/corruption, route to M7's checksum audit).
+
+    Fixture payloads are the documents' UTF-8 bytes (the M1
+    convention). The oracle cannot unnest a BLOB, so it expands the
+    HEX string two characters at a time — same histogram, pure SQL.
+    Spark-side the histogram is a numpy bincount per payload inside
+    mapInPandas (see payload_byte_entropy): zero shuffle, the
+    |payload|-sized intermediate never leaves the worker, and the
+    entropy's 6dp round absorbs the two engines' float-sum order
+    difference (~1e-16 on <=256 terms).
+
+    Scale: embarrassingly parallel single pass; bytes-based partition
+    sizing (maxPartitionBytes) bounds per-task memory, and Arrow
+    batching keeps the Python boundary vectorized."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payload_byte_entropy(d, "payload", "doc_id")

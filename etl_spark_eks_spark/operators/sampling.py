@@ -1244,3 +1244,115 @@ def q_c76_epoch_upsample(spark, sf_dir):
         )
         .orderBy("doc_id", "repeat_idx")
     )
+
+
+@query(
+    "q_c84_token_budget_waterfill",
+    oracle=r"""
+    WITH sup AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS supply
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(supply) AS BIGINT) AS ts,
+             CAST(COUNT(*) AS BIGINT) AS n FROM sup
+    ), ranked AS (
+      SELECT lang, supply, 2 * supply AS cap,
+             (ts * 8) // 5 AS budget, n,
+             ROW_NUMBER() OVER (ORDER BY 2 * supply, lang) AS rn,
+             COALESCE(SUM(2 * supply) OVER (
+               ORDER BY 2 * supply, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sup, tot
+    ), cand AS (
+      SELECT *, (budget - cum_before) // (n - rn + 1) AS t_cand
+      FROM ranked
+    ), fill AS (
+      SELECT MIN(rn) AS k, MIN_BY(t_cand, rn) AS t_star
+      FROM cand WHERE t_cand <= cap
+    )
+    SELECT lang, supply, CAST(cap AS BIGINT) AS cap,
+           CAST(CASE WHEN k IS NULL OR rn < k THEN cap ELSE t_star END
+                AS BIGINT) AS alloc,
+           ROUND(CAST(CASE WHEN k IS NULL OR rn < k THEN cap ELSE t_star
+                      END AS DOUBLE) / supply, 6) AS epochs
+    FROM cand, fill ORDER BY lang
+    """,
+)
+def q_c84_token_budget_waterfill(spark, sf_dir):
+    """C84 (extension): token-budget WATERFILL allocation — split a
+    total training budget (1.6x the corpus supply here, i.e. some
+    languages must repeat) across languages under a 2-epoch cap per
+    language: every language gets min(cap, T) tokens where the fill
+    level T exhausts the budget. This is the constrained version of
+    C40's temperature mix / C76's upsampling: those set RATES, this
+    solves the allocation a trainer actually runs when the budget and
+    the repetition ceiling bind at once (Muennighoff et al.'s
+    data-constrained scaling regime: ~2-4 epochs is where repeated
+    tokens stop paying).
+
+    The classic waterfill solve is a sort + scan; here it is the
+    closed form over the LANGUAGE table: rank languages by cap, and
+    the fill level is the first rank whose candidate share
+    (budget - caps_below) DIV (langs_remaining) fits under its own
+    cap. Every step is INTEGER arithmetic (floor division on
+    positive operands — identical in Spark's DIV and DuckDB's //),
+    so both engines agree exactly; the unallocated remainder from
+    flooring is reported by conservation tests, not silently spread.
+
+    Scale: the corpus contributes ONE map-side-combined aggregation
+    (per-language token supply); everything after runs on the
+    |languages|-row table — the global rank window there is
+    langs-sized by construction (same class as C40's rate table)."""
+    d = load_table(spark, sf_dir, "documents")
+    sup = (
+        widen(d)
+        .select("lang", F.size(tokenize("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("bigint").alias("supply"))
+    )
+    tot = sup.agg(
+        F.sum("supply").cast("bigint").alias("ts"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("cap", "lang")
+    ranked = (
+        sup.crossJoin(F.broadcast(tot))
+        .withColumn("cap", F.lit(2) * F.col("supply"))
+        .withColumn("budget", F.expr("(ts * 8) DIV 5"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    cand = ranked.withColumn(
+        "t_cand", F.expr("(budget - cum_before) DIV (n - rn + 1)")
+    )
+    fill = cand.filter(F.col("t_cand") <= F.col("cap")).agg(
+        F.min("rn").alias("k"),
+        F.min_by("t_cand", "rn").alias("t_star"),
+    )
+    alloc = F.when(
+        F.col("k").isNull() | (F.col("rn") < F.col("k")), F.col("cap")
+    ).otherwise(F.col("t_star"))
+    return (
+        cand.crossJoin(F.broadcast(fill))
+        .select(
+            "lang",
+            "supply",
+            F.col("cap").cast("bigint").alias("cap"),
+            alloc.cast("bigint").alias("alloc"),
+            F.round(
+                alloc.cast("double") / F.col("supply"), 6
+            ).alias("epochs"),
+        )
+        .orderBy("lang")
+    )

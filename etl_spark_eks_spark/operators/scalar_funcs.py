@@ -422,3 +422,65 @@ def q_b94_variant_type(spark, sf_dir):
         F.sum(k).cast("long").alias("sum_k"),
         F.count(F.when(k >= 50, 1)).cast("long").alias("n_high"),
     )
+
+
+@query(
+    "q_b128_collated_compare",
+    oracle="""
+    WITH m AS (
+      SELECT lang, source,
+             CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS mixed
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lower(mixed)) AS BIGINT)
+             AS n_sources_lcase,
+           CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_variants_binary,
+           CAST(SUM(CASE WHEN lower(mixed) = source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lcase_eq,
+           CAST(SUM(CASE WHEN mixed = source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_binary_eq
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def q_b128_collated_compare(spark, sf_dir):
+    """B128: string COLLATIONS (Spark 4.0) — comparison/grouping under
+    UTF8_LCASE vs the default UTF8_BINARY. The fixture plants case
+    variation (even doc_ids get an uppercased source), then counts per
+    language: distinct sources under the case-insensitive collation
+    (case variants MERGE) vs binary (they split, ~2x), and equality
+    hits under each. Collated equality runs inside codegen on the JVM
+    — this replaces the lower()-wrapping idiom that defeats pushdown
+    and bloats shuffle keys; the oracle spells the semantics with
+    explicit lower() since DuckDB's default collation is binary.
+
+    Outputs are COUNTS, not collated group keys — a collated group's
+    representative value is whichever variant the engine keeps
+    (nondeterministic across partition orders), so keys never leak
+    into the result. Scale: ordinary two-phase aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("mixed"),
+    )
+    lcase = F.expr("COLLATE(mixed, 'UTF8_LCASE')")
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(lcase).alias("n_sources_lcase"),
+            F.countDistinct("mixed").alias("n_variants_binary"),
+            F.sum(
+                F.when(lcase == F.col("source"), 1).otherwise(0)
+            ).alias("n_lcase_eq"),
+            F.sum(
+                F.when(F.col("mixed") == F.col("source"), 1).otherwise(0)
+            ).alias("n_binary_eq"),
+        )
+        .orderBy("lang")
+    )

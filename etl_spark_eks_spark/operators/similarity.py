@@ -927,3 +927,90 @@ def q_c79_contrastive_pairs(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("anchor_id", "cand_id", "same_label", "sim", "rnk")
     )
+
+
+@query(
+    "q_c85_embedding_source_drift",
+    oracle="""
+    WITH j AS (
+      SELECT d.source, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ), dims AS (
+      SELECT source, CAST(r.i AS INTEGER) - 1 AS dim,
+             CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) AS v
+      FROM j, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ), per_src AS (
+      SELECT source, dim, ROUND(AVG(v), 6) AS comp,
+             COUNT(*) AS n_vectors
+      FROM dims GROUP BY source, dim
+    ), gcent AS (
+      SELECT dim, ROUND(AVG(v), 6) AS gcomp FROM dims GROUP BY dim
+    )
+    SELECT s.source,
+           CAST(MAX(s.n_vectors) AS BIGINT) AS n_vectors,
+           ROUND(SUM(s.comp * g.gcomp)
+                 / (sqrt(SUM(s.comp * s.comp))
+                    * sqrt(SUM(g.gcomp * g.gcomp))), 6) AS centroid_cos
+    FROM per_src s JOIN gcent g USING (dim)
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def q_c85_embedding_source_drift(spark, sf_dir):
+    """C85 (extension): SEMANTIC source drift — each source's embedding
+    centroid scored by cosine against the global corpus centroid. C41
+    catches drift in token distributions; this catches what tokens
+    can't (a source whose vocabulary is normal but whose content moved
+    — translated spam, template farms, topic capture). A source whose
+    centroid_cos drops across snapshots is the embedding-space alarm
+    that triggers C57's per-vector outlier triage.
+
+    Shape: embeddings broadcast-join documents for provenance,
+    posexplode to (source, dim, value), ONE map-side-combined
+    aggregation to per-(source, dim) means — the corpus collapses to
+    |sources| x dim rows right there — then the cosine folds over the
+    dim-sized centroid table. Means are rounded to 6dp BEFORE the
+    cosine on both engines (the c4 convention: small-magnitude AVG is
+    cross-engine stable at 6dp), so the cosine consumes identical
+    inputs and its own 64-term sum noise (~1e-16) vanishes in the
+    final 6dp round.
+
+    Scale: the explode is dim x |corpus| rows but feeds straight into
+    partial aggregation (no shuffle of raw vectors — only
+    |sources| x dim partials move); everything after is centroid-table
+    arithmetic. 100 TB of embeddings costs one pass + a keys-sized
+    shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    dims = (
+        emb.join(F.broadcast(docs), "vec_id")
+        .select(
+            "source",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "v"
+            ),
+        )
+    )
+    per_src = dims.groupBy("source", "dim").agg(
+        F.round(F.avg("v"), 6).alias("comp"),
+        F.count("*").alias("n_vectors"),
+    )
+    glob = dims.groupBy("dim").agg(F.round(F.avg("v"), 6).alias("gcomp"))
+    return (
+        per_src.join(F.broadcast(glob), "dim")
+        .groupBy("source")
+        .agg(
+            F.max("n_vectors").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("comp") * F.col("gcomp"))
+                / (
+                    F.sqrt(F.sum(F.col("comp") * F.col("comp")))
+                    * F.sqrt(F.sum(F.col("gcomp") * F.col("gcomp")))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("source")
+    )

@@ -1832,3 +1832,94 @@ def q_c80_fertility_regression(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_BLOCKLIST = (
+    "hash join",
+    "key agg row",
+    "quantum flux",
+    "slow scan",
+    "table scan",
+)
+
+
+@query(
+    "q_c82_blocklist_phrases",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_concat(
+        list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                       i -> concat_ws(' ', tk[i], tk[i+1])),
+        list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+      )) AS gram FROM t
+    ), hits AS (
+      SELECT gram,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_hits
+      FROM g
+      WHERE gram IN ('hash join', 'key agg row', 'quantum flux',
+                     'slow scan', 'table scan')
+      GROUP BY gram
+    )
+    SELECT p.phrase,
+           CAST(COALESCE(hits.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits
+    FROM (VALUES ('hash join'), ('key agg row'), ('quantum flux'),
+                 ('slow scan'), ('table scan')) AS p(phrase)
+    LEFT JOIN hits ON hits.gram = p.phrase
+    ORDER BY p.phrase
+    """,
+)
+def q_c82_blocklist_phrases(spark, sf_dir):
+    """C82 (extension): multi-phrase blocklist scan with per-phrase
+    attribution — for every phrase on a governance blocklist
+    (NSFW/brand/compliance terms), how many documents contain it and
+    how many total occurrences (token-boundary-aware: 'table scan'
+    must not fire inside 'stable scans', which a LIKE '%..%' sweep
+    gets wrong). Every phrase stays in the report, zeros included —
+    the absent-phrase row is the evidence a term was checked, not
+    skipped ('quantum flux' is the planted zero).
+
+    Spark-first shape: documents are shingled ONCE per phrase LENGTH
+    present on the list (here 2- and 3-grams — NOT once per phrase,
+    the n_phrases x corpus rescan a naive contains() loop costs), the
+    exploded gram stream is pre-filtered with a literal isin() that
+    runs inside the scan stage's codegen, and only matching grams
+    reach the aggregation — the single shuffle is on <= |blocklist|
+    keys. The zero-keeping happens on a |blocklist|-row literal dim
+    via broadcast left join. At 100 TB the cost is the tokenize+
+    shingle projection, embarrassingly parallel; a 10k-phrase list
+    changes only the isin to a broadcast semi-join on the gram."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    grams = widen(d).select(
+        "doc_id",
+        F.explode(
+            F.concat(shingles(toks, 2), shingles(toks, 3))
+        ).alias("gram"),
+    )
+    hits = (
+        grams.filter(F.col("gram").isin(*_BLOCKLIST))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+    dim = spark.createDataFrame(
+        [(p,) for p in _BLOCKLIST], "phrase string"
+    )
+    return (
+        dim.join(F.broadcast(hits), dim.phrase == hits.gram, "left")
+        .select(
+            "phrase",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .orderBy("phrase")
+    )

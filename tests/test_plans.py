@@ -681,3 +681,45 @@ def test_distribute_sort_by_is_local_sort_only(spark, sf_dir):
     assert "], false, 0" in plan, plan
     assert "], true, 0" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_source_overlap_contracts_before_pairing(spark, sf_dir):
+    """C83: the overlap matrix must aggregate (shingle -> source set)
+    BEFORE pair expansion — never self-join the occurrence stream
+    (quadratic per hot shingle). Pin: a collect_set aggregate exists
+    and no cartesian/nested-loop join appears."""
+    plan = plan_of(
+        registry.QUERIES["q_c83_source_overlap_matrix"](spark, sf_dir)
+    )
+    assert "collect_set" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_payload_entropy_no_shuffle(spark, sf_dir):
+    """M11: the byte histogram is computed inside mapInPandas — the
+    plan must contain NO Exchange at all (scan -> project -> Python
+    -> result), because the |payload|-sized intermediate never leaves
+    the worker."""
+    plan = plan_of(registry.QUERIES["q_m11_payload_entropy"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_blocklist_single_small_shuffle(spark, sf_dir):
+    """C82: the only corpus-wide movement is the aggregation keyed on
+    <= |blocklist| grams; the isin pre-filter must sit with the
+    generator (no join against the corpus stream), so the plan carries
+    no cartesian and the phrase dim joins broadcast."""
+    plan = plan_of(
+        registry.QUERIES["q_c82_blocklist_phrases"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exchange NODES (formatted explain lists each twice: tree + detail);
+    # all post-filter — the distinct-agg pair, the zero-keep broadcast,
+    # and the 5-row result sort
+    import re as _re
+
+    n_exchange_nodes = len(_re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+    assert n_exchange_nodes <= 6, plan

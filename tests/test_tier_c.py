@@ -872,3 +872,70 @@ def test_curriculum_phases_are_quality_monotone(spark, sf_dir):
         tot = sum(r["n_tokens"] for r in phases[p])
         # each full phase covers its 20k budget within one doc's slack
         assert tot <= 20_000 + max(r["n_tokens"] for r in phases[p])
+
+
+def test_blocklist_phrases_attribution(spark, sf_dir):
+    """C82: every blocklist phrase stays in the report (zeros kept);
+    the planted absent phrase ('quantum flux') is exactly zero; hit
+    counts dominate doc counts; and the corpus genuinely lights up at
+    least one phrase (planted-positive rule)."""
+    rows = registry.QUERIES["q_c82_blocklist_phrases"](spark, sf_dir).collect()
+    by = {r["phrase"]: r for r in rows}
+    assert len(rows) == 5
+    assert by["quantum flux"]["n_docs"] == 0
+    assert by["quantum flux"]["n_hits"] == 0
+    assert sum(r["n_hits"] for r in rows) > 0
+    for r in rows:
+        assert r["n_hits"] >= r["n_docs"] >= 0
+
+
+def test_source_overlap_matrix_shape(spark, sf_dir):
+    """C83: pairs are canonical (src_a < src_b), never self-pairs, and
+    counts are positive distinct-shingle intersections."""
+    rows = registry.QUERIES["q_c83_source_overlap_matrix"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["n_shared"] > 0
+
+
+def test_waterfill_conservation(spark, sf_dir):
+    """C84: allocations never exceed caps, epochs never exceed 2, the
+    budget is never overspent, and when the waterfill engages (some
+    language below its cap) the floor-division remainder is bounded by
+    the number of filled languages."""
+    rows = registry.QUERIES["q_c84_token_budget_waterfill"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    total_supply = sum(r["supply"] for r in rows)
+    budget = (total_supply * 8) // 5
+    spent = sum(r["alloc"] for r in rows)
+    n_filled = sum(1 for r in rows if r["alloc"] < r["cap"])
+    for r in rows:
+        assert r["alloc"] <= r["cap"] == 2 * r["supply"]
+        assert r["epochs"] <= 2.0 + 1e-9
+    if n_filled:
+        assert spent <= budget
+        assert budget - spent < n_filled + len(rows)
+    else:
+        assert spent == sum(r["cap"] for r in rows)
+
+
+def test_embedding_source_drift_bounds(spark, sf_dir):
+    """C85: cosine to the global centroid lies in [-1, 1] and every
+    source is represented; the weighted mean of source centroids must
+    reconstruct the global centroid, which forces the vector-count
+    column to be consistent (checked via sum of n_vectors == corpus)."""
+    rows = registry.QUERIES["q_c85_embedding_source_drift"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["centroid_cos"] <= 1.0 + 1e-9
+    total = sum(r["n_vectors"] for r in rows)
+    from etl_spark_eks_spark.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "embeddings").count()

@@ -73,6 +73,7 @@ ALLOW_CARTESIAN = {
     "q_c64_containment_neardup",  # pigeonhole prefix probe (docstring: measured shape)
     "q_c68_curriculum_phases",    # 1-row budget total
     "q_c76_epoch_upsample",    # 1-row budget x language-count rate table (docstring: zero corpus shuffle)
+    "q_c84_token_budget_waterfill",  # 1-row totals/fill x langs-sized allocation table
     "q_c45_length_banded_packing",  # band-offset table
     "q_c24_pack_shards",       # bucket-offset broadcast
     "q_m3_media_shard_pack",
@@ -145,6 +146,8 @@ ALLOW_SINGLE_PART = {
     # C68-style prefix sum: offset window over quality-rank buckets,
     # bounded by the 1e6+1 quantization levels, not n
     "q_c78_training_data_plan",
+    # waterfill rank window runs on the |languages|-row table
+    "q_c84_token_budget_waterfill",
     "q_c38_bigram_lm", "q_c49_classifier_quality",
     "q_c9_simhash_neardup", "q_m4_media_phash_neardup",
     "q_c2_near_dedup_jaccard", "q_c18_dedup_clusters",
