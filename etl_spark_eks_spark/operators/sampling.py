@@ -1356,3 +1356,161 @@ def q_c84_token_budget_waterfill(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def running_total_before_range(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partitioned prefix sum — the ladder rung BEYOND
+    :func:`running_total_before` when the sort key is SPARSE or
+    skewed. The bucket-based version needs a dense monotone bucket
+    function of the key (C68/C78 derive one from the quality rank);
+    when no such function exists — arbitrary bigint keys, hot key
+    ranges — ``repartitionByRange`` IS the dense bucketing: Spark
+    samples the key distribution and cuts ~equal-population ranges,
+    so partition id becomes a dense, monotone, load-balanced bucket
+    by construction, at any sparsity.
+
+    Shape: range-repartition + sortWithinPartitions (one corpus
+    shuffle, the same count as the window variant), per-partition
+    totals (map-side combined, |partitions| rows), the serial offset
+    window over that tiny table, broadcast back, then the
+    within-partition running sum as a CARRY-FORWARD cumsum inside
+    mapInPandas — Arrow-batched, sequential within each partition, so
+    the |partition|-sized state is one float and the corpus never
+    shuffles again (the window variant pays a second hash exchange
+    here).
+
+    Requires unique ``id_col`` values (ties make any running sum
+    order-dependent — same precondition as the window variant).
+    Output values are a pure function of the data: where the range
+    boundaries land affects load balance only, never ``__cum_before``.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = (
+        df.repartitionByRange(n, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("__pid").agg(
+        F.sum(weight_col).alias("__t")
+    )
+    w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__offset"),
+    )
+    joined = ranged.join(F.broadcast(offsets), "__pid")
+    out_fields = [f for f in df.schema.fields]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", __cum_before double"
+    cols = [f.name for f in out_fields]
+
+    # carry persists across Arrow batches WITHIN a partition (the
+    # iterator is sequential per partition); __offset is constant per
+    # partition and seeds the carry on the first batch.
+    def batches(it):
+        carry = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = float(pdf["__offset"].iloc[0])
+            w_vals = pdf[weight_col].astype("float64")
+            cum = w_vals.cumsum().shift(fill_value=0.0) + carry
+            carry = carry + float(w_vals.sum())
+            out = pdf[cols].copy()
+            out["__cum_before"] = cum.values
+            yield out
+
+    return joined.mapInPandas(batches, schema)
+
+
+@query(
+    "q_c86_range_prefix_sum",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             ROUND(CAST(len(list_distinct(list_filter(
+                     string_split_regex(text, '\s+'), x -> x <> '')))
+                   AS DOUBLE)
+                   / len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')), 6) AS quality
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(1000000 - ROUND(quality * 1000000) AS BIGINT)
+               * 1000000000000 + doc_id AS sort_key
+      FROM q
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+           CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY sort_key ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS DOUBLE) / 20000) AS BIGINT)
+             AS phase
+    FROM keyed
+    """,
+)
+def q_c86_range_prefix_sum(spark, sf_dir):
+    """C86 (extension): C68's curriculum phases computed through the
+    RANGE-PARTITIONED prefix sum (running_total_before_range) instead
+    of the bucket-function variant — same output, same oracle, but the
+    machinery needs NO dense bucket function of the sort key: Spark's
+    range partitioner samples the key distribution and cuts
+    equal-population partitions, so the serial offset step is
+    |partitions| rows and the residual hazard of the bucket variant —
+    a HOT quality level serializing one bucket's window — disappears
+    (a hot key range just splits across partitions; only genuinely
+    EQUAL keys must co-locate, and sort_key is unique by
+    construction). The within-partition running sum is a carry-forward
+    cumsum in mapInPandas: sequential per partition, one float of
+    state, no second corpus exchange.
+
+    The weight column is integer tokens, exactly representable in the
+    carry's float64 up to 2^53 — cross-engine identical.
+
+    Scale: one range shuffle (sampled boundaries), one
+    |partitions|-row serial window, one Arrow pass. This is the
+    prefix-sum shape that survives ANY key distribution at 100 TB;
+    C68/C78 keep the all-JVM bucket variant because their quality-rank
+    bucket is provably dense — the two variants are property-tested
+    equal (tests/test_sampling.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    q = widen(d).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("quality"),
+    )
+    keyed = q.withColumn(
+        "sort_key",
+        (F.lit(1_000_000) - F.round(F.col("quality") * 1_000_000)).cast(
+            "bigint"
+        )
+        * 1_000_000_000_000
+        + F.col("doc_id"),
+    )
+    return running_total_before_range(
+        keyed, "sort_key", "n_tokens"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        F.floor(F.col("__cum_before") / 20_000)
+        .cast("bigint")
+        .alias("phase"),
+    )

@@ -294,3 +294,65 @@ def test_weighted_reservoir_is_deterministic_and_length_biased(spark, sf_dir):
         q(spark, sf_dir).agg(F.avg("n_chars")).first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_range_prefix_sum_equals_window_variant(spark, sf_dir):
+    """C86: the range-partitioned prefix sum must equal the bucket/
+    window variant row-for-row on the same keyed input — including
+    under MULTI-BATCH Arrow iteration, where the carry must persist
+    across batches within a partition (forced via a 7-row batch
+    size)."""
+    from etl_spark_eks_spark.operators.sampling import (
+        running_total_before,
+        running_total_before_range,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 1000 * 1_000_000 + F.col("id")).alias("k"),
+        (F.col("id") % 13 + 1).alias("w"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {
+            r["k"]: r["__cum_before"]
+            for r in running_total_before_range(
+                df, "k", "w", num_partitions=8
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    want = {
+        r["k"]: float(r["__cum_before"])
+        for r in running_total_before(
+            df, "k", "w", bucket_size=1_000_000
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_range_prefix_sum_serial_step_is_partition_sized(spark, sf_dir):
+    """C86: the only unpartitioned window in the range variant runs
+    over the |partitions|-row totals table; the corpus itself moves
+    through exactly ONE exchange (the range repartition) plus the
+    broadcast of the offsets."""
+    import re
+
+    df = registry.QUERIES["q_c86_range_prefix_sum"](spark, sf_dir)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    # corpus-side exchanges: the range repartition; totals-side: one
+    # hash/single exchange pair for the tiny aggregate + its window
+    n_range = len(re.findall(r"Arguments: rangepartitioning", plan))
+    assert n_range >= 1
+    assert "CartesianProduct" not in plan

@@ -148,6 +148,8 @@ ALLOW_SINGLE_PART = {
     "q_c78_training_data_plan",
     # waterfill rank window runs on the |languages|-row table
     "q_c84_token_budget_waterfill",
+    # offsets window over the |partitions|-row totals table
+    "q_c86_range_prefix_sum",
     "q_c38_bigram_lm", "q_c49_classifier_quality",
     "q_c9_simhash_neardup", "q_m4_media_phash_neardup",
     "q_c2_near_dedup_jaccard", "q_c18_dedup_clusters",

@@ -89,6 +89,16 @@ PROBE_QUERIES = (
     "q_c77_vocab_oov_audit",
     "q_b115_mode_median",
     "q_b117_cached_multi_action",
+    # round-6 additions over replicated tables (documents/lineitem;
+    # q_c85 joins the symlinked embeddings table — only the 1x copy of
+    # documents matches, so a probe would measure the scan of the
+    # replicated side, not the op; q_b125/q_b124/q_b123/q_b126-128 are
+    # plain agg/scan shapes already covered by q_b17's probe)
+    "q_c82_blocklist_phrases",
+    "q_c83_source_overlap_matrix",
+    "q_c84_token_budget_waterfill",
+    "q_m11_payload_entropy",
+    "q_c86_range_prefix_sum",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
