@@ -1923,3 +1923,136 @@ def q_c82_blocklist_phrases(spark, sf_dir):
         )
         .orderBy("phrase")
     )
+
+
+@query(
+    "q_c87_bpe_merge_rounds",
+    oracle=r"""
+    WITH vocab AS (
+      SELECT tok AS word, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) GROUP BY tok
+    ),
+    w0 AS (SELECT word, cnt,
+           '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+             AS seq
+           FROM vocab),
+    p1 AS (
+      SELECT sym[CAST(i AS INT)] AS s1, sym[CAST(i AS INT)+1] AS s2,
+             CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, list_filter(string_split(seq, '  '),
+                                    x -> x <> '') AS sym FROM w0),
+           UNNEST(range(1, len(sym))) t(i)
+      GROUP BY s1, s2),
+    r1 AS (SELECT s1, s2, c FROM p1 ORDER BY c DESC, s1, s2 LIMIT 1),
+    w1 AS (SELECT word, cnt,
+           replace(seq, ' ' || r1.s1 || '  ' || r1.s2 || ' ',
+                        ' ' || r1.s1 || r1.s2 || ' ') AS seq
+           FROM w0, r1),
+    p2 AS (
+      SELECT sym[CAST(i AS INT)] AS s1, sym[CAST(i AS INT)+1] AS s2,
+             CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, list_filter(string_split(seq, '  '),
+                                    x -> x <> '') AS sym FROM w1),
+           UNNEST(range(1, len(sym))) t(i)
+      GROUP BY s1, s2),
+    r2 AS (SELECT s1, s2, c FROM p2 ORDER BY c DESC, s1, s2 LIMIT 1),
+    w2 AS (SELECT word, cnt,
+           replace(seq, ' ' || r2.s1 || '  ' || r2.s2 || ' ',
+                        ' ' || r2.s1 || r2.s2 || ' ') AS seq
+           FROM w1, r2),
+    p3 AS (
+      SELECT sym[CAST(i AS INT)] AS s1, sym[CAST(i AS INT)+1] AS s2,
+             CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, list_filter(string_split(seq, '  '),
+                                    x -> x <> '') AS sym FROM w2),
+           UNNEST(range(1, len(sym))) t(i)
+      GROUP BY s1, s2),
+    r3 AS (SELECT s1, s2, c FROM p3 ORDER BY c DESC, s1, s2 LIMIT 1)
+    SELECT CAST(1 AS INTEGER) AS round, s1 AS left_sym, s2 AS right_sym,
+           c AS pair_count FROM r1
+    UNION ALL SELECT 2, s1, s2, c FROM r2
+    UNION ALL SELECT 3, s1, s2, c FROM r3
+    ORDER BY round
+    """,
+)
+def q_c87_bpe_merge_rounds(spark, sf_dir):
+    """C87 (extension): BPE TOKENIZER TRAINING, three merge rounds —
+    the actual Sennrich et al. loop, not just one pair census (C51 is
+    the single-pass pair stats; this ITERATES: count pairs, merge the
+    winner everywhere, recount on the merged sequences). Output is the
+    learned merge table (round, left, right, corpus-weighted count) —
+    the artifact a tokenizer ships.
+
+    The 100 TB argument is WHERE the loop runs: BPE training operates
+    on the WORD-FREQUENCY table, never the corpus — the corpus
+    contributes exactly one map-side-combined groupBy(token) count,
+    after which every round touches |vocab| rows (Heaps-law sublinear
+    in corpus size). Each round is: adjacent-pair explode over the
+    symbol sequences (vocab-bounded), one keys-sized aggregation, a
+    1-row argmax collected to the driver (k-sized materialization, the
+    quantizer-collect class), and the merge applied as a plain
+    string replace() — left-to-right non-overlapping scan, which IS
+    greedy BPE merge order, identically in Spark and DuckDB (the
+    oracle replays all three rounds as chained CTEs).
+
+    Symbol sequences are DOUBLE-space joined with single-space flanks
+    in the replace pattern (' a  b ' -> ' ab '): consecutive
+    occurrences keep their boundary spaces, so 'a a a' merges to
+    ('aa','a') exactly like reference BPE, and a pattern can never
+    match inside a multi-char symbol."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        widen(d)
+        .select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = vocab.withColumn(
+        "seq",
+        F.concat(
+            F.lit("  "),
+            F.array_join(
+                F.filter(F.split("word", ""), lambda x: x != ""), "  "
+            ),
+            F.lit("  "),
+        ),
+    )
+    rules = []
+    for rnd in (1, 2, 3):
+        sym = F.filter(F.split("seq", "  "), lambda x: x != "")
+        # single-symbol words yield no pairs (sequence(1, 0) would turn
+        # DESCENDING — the shingles() gotcha — so guard the whole expr)
+        pair_arr = F.when(
+            F.size(sym) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sym) - 1),
+                lambda i: F.struct(
+                    F.element_at(sym, i).alias("s1"),
+                    F.element_at(sym, i + 1).alias("s2"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<s1:string,s2:string>>")
+        )
+        pairs = w.select("cnt", F.explode(pair_arr).alias("p"))
+        [top] = (
+            pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), "s1", "s2")
+            .limit(1)
+            .collect()
+        )
+        rules.append((rnd, top["s1"], top["s2"], top["c"]))
+        w = w.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {top['s1']}  {top['s2']} "),
+                F.lit(f" {top['s1']}{top['s2']} "),
+            ),
+        )
+    return spark.createDataFrame(
+        rules, "round int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("round")

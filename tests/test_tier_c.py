@@ -939,3 +939,32 @@ def test_embedding_source_drift_bounds(spark, sf_dir):
     from etl_spark_eks_spark.catalog import load_table
 
     assert total == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_bpe_merge_greedy_overlap_semantics(spark):
+    """C87's merge step is a plain string replace over double-space
+    joined symbols — which must implement GREEDY left-to-right BPE
+    merge order: 'a a a' with rule (a,a) becomes ('aa','a'), never
+    ('a','aa') or ('aaa'), and consecutive occurrences all merge
+    (' a b a b ' -> ' ab ab '), because each match's boundary spaces
+    are preserved by the single-space-flank pattern."""
+    rows = spark.sql(
+        "SELECT replace('  a  a  a  ', ' a  a ', ' aa ') AS x, "
+        "replace('  a  b  a  b  ', ' a  b ', ' ab ') AS y, "
+        "replace('  ab  c  ', ' b  c ', ' bc ') AS z"
+    ).collect()
+    assert rows[0]["x"] == "  aa  a  "
+    assert rows[0]["y"] == "  ab  ab  "
+    # never matches INSIDE a multi-char symbol
+    assert rows[0]["z"] == "  ab  c  "
+
+
+def test_bpe_merge_rounds_monotone(spark, sf_dir):
+    """C87: merging the argmax pair can only create pairs bounded by
+    its own count and can only shrink existing ones — the per-round
+    winner counts are non-increasing, and all three rounds emit."""
+    rows = registry.QUERIES["q_c87_bpe_merge_rounds"](spark, sf_dir).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    assert rows[0]["pair_count"] >= rows[1]["pair_count"] >= rows[2]["pair_count"]
+    for r in rows:
+        assert r["left_sym"] and r["right_sym"] and r["pair_count"] > 0

@@ -99,6 +99,7 @@ PROBE_QUERIES = (
     "q_c84_token_budget_waterfill",
     "q_m11_payload_entropy",
     "q_c86_range_prefix_sum",
+    "q_c87_bpe_merge_rounds",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
