@@ -300,7 +300,8 @@ def q_b82_try_cast_audit(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN l_orderkey > 1000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_orderkey % 97 = 0 AND l_orderkey > 100
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_add_overflow,
            CAST(SUM(CASE WHEN l_quantity = 1.0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_div_by_zero,
@@ -319,11 +320,22 @@ def q_b122_try_arithmetic(spark, sf_dir):
     JSON, B75 corrupt files, B82 unparseable scalars; this rung:
     arithmetic that would THROW under ANSI mode degrades to NULL per
     row instead of failing the task). `try_add` against a near-MAX
-    bigint overflows exactly where l_orderkey > 1000 (mixed outcomes
-    at every sf — the planted-positive-path rule), `try_divide` nulls
-    where the denominator (l_quantity − 1) is zero; both NULL
-    populations are counted per group in the same single pass, B89's
+    addend overflows exactly on the planted ~1% sliver
+    (l_orderkey % 97 == 0 and > 100 — mixed outcomes at every sf,
+    the planted-positive-path rule), `try_divide` nulls where the
+    denominator (l_quantity − 1) is zero; both NULL populations are
+    counted per group in the same single pass, B89's
     fabricate-then-audit shape.
+
+    MEASURED pathology, and why the overflow is a sliver: Spark's
+    try_add is Math.addExact + catch, so every overflowING row pays
+    JVM exception construction — with the overflow planted on ~100%
+    of rows (the original shape) this query cost 10.2 s at sf0.1
+    while the same audit with a 1% overflow band costs well under a
+    second. try_divide's zero check is a branch, not an exception —
+    free either way. The lesson generalizes: try_* is priced for
+    corruption as the EXCEPTION; a feed where half the rows overflow
+    needs a CASE pre-guard, not try_*.
 
     The oracle spells each try_* as its explicit CASE guard — which IS
     the claimed semantics (NULL exactly where the unguarded expression
@@ -343,10 +355,15 @@ def q_b122_try_arithmetic(spark, sf_dir):
     pipeline gets ANSI's honesty without ANSI's task-killing blast
     radius."""
     li = load_table(spark, sf_dir, "lineitem")
-    near_max = 9223372036854774807  # MAX_LONG - 1000
+    near_max = 9223372036854775707  # MAX_LONG - 100
     audited = li.select(
         "l_returnflag",
-        F.try_add(F.col("l_orderkey"), F.lit(near_max)).alias("maybe_add"),
+        F.try_add(
+            F.col("l_orderkey"),
+            F.when(
+                (F.col("l_orderkey") % 97 == 0), F.lit(near_max)
+            ).otherwise(F.lit(0)),
+        ).alias("maybe_add"),
         F.try_divide(
             F.col("l_extendedprice"), F.col("l_quantity") - 1.0
         ).alias("maybe_ratio"),

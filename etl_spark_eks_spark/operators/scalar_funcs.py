@@ -484,3 +484,63 @@ def q_b128_collated_compare(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_b129_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, source,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR) || '?ref=r'
+               || CAST(doc_id % 7 AS VARCHAR) || '&utm=feed' AS url
+      FROM documents
+    )
+    SELECT source || '.example.com' AS host,
+           'r' || CAST(ref AS VARCHAR) AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM (SELECT source, lang, doc_id % 7 AS ref FROM u)
+    GROUP BY host, ref
+    ORDER BY host, ref
+    """,
+)
+def q_b129_url_functions(spark, sf_dir):
+    """B129: the URL function family — ``parse_url(url, HOST/PATH/
+    QUERY/REF)`` and per-key query extraction ``parse_url(url, QUERY,
+    key)`` — the provenance primitive of every web corpus (domain
+    extraction for source attribution, dedup keys, robots/licensing
+    joins). Fixture documents carry no URLs, so deterministic ones are
+    SYNTHESIZED from (source, lang, doc_id) and parsed BACK: Spark's
+    parser output is checked against independently-constructed
+    expected strings in the oracle (DuckDB has no URL parser — the
+    synthesis makes the comparison exact rather than vacuous).
+
+    Scale: parse_url is a per-row JVM expression inside codegen —
+    pipelines into the scan, no shuffle until the host-level census
+    (keys-sized agg)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm=feed"),
+    )
+    parsed = d.select(
+        "lang",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return (
+        parsed.groupBy("host", "ref")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("host", "ref")
+    )

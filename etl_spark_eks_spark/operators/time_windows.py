@@ -500,3 +500,55 @@ def q_b116_event_sequence_match(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_b130_interval_arithmetic",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(ts + 36 * INTERVAL 1 HOUR) AS VARCHAR) AS min_sla_ts,
+           CAST(MAX(date_trunc('day', ts) + INTERVAL 1 MONTH
+                    - INTERVAL 3 DAY) AS VARCHAR) AS max_billing_ts,
+           CAST(MAX(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts))
+                AS BIGINT) AS max_age_days
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_b130_interval_arithmetic(spark, sf_dir):
+    """B130: ANSI interval arithmetic — ``timestamp_add``, mixed
+    month/day interval composition via ``make_interval`` (calendar
+    months do NOT commute with fixed-length durations, which is why
+    they are distinct interval classes), ``date_trunc``, and
+    ``timestamp_diff`` day ages. The retention/SLA/billing-cutoff
+    arithmetic every event pipeline ships; timestamps compare as
+    strings so the oracle pins the exact calendar result, not an
+    epoch approximation.
+
+    Scale: all per-row codegen expressions folded into one keys-sized
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.timestamp_add("HOUR", F.lit(36), F.col("ts")).alias("sla_ts"),
+            (
+                F.date_trunc("day", F.col("ts"))
+                + F.make_interval(months=F.lit(1))
+                - F.make_interval(days=F.lit(3))
+            ).alias("billing_ts"),
+            F.timestamp_diff(
+                "DAY",
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+                F.col("ts"),
+            ).alias("age_days"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("sla_ts").cast("string").alias("min_sla_ts"),
+            F.max("billing_ts").cast("string").alias("max_billing_ts"),
+            F.max("age_days").cast("bigint").alias("max_age_days"),
+        )
+        .orderBy("event_type")
+    )
