@@ -58,7 +58,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_c84_token_budget_waterfill", "q_c85_embedding_source_drift",
     "q_m11_payload_entropy", "q_c86_range_prefix_sum",
     "q_c87_bpe_merge_rounds", "q_b129_url_functions",
-    "q_b130_interval_arithmetic",
+    "q_b130_interval_arithmetic", "q_b131_rocksdb_state_store",
+    "q_c88_shard_mix_audit",
     # -- (2) reworked this round (new stride/bucketing, oracles changed) --
     "q_c68_curriculum_phases", "q_c78_training_data_plan",
     # -- (3) oldest official greens (r1), missed r5's cap --

@@ -1514,3 +1514,120 @@ def q_c86_range_prefix_sum(spark, sf_dir):
         .cast("bigint")
         .alias("phase"),
     )
+
+
+@query(
+    "q_c88_shard_mix_audit",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                  / 1000) AS BIGINT) AS shard_id
+      FROM t
+    ), c AS (
+      SELECT shard_id, lang, COUNT(*) AS cnt FROM s GROUP BY shard_id, lang
+    ), withtot AS (
+      SELECT shard_id, lang, cnt,
+             SUM(cnt) OVER (PARTITION BY shard_id) AS nd
+      FROM c
+    ), tot AS (
+      SELECT shard_id, CAST(MAX(nd) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             ROUND(-SUM((CAST(cnt AS DOUBLE) / nd)
+                        * log2(CAST(cnt AS DOUBLE) / nd)), 6)
+               AS lang_entropy
+      FROM withtot GROUP BY shard_id
+    ), top AS (
+      SELECT shard_id, lang AS top_lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+                                ORDER BY cnt DESC, lang DESC) AS rn
+      FROM c
+    )
+    SELECT tot.shard_id, n_docs, n_langs, lang_entropy,
+           top.top_lang,
+           ROUND(CAST(top.cnt AS DOUBLE) / n_docs, 6) AS top_share
+    FROM tot JOIN top ON top.shard_id = tot.shard_id AND top.rn = 1
+    ORDER BY tot.shard_id
+    """,
+)
+def q_c88_shard_mix_audit(spark, sf_dir):
+    """C88 (extension): BATCH-COMPOSITION audit of the packed training
+    shards — per C24 shard: document count, language breadth, Shannon
+    entropy of the language mix, and the dominant language's share.
+    Curriculum/packing bugs surface exactly here: a shard dominated by
+    one source/language trains like a distribution shift even when the
+    corpus-level mix (C23/C40) is perfect, because the OPTIMIZER sees
+    batches, not corpora. This is the audit a trainer runs over the
+    manifest before spending GPU-hours; top_share > policy triggers
+    C70's interleave.
+
+    Shape: C24's shared prefix-sum assigns shards (serial work
+    n/bucket_size, the proven machinery), then ONE (shard, lang)
+    aggregation — everything after runs on the shards x langs table.
+    The entropy's p*log2(p) folds over integer counts, rounded 6dp on
+    both engines; the dominant language ties break (cnt DESC, lang
+    DESC) identically via explicit row_number on both sides.
+
+    Scale: corpus contributes the prefix sum + one combine-friendly
+    aggregation; shard count is corpus_tokens/budget, and the audit
+    table is shards x |langs| — metadata-sized at any corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    t = widen(d).select(
+        "doc_id", "lang", F.size(tokenize("text")).alias("n_tokens")
+    )
+    s = running_total_before(t, "doc_id", "n_tokens").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("__cum_before").cast("double") / _SHARD_BUDGET)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    c = s.groupBy("shard_id", "lang").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("shard_id")
+    tot = (
+        c.withColumn("n_docs", F.sum("cnt").over(w))
+        .groupBy("shard_id")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.round(
+                -F.sum(
+                    (F.col("cnt").cast("double") / F.col("n_docs"))
+                    * F.log2(F.col("cnt").cast("double") / F.col("n_docs"))
+                ),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+    top = (
+        c.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("shard_id").orderBy(
+                    F.col("cnt").desc(), F.col("lang").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("shard_id", F.col("lang").alias("top_lang"), "cnt")
+    )
+    return (
+        tot.join(top, "shard_id")
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_langs",
+            "lang_entropy",
+            "top_lang",
+            F.round(F.col("cnt").cast("double") / F.col("n_docs"), 6).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("shard_id")
+    )

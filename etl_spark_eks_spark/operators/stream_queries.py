@@ -793,3 +793,68 @@ def q_b118_stream_progress_metrics(spark, sf_dir):
     return spark.createDataFrame(
         rows, "batch_idx bigint, num_input_rows bigint"
     )
+
+
+@query(
+    "q_b131_rocksdb_state_store",
+    oracle="""
+    SELECT event_type, CAST(user_id % 16 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value * 1000000 AS DECIMAL(38,0))) AS BIGINT)
+             AS value_micros
+    FROM events
+    GROUP BY event_type, user_id % 16
+    """,
+)
+def q_b131_rocksdb_state_store(spark, sf_dir):
+    """B131: streaming state on the ROCKSDB state-store provider — the
+    production backend for LARGE state. The default HDFS-backed store
+    keeps every key's state in executor HEAP (and full-snapshots each
+    checkpoint); RocksDB spills to local disk with incremental
+    changelog checkpoints, which is what makes billions of streaming
+    keys (the 100 TB dedup/session workloads, B49/B98's shapes)
+    operable. Spark reads the provider class from the session conf at
+    QUERY start, so the swap is config-scoped to a cloned session —
+    same query semantics, different state engine, proven by the exact
+    batch oracle (B91's complete-mode discipline, keyed 5x16 to give
+    the store a key population rather than 5 rows).
+
+    Integer-micros decimal accumulation keeps the re-folded streaming
+    state bit-identical to both the batch plan and DuckDB
+    (functions/exact.py discipline)."""
+    from etl_spark_eks_spark.streaming.stream_ops import (
+        events_stream_batched,
+    )
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    agg = (
+        events_stream_batched(sess, sf_dir)
+        .groupBy(
+            "event_type",
+            (F.col("user_id") % 16).cast("bigint").alias("user_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") * 1000000).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("q_b131_rocksdb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sess.table("q_b131_rocksdb").collect(),
+        schema=sess.table("q_b131_rocksdb").schema,
+    )

@@ -128,6 +128,7 @@ ALLOW_PY_ROW = {
 ALLOW_SINGLE_PART = {
     # bucket-/band-offset windows over n/bucket_size tables (plan-tested)
     "q_c24_pack_shards", "q_c45_length_banded_packing",
+    "q_c88_shard_mix_audit",
     "q_c46_stable_seq_ids", "q_c68_curriculum_phases",
     "q_m3_media_shard_pack", "q_m5_media_curation",
     "q_m10_tar_member_offsets",
