@@ -356,3 +356,32 @@ def test_range_prefix_sum_serial_step_is_partition_sized(spark, sf_dir):
     n_range = len(re.findall(r"Arguments: rangepartitioning", plan))
     assert n_range >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_waterfill_matches_independent_implementation(spark, sf_dir):
+    """C84: the closed-form rank-window waterfill must equal an
+    INDEPENDENT sequential implementation (sort by cap, hand out caps
+    while the equal-share exceeds them, then floor-divide the rest) —
+    the textbook algorithm re-derived in plain Python from the same
+    per-language supplies."""
+    rows = registry.QUERIES["q_c84_token_budget_waterfill"](
+        spark, sf_dir
+    ).collect()
+    sup = {r["lang"]: r["supply"] for r in rows}
+    budget = (sum(sup.values()) * 8) // 5
+    caps = sorted(((2 * s, l) for l, s in sup.items()))
+    expect = {}
+    remaining, m = budget, len(caps)
+    t_star = None
+    for cap, lang in caps:
+        share = remaining // m
+        if t_star is None and share <= cap:
+            t_star = share
+        if t_star is not None:
+            expect[lang] = t_star
+        else:
+            expect[lang] = cap
+            remaining -= cap
+            m -= 1
+    got = {r["lang"]: r["alloc"] for r in rows}
+    assert got == expect, (got, expect)

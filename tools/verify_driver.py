@@ -46,6 +46,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--master",
+        default="local[8]",
+        help="hostile-config runs: e.g. local[3]",
+    )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra session conf, repeatable (e.g. "
+        "--conf spark.sql.adaptive.enabled=false) — used by the "
+        "SCALE.md invariance runs",
+    )
     args = ap.parse_args()
 
     # Import __spark_entry__ the way the driver does: by file path.
@@ -58,12 +72,15 @@ def main() -> int:
     # Driver-like session: defaults, NOT our engine factory.
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    builder = (
+        SparkSession.builder.master(args.master)
         .appName("verify-driver")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    for pair in args.conf:
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
 
     print("== entry() smoke ==")
     t0 = time.time()
