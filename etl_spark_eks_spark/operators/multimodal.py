@@ -907,11 +907,19 @@ def payload_byte_entropy(df: DataFrame, binary_col: str, id_col: str) -> DataFra
                 n = arr.size
                 counts = np.bincount(arr, minlength=256).astype(np.float64)
                 nz = counts[counts > 0]
-                p = nz / n
                 ids.append(i)
                 nb.append(n)
                 nd.append(nz.size)
-                ent.append(float(np.round(-np.sum(p * np.log2(p)), 6)))
+                if n == 0:
+                    ent.append(0.0)  # empty payload: no distribution
+                else:
+                    p = nz / n
+                    # abs() folds the single-byte case's -0.0 to 0.0
+                    ent.append(
+                        float(abs(np.round(-np.sum(p * np.log2(p)), 6)))
+                        if nz.size > 1
+                        else 0.0
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

@@ -968,3 +968,27 @@ def test_bpe_merge_rounds_monotone(spark, sf_dir):
     assert rows[0]["pair_count"] >= rows[1]["pair_count"] >= rows[2]["pair_count"]
     for r in rows:
         assert r["left_sym"] and r["right_sym"] and r["pair_count"] > 0
+
+
+def test_payload_entropy_unit_cases(spark):
+    """M11 helper totality: empty payload -> 0.0 (no distribution, not
+    NaN), single-byte payload -> 0.0 (not -0.0 — the sign would flip
+    the driver's value hash), two equiprobable bytes -> exactly 1 bit,
+    and n_distinct/n_bytes integer-exact."""
+    from etl_spark_eks_spark.operators.multimodal import (
+        payload_byte_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"aaaa"), (3, b"ab"), (4, bytes(range(256)))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in payload_byte_entropy(df, "payload", "doc_id").collect()
+    }
+    assert (rows[1]["n_bytes"], rows[1]["n_distinct_bytes"], rows[1]["entropy"]) == (0, 0, 0.0)
+    assert (rows[2]["n_bytes"], rows[2]["n_distinct_bytes"], rows[2]["entropy"]) == (4, 1, 0.0)
+    assert str(rows[2]["entropy"]) == "0.0"  # not -0.0
+    assert (rows[3]["entropy"], rows[3]["n_distinct_bytes"]) == (1.0, 2)
+    assert (rows[4]["entropy"], rows[4]["n_distinct_bytes"]) == (8.0, 256)
