@@ -1014,3 +1014,87 @@ def q_c85_embedding_source_drift(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_c89_knn_matmul",
+    oracle=f"""
+    WITH pairs AS ({_COSINE_PAIRS_SQL}),
+    ranked AS (
+      SELECT qid, cid, ROUND(sim, 6) AS sim_r,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(sim, 6) DESC, cid) AS rnk
+      FROM pairs)
+    SELECT qid, cid, sim_r, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_c89_knn_matmul(spark, sf_dir):
+    """C89 (extension): exact brute-force kNN as a BLAS MATMUL —
+    C3's semantics through the vectorized fast path. C3 folds the dot
+    product per pair with F.aggregate (JVM expression tree, one
+    multiply-add per codegen step); here each Arrow batch of corpus
+    vectors becomes ONE numpy matrix multiply against the broadcast
+    query block (batch x dim @ dim x |Q|), and only the per-batch
+    top-k survivors per query leave Python — the map-side combine of
+    top-k selection, so the shuffle carries |batches| x |Q| x k rows,
+    never the pair matrix. This is the shape that matters when |Q| is
+    hundreds and dims are thousands: dense linear algebra belongs in
+    BLAS, not in per-element expression folds (the one workload class
+    where Python-with-Arrow BEATS whole-stage codegen).
+
+    Cross-engine determinism: np.dot's pairwise/SIMD summation differs
+    from DuckDB's sequential list_sum in the last ulp, so sims are
+    ROUNDED to 6dp and the rank order is (rounded sim DESC, cid) —
+    the local batch selection uses the IDENTICAL total order
+    (np.lexsort on the rounded keys), so a 6dp tie at the batch's
+    k-boundary cannot evict the globally-correct candidate.
+
+    Scale: queries broadcast via closure (k-sized — the C27/quantizer
+    class); corpus streams once; per-executor memory is one Arrow
+    batch. For |Q| too large to broadcast, the documented ladder is
+    C14/C17/C39's candidate generation feeding this same matmul
+    verify."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    k = 5
+
+    def batches(it):
+        for pdf in it:
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = (cm / norms) @ qm.T  # batch x |Q|
+            simr = np.round(sims, 6)
+            cids = pdf["vec_id"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for j in range(qm.shape[0]):
+                order = np.lexsort((cids, -simr[:, j]))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_c.extend(cids[order])
+                out_s.extend(simr[order, j])
+            yield pd.DataFrame(
+                {
+                    "qid": pd.Series(out_q, dtype="int64"),
+                    "cid": pd.Series(out_c, dtype="int64"),
+                    "sim_r": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        batches, "qid long, cid long, sim_r double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_r").desc(), F.col("cid"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "sim_r", F.col("rnk").cast("int").alias("rnk"))
+    )

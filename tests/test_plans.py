@@ -723,3 +723,14 @@ def test_blocklist_single_small_shuffle(spark, sf_dir):
 
     n_exchange_nodes = len(_re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
     assert n_exchange_nodes <= 6, plan
+
+
+def test_knn_matmul_no_pair_shuffle(spark, sf_dir):
+    """C89: the matmul kNN must keep the pair matrix inside Python —
+    plan shows MapInPandas feeding a window on qid, with NO cartesian
+    and no join at all; the only exchange after the scan carries the
+    per-batch top-k survivors."""
+    plan = plan_of(registry.QUERIES["q_c89_knn_matmul"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
