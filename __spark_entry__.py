@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c87_bpe_merge_rounds", "q_b129_url_functions",
     "q_b130_interval_arithmetic", "q_b131_rocksdb_state_store",
     "q_c88_shard_mix_audit", "q_c89_knn_matmul",
+    "q_b132_runtime_bloom_join",
     # -- (2) reworked this round (new stride/bucketing, oracles changed) --
     "q_c68_curriculum_phases", "q_c78_training_data_plan",
     # -- (3) oldest official greens (r1), missed r5's cap --

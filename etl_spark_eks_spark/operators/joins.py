@@ -822,3 +822,58 @@ def q_b109_interval_overlap_join(spark, sf_dir):
             ).cast("long").alias("overlap_micros"),
         )
     )
+
+
+@query(
+    "q_b132_runtime_bloom_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_b132_runtime_bloom_join(spark, sf_dir):
+    """B132: RUNTIME bloom-filter join pruning — when a shuffle join's
+    build side is selective (URGENT orders here) but too big to
+    broadcast, Catalyst injects a bloom_filter_agg subquery on the
+    build side and a might_contain() predicate on the PROBE side's
+    scan, so non-matching fact rows die before the shuffle instead of
+    being hashed, serialized, and discarded by the join. This is the
+    row-level runtime companion to B67's partition-level DPP, and at
+    100 TB it is the difference between shuffling the full fact table
+    and shuffling the ~fraction that joins.
+
+    Broadcast is disabled and the bloom thresholds opened in a CLONED
+    session (config-scoped, the B91/B131 discipline) to force the
+    shuffle-join-with-bloom shape deterministically at fixture scale;
+    on a real cluster the optimizer makes the same choice from stats
+    when the build side exceeds the broadcast budget. Plan-pinned in
+    tests/test_plans.py (might_contain on the probe scan)."""
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    sess.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = load_table(sess, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(sess, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )

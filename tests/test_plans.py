@@ -734,3 +734,24 @@ def test_knn_matmul_no_pair_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
+    """B132: with broadcast off and a selective build side, the probe
+    side's plan must carry a might_contain() runtime filter fed by a
+    bloom_filter_agg subquery — row-level pruning BEFORE the shuffle."""
+    plan = plan_of(
+        registry.QUERIES["q_b132_runtime_bloom_join"](spark, sf_dir)
+    )
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+
+
+def test_topn_per_group_uses_window_group_limit(spark, sf_dir):
+    """B27: rank()<=k over a window must plan Spark 3.5+'s
+    WindowGroupLimit — each map task keeps only k rows per group
+    BEFORE the shuffle, so the exchange carries groups x k rows, not
+    the corpus. (Without it, top-n-per-group shuffles everything and
+    sorts whole groups.)"""
+    plan = plan_of(registry.QUERIES["q_b27_topn_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
