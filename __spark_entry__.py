@@ -61,8 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_b130_interval_arithmetic", "q_b131_rocksdb_state_store",
     "q_c88_shard_mix_audit", "q_c89_knn_matmul",
     "q_b132_runtime_bloom_join",
-    # -- (2) reworked this round (new stride/bucketing, oracles changed) --
+    # -- (2) reworked this round (new stride/bucketing/overflow band,
+    #        oracles changed) --
     "q_c68_curriculum_phases", "q_c78_training_data_plan",
+    "q_b122_try_arithmetic",
     # -- (3) oldest official greens (r1), missed r5's cap --
     "q_a4_limit20", "q_a5_count",
     "q_a6_repartition_roundtrip", "q_a7_write_roundtrip",

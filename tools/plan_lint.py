@@ -151,6 +151,9 @@ ALLOW_SINGLE_PART = {
     "q_c84_token_budget_waterfill",
     # offsets window over the |partitions|-row totals table
     "q_c86_range_prefix_sum",
+    # bloom_filter_agg subquery folds the build side to ONE filter
+    # value (1-row by construction) + a 1-group final agg
+    "q_b132_runtime_bloom_join",
     "q_c38_bigram_lm", "q_c49_classifier_quality",
     "q_c9_simhash_neardup", "q_m4_media_phash_neardup",
     "q_c2_near_dedup_jaccard", "q_c18_dedup_clusters",
