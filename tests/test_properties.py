@@ -897,3 +897,52 @@ def test_mode_median_maxby_deterministic_tiebreak(spark, rows):
             f"group {g}: got {got[g]}, "
             f"expected {(expect_mode, expect_argmax)}"
         )
+
+
+# --- prefix-sum family fuzz (round 6): both variants vs brute force ---
+
+_ps_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**12), max_value=10**12),  # sparse key
+        st.integers(min_value=0, max_value=1000),            # weight
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],  # unique ids (both variants' precondition)
+)
+
+
+@given(rows=_ps_rows)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_sum_variants_match_bruteforce(spark, rows):
+    """running_total_before (bucketed window) and
+    running_total_before_range (range-partitioned mapInPandas carry)
+    must both equal the sequential brute force — sum of weights over
+    strictly-smaller keys — on ARBITRARY sparse/negative keys. The
+    bucket variant's dense-key requirement is about the SERIAL-step
+    size, never correctness, so both must agree everywhere."""
+    from etl_spark_eks_spark.operators.sampling import (
+        running_total_before,
+        running_total_before_range,
+    )
+
+    df = spark.createDataFrame(rows, "k long, w long")
+    expect = {}
+    for k, _ in rows:
+        expect[k] = float(sum(w2 for k2, w2 in rows if k2 < k))
+    got_b = {
+        r["k"]: float(r["__cum_before"])
+        for r in running_total_before(df, "k", "w", bucket_size=1000).collect()
+    }
+    got_r = {
+        r["k"]: float(r["__cum_before"])
+        for r in running_total_before_range(
+            df, "k", "w", num_partitions=4
+        ).collect()
+    }
+    assert got_b == expect
+    assert got_r == expect
