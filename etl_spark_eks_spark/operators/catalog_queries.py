@@ -917,3 +917,82 @@ def q_b127_identifier_clause(spark, sf_dir):
         """,
         args={"gcol": "l_returnflag", "qcol": "l_quantity", "tbl": "lineitem"},
     )
+
+
+@query(
+    "q_b133_sql_scripting",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_heavy,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS heavy_qty
+    FROM lineitem
+    WHERE l_quantity > (SELECT MAX(l_quantity) - 5.0 FROM lineitem)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_b133_sql_scripting(spark, sf_dir):
+    """B133: SQL SCRIPTING (Spark 4.0 BEGIN...END) — multi-statement
+    procedural SQL with DECLARE'd variables and SET from scalar
+    subqueries, the migration path for warehouse stored-procedure
+    workloads (Teradata BTEQ / T-SQL scripts) onto Spark without a
+    Python driver program. The script's final SELECT is the result;
+    each statement still compiles through Catalyst individually, so
+    pushdown/pruning apply per statement and the variable binding is
+    a driver-side scalar — control flow at the script layer, set
+    processing in the engine (never row-at-a-time cursors).
+
+    The script derives a threshold (MAX - 5) into a variable, then
+    aggregates above it; the oracle inlines the same scalar subquery."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE heavy_floor DOUBLE;
+          SET heavy_floor = (SELECT MAX(l_quantity) - 5.0 FROM lineitem);
+          SELECT l_returnflag,
+                 COUNT(*) AS n_heavy,
+                 SUM(CAST(l_quantity AS BIGINT)) AS heavy_qty
+          FROM lineitem
+          WHERE l_quantity > heavy_floor
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag;
+        END
+        """
+    )
+
+
+@query(
+    "q_b134_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b134_execute_immediate(spark, sf_dir):
+    """B134: EXECUTE IMMEDIATE — dynamic SQL with USING parameter
+    binding (Spark 4.0), the third leg of the gateway surface: B121
+    binds VALUES into a static template, B127 binds IDENTIFIERS, this
+    executes a query STRING assembled at runtime (the pattern behind
+    catalog-driven report runners where the SQL text itself lives in
+    a table) with its parameters still bound as typed literals, not
+    string-spliced — the injection boundary survives the dynamism.
+    Money sums accumulate as integer cents (exact.py discipline) since
+    the dynamic path changes nothing about float summation order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    template = (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) "
+        "AS total_cents "
+        "FROM orders WHERE o_orderstatus = ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :tpl USING 'F'", args={"tpl": template}
+    )
