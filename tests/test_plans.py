@@ -755,3 +755,26 @@ def test_topn_per_group_uses_window_group_limit(spark, sf_dir):
     sorts whole groups.)"""
     plan = plan_of(registry.QUERIES["q_b27_topn_per_group"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_execute_immediate_binds_not_splices(spark, sf_dir):
+    """B134: USING parameters must bind as typed literals — a value
+    crafted as a classic quote-breakout ("F' OR '1'='1") must match
+    ZERO rows (it is compared as that literal string), not all rows
+    (which string splicing would produce). This is the injection
+    boundary the gateway surface exists to keep."""
+    from etl_spark_eks_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    hostile = "F' OR '1'='1"
+    [row] = spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderstatus = ?' USING :v",
+        args={"v": hostile},
+    ).collect()
+    assert row["n"] == 0
+    [row] = spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderstatus = ?' USING 'F'"
+    ).collect()
+    assert row["n"] > 0
