@@ -63,7 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_b130_interval_arithmetic", "q_b131_rocksdb_state_store",
     "q_c88_shard_mix_audit", "q_c89_knn_matmul",
     "q_b132_runtime_bloom_join", "q_b133_sql_scripting",
-    "q_b134_execute_immediate",
+    "q_b134_execute_immediate", "q_b135_struct_surgery",
     # -- (2) reworked this round (new stride/bucketing/overflow band,
     #        oracles changed) --
     "q_c68_curriculum_phases", "q_c78_training_data_plan",

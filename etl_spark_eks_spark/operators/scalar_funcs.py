@@ -544,3 +544,64 @@ def q_b129_url_functions(spark, sf_dir):
         )
         .orderBy("host", "ref")
     )
+
+
+@query(
+    "q_b135_struct_surgery",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           lower(o_orderstatus) AS status,
+           CAST(o_orderkey % 16 AS BIGINT) AS audit_bucket,
+           'priority,status,audit_bucket' AS meta_fields
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def q_b135_struct_surgery(spark, sf_dir):
+    """B135: nested-struct column SURGERY — ``withField`` (add a new
+    field AND replace an existing one in place) and ``dropFields``,
+    the Spark 3.1+ API that edits one leaf of a nested column without
+    rebuilding the whole struct by hand (the pre-withField idiom —
+    re-listing every field in a new struct() — silently drops fields
+    added upstream and breaks on schema evolution; surgery composes,
+    reconstruction doesn't). This is how event-envelope pipelines
+    evolve payload schemas: stamp an audit field, normalize a leaf,
+    retire a deprecated one, leaving sibling fields untouched.
+
+    The surgered struct's FIELD LIST is pinned into the result as a
+    literal derived from the actual output schema (so dropFields
+    demonstrably dropped), and the leaves are projected to scalars —
+    struct cells themselves are not driver-canonicalizable (the
+    q_c42/q_c43 sort_values lesson).
+
+    Scale: pure per-row codegen expressions; Catalyst prunes untouched
+    struct leaves at the scan (nested schema pruning), so editing one
+    field never pays for reading the others' bytes downstream."""
+    o = load_table(spark, sf_dir, "orders")
+    meta = F.struct(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    surgered = (
+        meta.withField("audit_bucket", (F.col("o_orderkey") % 16))
+        .withField("status", F.lower(F.col("o_orderstatus")))
+        .dropFields("total_cents")
+    )
+    df = o.select("o_orderkey", surgered.alias("meta"))
+    field_names = ",".join(
+        f.name for f in df.schema["meta"].dataType.fields
+    )
+    return (
+        df.select(
+            "o_orderkey",
+            F.col("meta.priority").alias("priority"),
+            F.col("meta.status").alias("status"),
+            F.col("meta.audit_bucket").cast("bigint").alias("audit_bucket"),
+            F.lit(field_names).alias("meta_fields"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
