@@ -1188,6 +1188,15 @@ def q_c64_containment_neardup(spark, sf_dir):
         )
     )
     alldocs = d.unionByName(frags)
+    return containment_pairs(alldocs, 0.8)
+
+
+def containment_pairs(alldocs, t_thresh: float = 0.8):
+    """Directed containment pairs (src, dst, containment>=t) over an
+    (doc_id, text) frame — C64's asymmetric prefix-filter machinery,
+    factored so compositions (C90's decision record) reuse the exact
+    candidate generation + verification instead of re-deriving it.
+    See q_c64_containment_neardup for the full design rationale."""
     th = widen(alldocs).select(
         "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
     )
@@ -1210,7 +1219,6 @@ def q_c64_containment_neardup(spark, sf_dir):
         # pair or the containment division.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    t_thresh = 0.8
     prefix_len = (
         F.col("n") - F.ceil(F.lit(t_thresh) * F.col("n") - 1e-9) + 1
     ).cast("int")
@@ -1248,6 +1256,7 @@ def q_c64_containment_neardup(spark, sf_dir):
             (inter.cast("double") / F.col("n_src")).alias("containment"),
         )
     )
+
 
 
 @query(
@@ -1585,4 +1594,180 @@ def q_c83_source_overlap_matrix(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_shared"))
         .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "q_c90_dedup_decision_record",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    clones AS (
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 89 = 0
+    ),
+    frag AS (
+      SELECT doc_id + 4000000 AS doc_id,
+             array_to_string(
+               t[1:greatest(CAST(FLOOR(len(t) * 0.6) AS INT), 3)], ' ')
+               AS text
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+      WHERE doc_id % 101 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones
+               UNION ALL SELECT * FROM frag),
+    ex AS (
+      SELECT doc_id, md5(text) AS h,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tok,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_exact
+      FROM corpus
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 0) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2],
+                              t[i+3], t[i+4]))) AS s
+      FROM toks
+    ),
+    sized AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) >= 1),
+    pairs AS (
+      SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc
+      FROM sized a JOIN sized b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              >= 0.8 * a.n - 1e-6
+    ),
+    elig AS (
+      SELECT p.src_doc, MIN(p.dst_doc) AS canonical
+      FROM pairs p
+      JOIN ex es ON es.doc_id = p.src_doc AND es.doc_id = es.canon_exact
+      JOIN ex ed ON ed.doc_id = p.dst_doc AND ed.doc_id = ed.canon_exact
+      WHERE ed.h <> es.h
+        AND (ed.n_tok > es.n_tok
+             OR (ed.n_tok = es.n_tok AND p.dst_doc < p.src_doc))
+      GROUP BY p.src_doc
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.doc_id <> e.canon_exact THEN 'drop_exact'
+                WHEN el.src_doc IS NOT NULL THEN 'drop_contained'
+                ELSE 'keep' END AS verdict,
+           CASE WHEN e.doc_id <> e.canon_exact THEN e.canon_exact
+                ELSE el.canonical END AS canonical_id
+    FROM ex e LEFT JOIN elig el ON el.src_doc = e.doc_id
+    """,
+)
+def q_c90_dedup_decision_record(spark, sf_dir):
+    """C90 (extension): the dedup DECISION RECORD — one verdict per
+    document with attribution, the auditable artifact a curation run
+    actually persists (C1 and C64 emit pairs; an operator needs the
+    resolved per-doc outcome: keep / drop_exact / drop_contained, and
+    WHICH canonical survived it). Deterministic precedence: exact
+    first (canonical = min doc_id of the text-hash group), then
+    containment (>= 80% of src's shingles inside a dst that is itself
+    an exact-canonical with a DIFFERENT hash), with the asymmetric
+    tie-break bigger-dst-wins / equal-size-smaller-id-wins so mutual
+    containment never drops both sides; canonical = min qualifying
+    dst. Canonicals are ONE-STEP: a containment canonical may itself
+    be containment-dropped (doc 0 ⊂ doc 82 in the fixture), and the
+    tie-break makes the relation ACYCLIC (each hop strictly grows
+    n_tok, or keeps it and strictly shrinks doc_id), so canonical
+    chains always terminate at a keep in finitely many hops —
+    downstream rewrites chase the pointer (tested), the way C18
+    resolves multi-hop labels, without this operator paying an
+    iterative closure. Planted positives: exact clones (doc_id % 89 -> +2e6, must
+    come back drop_exact pointing at their source) and C64's 60%
+    fragments (doc_id % 101 -> +4e6, must come back drop_contained).
+
+    Composition, not re-derivation: containment pairs come from the
+    FACTORED containment_pairs() (C64's pigeonhole prefix filter —
+    same candidates, same verification, same measured plan shape);
+    the decision layer adds one text-hash window and two
+    canonical-status joins, all keyed on doc ids — metadata-sized.
+
+    Scale: everything C64 argues, plus the decision joins shuffle id
+    pairs only; the record is corpus-row-count-sized and is exactly
+    what downstream rewrites (C75) and manifests (M6) consume."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokenize("text")
+    clones = d.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    frags = (
+        d.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    t,
+                    F.lit(1),
+                    F.greatest(
+                        F.floor(F.size(t) * 0.6).cast("int"), F.lit(3)
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    corpus = d.unionByName(clones).unionByName(frags)
+    ex = corpus.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(tokenize("text")).alias("n_tok"),
+    ).withColumn(
+        "canon_exact",
+        F.min("doc_id").over(Window.partitionBy("h")),
+    )
+    pairs = containment_pairs(corpus, 0.8).select("src_doc", "dst_doc")
+    canon = ex.filter(F.col("doc_id") == F.col("canon_exact"))
+    es = canon.select(
+        F.col("doc_id").alias("src_doc"),
+        F.col("h").alias("src_h"),
+        F.col("n_tok").alias("src_n"),
+    )
+    ed = canon.select(
+        F.col("doc_id").alias("dst_doc"),
+        F.col("h").alias("dst_h"),
+        F.col("n_tok").alias("dst_n"),
+    )
+    elig = (
+        pairs.join(es, "src_doc")
+        .join(ed, "dst_doc")
+        .filter(
+            (F.col("dst_h") != F.col("src_h"))
+            & (
+                (F.col("dst_n") > F.col("src_n"))
+                | (
+                    (F.col("dst_n") == F.col("src_n"))
+                    & (F.col("dst_doc") < F.col("src_doc"))
+                )
+            )
+        )
+        .groupBy("src_doc")
+        .agg(F.min("dst_doc").alias("canonical"))
+    )
+    return (
+        ex.join(elig, ex.doc_id == elig.src_doc, "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") != F.col("canon_exact"), F.lit("drop_exact")
+            )
+            .when(F.col("src_doc").isNotNull(), F.lit("drop_contained"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.when(
+                F.col("doc_id") != F.col("canon_exact"),
+                F.col("canon_exact"),
+            )
+            .otherwise(F.col("canonical"))
+            .alias("canonical_id"),
+        )
     )

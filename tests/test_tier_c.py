@@ -992,3 +992,49 @@ def test_payload_entropy_unit_cases(spark):
     assert str(rows[2]["entropy"]) == "0.0"  # not -0.0
     assert (rows[3]["entropy"], rows[3]["n_distinct_bytes"]) == (1.0, 2)
     assert (rows[4]["entropy"], rows[4]["n_distinct_bytes"]) == (8.0, 256)
+
+
+def test_dedup_decision_record_planted_outcomes(spark, sf_dir):
+    """C90: every planted exact clone must come back drop_exact with
+    canonical = its source; every planted fragment drop_contained with
+    a canonical that is a kept doc; no doc may be its own canonical;
+    keeps carry NULL canonical."""
+    rows = registry.QUERIES["q_c90_dedup_decision_record"](
+        spark, sf_dir
+    ).collect()
+    by = {r["doc_id"]: r for r in rows}
+    n_docs = sum(1 for i in by if i < 2_000_000)
+    for i in range(0, n_docs, 89):
+        clone = by.get(i + 2_000_000)
+        if clone is None:
+            continue
+        assert clone["verdict"] == "drop_exact", clone
+        assert clone["canonical_id"] == i
+    def chase(doc_id, hops=0):
+        r = by[doc_id]
+        assert hops < 50, "canonical chain did not terminate"
+        if r["verdict"] == "keep":
+            return doc_id
+        return chase(r["canonical_id"], hops + 1)
+
+    frag_seen = 0
+    for i in range(0, n_docs, 101):
+        frag = by.get(i + 4_000_000)
+        if frag is None:
+            continue
+        frag_seen += 1
+        assert frag["verdict"] == "drop_contained", frag
+        # one-step canonical may itself be contained (acyclic by the
+        # size/id tie-break) — the CHAIN must terminate at a keep
+        chase(frag["doc_id"])
+    assert frag_seen > 0
+    # every dropped doc's chain terminates (acyclicity, fixture-wide)
+    for r in rows:
+        if r["verdict"] != "keep":
+            chase(r["doc_id"])
+    for r in rows:
+        if r["verdict"] == "keep":
+            assert r["canonical_id"] is None
+        else:
+            assert r["canonical_id"] is not None
+            assert r["canonical_id"] != r["doc_id"]
