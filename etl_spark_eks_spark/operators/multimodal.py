@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_spark_eks_spark.catalog import load_table
+from etl_spark_eks_spark.catalog import load_table, widen
+from etl_spark_eks_spark.functions.text import tokenize
 from etl_spark_eks_spark.registry import query
 
 DECODED_SCHEMA = (
@@ -978,3 +979,99 @@ def q_m11_payload_entropy(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return payload_byte_entropy(d, "payload", "doc_id")
+
+
+@query(
+    "q_m12_caption_pair_curation",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             CASE octet_length(encode(text)) % 4
+               WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             ROUND(CAST(len(list_distinct(list_filter(
+                     string_split_regex(text, '\s+'), x -> x <> '')))
+                   AS DOUBLE)
+                   / len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, format,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           quality,
+           ROUND(n_tokens * 100.0 / n_bytes, 6) AS align_ratio,
+           CASE
+             WHEN format NOT IN ('png', 'jpeg') THEN 'drop_not_image'
+             WHEN n_bytes < 120 OR n_bytes > 2000 THEN 'drop_media_size'
+             WHEN n_tokens < 5 THEN 'drop_caption_short'
+             WHEN quality < 0.3 THEN 'drop_caption_quality'
+             WHEN n_tokens * 100.0 / n_bytes < 8.0
+               OR n_tokens * 100.0 / n_bytes > 30.0
+               THEN 'drop_misaligned'
+             ELSE 'keep' END AS verdict
+    FROM p
+    """,
+)
+def q_m12_caption_pair_curation(spark, sf_dir):
+    """M12 (extension): CAPTION-MEDIA pair curation — the gate ladder
+    an image-text (LAION-style) training-pair pipeline runs, with
+    FIRST-FAILING-GATE attribution (C54's discipline: a dropped pair
+    says which policy dropped it, so gate rates are monitorable
+    per-source): (1) modality gate from the stub decoder's container
+    format (images only), (2) media size band, (3) caption length
+    floor, (4) caption distinct-token quality (C10's ratio), (5) an
+    alignment-ratio band — tokens per 100 payload bytes — standing in
+    for the CLIP-similarity gate (the real scorer slots in exactly
+    here as a Pandas-UDF column; deterministic stand-in keeps the
+    plumbing oracle-checkable, the decode_media() convention).
+
+    Each doc is its own (payload, caption) pair — the web-page
+    image+alt-text shape — so the fixture needs no synthetic pairing
+    relation; every gate is a per-row codegen expression over M1's
+    metadata and the caption stats, zero shuffles, and the verdict
+    CASE evaluates gates in POLICY ORDER so attribution is
+    deterministic under multiple failures.
+
+    Scale: embarrassingly parallel projection; the real CLIP stage
+    would be the only Python hop (Arrow-batched, GPU-side at fleet
+    scale), and the gates BEFORE it prune decode work exactly like
+    M5's decode-free rejects."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    p = widen(d).select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("quality"),
+    ).withColumn(
+        "format",
+        F.when(F.col("n_bytes") % 4 == 0, "png")
+        .when(F.col("n_bytes") % 4 == 1, "jpeg")
+        .when(F.col("n_bytes") % 4 == 2, "wav")
+        .otherwise("mp4"),
+    )
+    ratio = F.col("n_tokens") * 100.0 / F.col("n_bytes")
+    return p.select(
+        "doc_id",
+        "format",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        F.round(ratio, 6).alias("align_ratio"),
+        F.when(~F.col("format").isin("png", "jpeg"), "drop_not_image")
+        .when(
+            (F.col("n_bytes") < 120) | (F.col("n_bytes") > 2000),
+            "drop_media_size",
+        )
+        .when(F.col("n_tokens") < 5, "drop_caption_short")
+        .when(F.col("quality") < 0.3, "drop_caption_quality")
+        .when((ratio < 8.0) | (ratio > 30.0), "drop_misaligned")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
