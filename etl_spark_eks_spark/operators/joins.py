@@ -877,3 +877,83 @@ def q_b132_runtime_bloom_join(spark, sf_dir):
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B136: explicit join-strategy hints (BROADCAST / MERGE / SHUFFLE_HASH)
+# ---------------------------------------------------------------------------
+
+_STRATEGIES = ("broadcast", "merge", "shuffle_hash")
+
+
+@query(
+    "q_b136_join_strategy_hints",
+    oracle="""
+    WITH agg AS (
+      SELECT c.c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT s.strategy, a.c_mktsegment, a.n_orders, a.revenue
+    FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash'))
+           AS s(strategy)
+    CROSS JOIN agg a
+    ORDER BY s.strategy, a.c_mktsegment
+    """,
+)
+def q_b136_join_strategy_hints(spark, sf_dir):
+    """B136: the join-STRATEGY control surface — the same
+    orders-by-customer revenue rollup executed under each of Spark's
+    three equi-join physical strategies, selected explicitly with
+    hints: `broadcast` (replicate the dim, no shuffle of the fact),
+    `merge` (sort-merge: shuffle+sort both sides, the robust
+    spill-safe default for big-big), and `shuffle_hash` (shuffle both
+    sides but build a hash table instead of sorting — cheaper than
+    merge when one side's PARTITIONS fit in memory and sort order
+    isn't reusable). Results are strategy-invariant by definition —
+    the oracle is ONE aggregate cross-joined with the three labels —
+    which is exactly the point: this query is the executable proof
+    plus a plan pin (tests/test_plans.py) that each hint actually
+    selects BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin.
+
+    Why it matters at 100 TB: the optimizer's choice flips on stats
+    and thresholds (autoBroadcastJoinThreshold, AQE runtime sizes);
+    pinning a strategy per-join with a hint is the documented
+    override when you know better — e.g. forcing shuffle_hash for a
+    skew-free mid-sized dim that misses the broadcast threshold
+    avoids two full sorts of a 100 TB fact table.
+
+    Engine note: each branch re-aggregates under its own hint (three
+    scans at bench scale), because hints attach to the logical
+    subtree — sharing one aggregate would collapse the three plans
+    into one join. The exact DECIMAL(38,6) revenue accumulation
+    makes all three branches bit-identical, so the union is safe for
+    a value-hash gate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def rollup(strategy: str) -> DataFrame:
+        joined = o.join(
+            c.hint(strategy), o.o_custkey == c.c_custkey
+        )
+        return (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "c_mktsegment",
+                "n_orders",
+                "revenue",
+            )
+        )
+
+    out = rollup(_STRATEGIES[0])
+    for s in _STRATEGIES[1:]:
+        out = out.unionAll(rollup(s))
+    return out.orderBy("strategy", "c_mktsegment")

@@ -1075,3 +1075,173 @@ def q_m12_caption_pair_curation(spark, sf_dir):
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M13: aspect-ratio bucketing for image training (SDXL-style ladder)
+# ---------------------------------------------------------------------------
+
+# (bucket_w, bucket_h) ladder around a ~0.26 MP target area, plus the
+# LCM trick below. Scale factor per rung: _AR_LCM / bh is an integer,
+# so the argmin over |w/h - bw/bh| can be computed entirely in BIGINT:
+# comparing |w*bh_i - h*bw_i| / (h*bh_i) across rungs multiplies each
+# numerator by (LCM/bh_i) to put all rungs over the common denominator
+# h*LCM — no floats, no rounding ties, tiebreak = ladder order.
+_AR_LADDER = ((512, 512), (448, 576), (576, 448), (384, 640), (640, 384))
+_AR_LCM = 161280  # lcm(512, 576, 448, 640, 384)
+
+
+def _m13_keys_sql() -> tuple[str, str]:
+    terms = [
+        f"abs(width * {bh} - height * {bw}) * {_AR_LCM // bh}"
+        for bw, bh in _AR_LADDER
+    ]
+    least = "LEAST(" + ", ".join(terms) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {t} = mk THEN {i}" for i, t in enumerate(terms)
+    ) + " END"
+    return least, case
+
+
+_M13_LEAST, _M13_CASE = _m13_keys_sql()
+_M13_DIMS = ", ".join(
+    f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(_AR_LADDER)
+)
+
+
+@query(
+    "q_m13_aspect_bucket",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 256 AS width,
+             (octet_length(encode(text)) // 256) % 256 AS height,
+             octet_length(encode(text)) % 4 AS fmt
+      FROM documents
+    ), img AS (
+      SELECT doc_id, width, height FROM meta
+      WHERE fmt IN (0, 1) AND width > 0 AND height > 0
+    ), keyed AS (
+      SELECT doc_id, width, height, {_M13_LEAST} AS mk
+      FROM img
+    ), chosen AS (
+      SELECT k.doc_id, k.width, k.height,
+             d.bw AS bucket_w, d.bh AS bucket_h
+      FROM (SELECT *, {_M13_CASE} AS idx FROM keyed) k
+      JOIN (VALUES {_M13_DIMS}) AS d(idx, bw, bh) USING (idx)
+    ), waste AS (
+      SELECT bucket_w, bucket_h,
+             ROUND(1.0 - (bucket_w * bucket_h)
+                   / (width * height
+                      * GREATEST(CAST(bucket_w AS DOUBLE) / width,
+                                 CAST(bucket_h AS DOUBLE) / height)
+                      * GREATEST(CAST(bucket_w AS DOUBLE) / width,
+                                 CAST(bucket_h AS DOUBLE) / height)),
+                   6) AS waste_frac
+      FROM chosen
+    )
+    , agg AS (
+      SELECT bucket_w, bucket_h,
+             CAST(COUNT(*) AS BIGINT) AS n_images,
+             ROUND(CAST(SUM(CAST(waste_frac AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_waste_frac
+      FROM waste
+      GROUP BY bucket_w, bucket_h
+    )
+    SELECT CAST(d.bw AS INTEGER) AS bucket_w,
+           CAST(d.bh AS INTEGER) AS bucket_h,
+           COALESCE(a.n_images, 0) AS n_images,
+           a.avg_waste_frac
+    FROM (VALUES {_M13_DIMS}) AS d(idx, bw, bh)
+    LEFT JOIN agg a ON a.bucket_w = d.bw AND a.bucket_h = d.bh
+    ORDER BY bucket_w, bucket_h
+    """,
+)
+def q_m13_aspect_bucket(spark, sf_dir):
+    """M13 (extension): aspect-ratio bucketing for image training —
+    the SDXL/NovelAI batching trick: variable-aspect images can't
+    share a training batch, so each image is assigned to the ladder
+    rung whose aspect ratio is nearest (resize to the rung, then
+    center-crop), and batches are drawn per-bucket. The report (per
+    rung: population + mean crop-waste fraction) is how you audit a
+    ladder before committing a 100 TB resize job to it.
+
+    Exactness: nearest-rung selection runs entirely in BIGINT via
+    cross-multiplication over a common denominator (see _AR_LADDER) —
+    no float argmin, no rounding, ties broken by ladder order through
+    the deterministic first-match CASE; both engines evaluate the
+    identical integer expressions. Crop waste is per-row IEEE double
+    rounded to 6 dp, aggregated in DECIMAL(38,6) (functions/exact.py).
+
+    Scale: metadata comes from the Arrow mapInPandas decode pass
+    (extract_media_metadata — the stub decoder; a real PIL/ffprobe
+    decoder drops into the same slot); rung assignment is a pure
+    projection (the 5-rung ladder lives in the expression, exploded
+    against nothing), so the ONLY shuffle is the final 5-key
+    aggregate with map-side combine. The 5-row dims join for
+    (bucket_w, bucket_h) is a broadcast of a literal table. A 1000-
+    rung ladder keeps the same shape: the per-row argmin becomes an
+    array_sort over a literal struct array, still projection-only."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = extract_media_metadata(widen(d), "payload", "doc_id")
+    img = meta.filter(
+        F.col("format").isin("png", "jpeg")
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
+    )
+    w, h = F.col("width").cast("bigint"), F.col("height").cast("bigint")
+    keys = [
+        F.abs(w * bh - h * bw) * (_AR_LCM // bh) for bw, bh in _AR_LADDER
+    ]
+    mk = F.least(*keys)
+    expr = None
+    for i, k in enumerate(keys):
+        cond = F.when(k == mk, F.lit(i))
+        expr = cond if expr is None else expr.when(k == mk, F.lit(i))
+    # first-match .when chain == the oracle's CASE tiebreak
+    keyed = img.select("doc_id", "width", "height", expr.alias("idx"))
+    dims = spark.createDataFrame(
+        [(i, bw, bh) for i, (bw, bh) in enumerate(_AR_LADDER)],
+        "idx int, bucket_w int, bucket_h int",
+    )
+    chosen = keyed.join(F.broadcast(dims), "idx")
+    bw_d = F.col("bucket_w").cast("double")
+    bh_d = F.col("bucket_h").cast("double")
+    scale = F.greatest(bw_d / F.col("width"), bh_d / F.col("height"))
+    waste = F.round(
+        F.lit(1.0)
+        - (F.col("bucket_w") * F.col("bucket_h"))
+        / (F.col("width") * F.col("height") * scale * scale),
+        6,
+    )
+    agg = (
+        chosen.select("bucket_w", "bucket_h", waste.alias("waste_frac"))
+        .groupBy("bucket_w", "bucket_h")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(
+                F.sum(F.col("waste_frac").cast("decimal(38,6)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_waste_frac"),
+        )
+    )
+    # keep EMPTY rungs in the report (C82's zero-row principle: the
+    # zero is the evidence the rung was audited, not skipped)
+    # broadcast the RIGHT side of the left join (a <=5-row aggregate);
+    # broadcasting the preserved left side of an outer join is invalid
+    return (
+        dims.join(F.broadcast(agg), ["bucket_w", "bucket_h"], "left")
+        .select(
+            "bucket_w",
+            "bucket_h",
+            F.coalesce("n_images", F.lit(0)).cast("long").alias(
+                "n_images"
+            ),
+            "avg_waste_frac",
+        )
+        .orderBy("bucket_w", "bucket_h")
+    )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table, widen
+from etl_spark_eks_spark.functions.exact import dsum, dsum_sql
 from etl_spark_eks_spark.functions.text import shingles, tokenize
 from etl_spark_eks_spark.registry import query
 
@@ -1630,4 +1631,133 @@ def q_c88_shard_mix_audit(spark, sf_dir):
             ),
         )
         .orderBy("shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C91: DSIR importance resampling (hashed n-gram importance weights)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = ("src0", "src1", "src2")  # curated-domain proxy
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 100
+
+
+@query(
+    "q_c91_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             {_bucket_sql("token", _DSIR_BUCKETS)} AS bucket
+      FROM tok
+    ), bstats AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS raw_n,
+             CAST(SUM(CASE WHEN source IN ('src0', 'src1', 'src2')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+      FROM feat GROUP BY bucket
+    ), totals AS (
+      SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_total,
+             CAST(SUM(tgt_n) AS BIGINT) AS tgt_total
+      FROM bstats
+    ), weights AS (
+      SELECT bucket,
+             ROUND(ln((tgt_n + 1)::DOUBLE
+                      / (totals.tgt_total + {_DSIR_BUCKETS}))
+                   - ln((raw_n + 1)::DOUBLE
+                        / (totals.raw_total + {_DSIR_BUCKETS})), 6)
+               AS log_ratio
+      FROM bstats CROSS JOIN totals
+    ), per_doc AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             {dsum_sql("w.log_ratio")} AS importance
+      FROM feat f JOIN weights w USING (bucket)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens, importance
+    FROM per_doc
+    ORDER BY importance DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def q_c91_dsir_importance(spark, sf_dir):
+    """C91 (extension): DSIR-style data selection via importance
+    resampling (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"). Documents are featurized as hashed
+    unigram bags; each hash bucket gets a log importance ratio
+    ln(p_target(b)) - ln(p_raw(b)) under add-one smoothing, where the
+    target distribution comes from a curated source subset (src0-2
+    here; in production, Wikipedia/books vs the raw crawl). A
+    document's importance weight is the sum of its tokens' bucket
+    ratios, and the top-k weighted documents are the selected
+    training subset.
+
+    Cross-engine determinism: the bucket is the engine-portable
+    md5 bucket (C22's idiom); each bucket's log-ratio is rounded to
+    6 dp ONCE in the 256-row weight table (per-row IEEE, identical
+    both engines), and the per-doc score sums those fixed 6-dp values
+    in DECIMAL(38,6) (functions/exact.py) so Spark's partial-sum
+    order and DuckDB's sequential order agree bit-for-bit.
+
+    Scale: one token explode feeds ONE groupBy(bucket) pass that
+    computes raw and target counts together (count + conditional
+    count — no second corpus scan for the target distribution); the
+    weight table is |buckets| = 256 rows, broadcast back onto the
+    per-(doc, bucket) count table, so the corpus-sized shuffles are
+    the (doc_id, bucket) partial-count agg and the final per-doc sum
+    — both map-side combined on keys that grow with the corpus, never
+    with the vocabulary. The top-k is a TakeOrdered (per-partition
+    heaps + k-sized driver merge), not a global sort. At 100 TB the
+    DSIR paper's full pipeline (importance weights -> Gumbel top-k
+    sample) drops in by replacing the LIMIT with the C69 weighted
+    reservoir over these weights."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = (
+        widen(d)
+        .select(
+            "doc_id", "source", F.explode(tokenize("text")).alias("token")
+        )
+        .select(
+            "doc_id",
+            "source",
+            hash_bucket("token", _DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    bstats = feat.groupBy("bucket").agg(
+        F.count("*").alias("raw_n"),
+        F.sum(is_tgt.cast("long")).alias("tgt_n"),
+    )
+    totals = bstats.agg(
+        F.sum("raw_n").alias("raw_total"), F.sum("tgt_n").alias("tgt_total")
+    )
+    weights = bstats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("tgt_n") + 1).cast("double")
+                / (F.col("tgt_total") + _DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("raw_n") + 1).cast("double")
+                / (F.col("raw_total") + _DSIR_BUCKETS)
+            ),
+            6,
+        ).alias("log_ratio"),
+    )
+    return (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            dsum("log_ratio").alias("importance"),
+        )
+        .orderBy(F.col("importance").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
     )

@@ -2064,3 +2064,155 @@ def q_c87_bpe_merge_rounds(spark, sf_dir):
     return spark.createDataFrame(
         rules, "round int, left_sym string, right_sym string, pair_count long"
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# C92: CCNet-style perplexity buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c92_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq
+    ), doc AS (
+      SELECT t.doc_id, t.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(ln(CAST(f.n AS DOUBLE) / tot.total)), 6) AS score
+      FROM tok t JOIN freq f ON t.token = f.token CROSS JOIN tot
+      GROUP BY t.doc_id, t.lang
+    ), tiled AS (
+      SELECT doc_id, lang, n_tokens, score,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS tile
+      FROM doc
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_score,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM tiled
+    GROUP BY lang, tile
+    ORDER BY lang, bucket
+    """,
+)
+def q_c92_perplexity_buckets(spark, sf_dir):
+    """C92 (extension): CCNet-style quality bucketing (Wenzek et al.
+    2020) — per language, split the corpus into head / middle / tail
+    TERTILES of language-model score (here the C26 unigram
+    cross-entropy stand-in for a KenLM perplexity; head = most
+    in-distribution). CCNet trains on head+middle and drops tail;
+    the per-bucket report (doc counts, token mass, score range) is
+    the go/no-go evidence for that cut.
+
+    Exact NTILE without the per-language single-task window: a naive
+    `NTILE OVER (PARTITION BY lang)` puts EVERY document of a
+    language in one task — with 5 languages that is 5 tasks at any
+    cluster size. Instead the per-language rank comes from the
+    repo's two-phase prefix sum (sampling.running_total_before,
+    weight=1) over sort_key = q6 * 1e11 + doc_id, where q6 =
+    round(-score * 1e6): score is already 6-dp-rounded, so q6 is a
+    monotone integer image of (score DESC) and bucket_size = 1e11
+    makes the prefix-sum bucket EXACTLY q6 — a dense, value-bounded
+    key (<= |distinct 6-dp scores|, ~1.3e7 worst case, independent of
+    corpus size), the C78 bucketing fix applied per ADVICE r5. The
+    serial offset window is bounded by the score domain, never by n;
+    everything corpus-sized is hash-partitioned. rank -> tile uses
+    the NTILE size formula (first n%3 tiles get one extra row), so
+    the result is bit-identical to the oracle's NTILE.
+
+    Preconditions (documented, same family as C78): doc_id < 1e11
+    and score > -9.2e7/1e6 (any real LM logprob is > -100). At
+    100 TB: one token explode, one vocab-sized join (AQE
+    broadcast-or-shuffle, C26's reasoning), the two-phase rank, and
+    a 15-row final aggregate; the KenLM scorer drops in by replacing
+    the score expression with a mapInPandas scorer, ranks unchanged."""
+    from etl_spark_eks_spark.operators.sampling import (
+        running_total_before,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = widen(d).select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    doc = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n").cast("double") / F.col("total"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    keyed = doc.withColumn(
+        "sort_key",
+        F.round(-F.col("score") * 1_000_000).cast("bigint")
+        * F.lit(100_000_000_000).cast("bigint")
+        + F.col("doc_id"),
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    ranked = running_total_before(
+        keyed,
+        "sort_key",
+        "one",
+        bucket_size=100_000_000_000,
+        partition_cols=("lang",),
+    ).withColumn("rank", F.col("__cum_before").cast("bigint") + 1)
+    n_l = doc.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    q = (F.col("n_lang") / 3).cast("bigint")
+    r = F.col("n_lang") % 3
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    tile = F.when(
+        F.col("rank") <= big,
+        ((F.col("rank") - 1) / (q + 1)).cast("bigint") + 1,
+    ).otherwise(
+        r + ((F.col("rank") - 1 - big) / F.greatest(q, F.lit(1)))
+        .cast("bigint") + 1
+    )
+    tiled = ranked.join(F.broadcast(n_l), "lang").withColumn(
+        "tile", tile
+    )
+    return (
+        tiled.groupBy("lang", "tile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "total_tokens",
+            "avg_score",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("lang", "bucket")
+    )

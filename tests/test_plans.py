@@ -778,3 +778,54 @@ def test_execute_immediate_binds_not_splices(spark, sf_dir):
         "WHERE o_orderstatus = ?' USING 'F'"
     ).collect()
     assert row["n"] > 0
+
+
+def test_join_strategy_hints_pin_all_three(spark, sf_dir):
+    """B136: the three hinted branches must actually plan their
+    strategy — BroadcastHashJoin, SortMergeJoin AND ShuffledHashJoin
+    all present in the one unioned plan. If a hint were dropped (or
+    AQE re-planned it away at compile time) a branch would fall back
+    and a node type would vanish."""
+    plan = plan_of(
+        registry.QUERIES["q_b136_join_strategy_hints"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_dsir_weight_join_is_broadcast(spark, sf_dir):
+    """C91: the 256-row bucket-weight table must broadcast onto the
+    token-bucket stream — a sort-merge join there would shuffle the
+    corpus-sized feature table on a 256-value key (maximal skew)."""
+    plan = plan_of(
+        registry.QUERIES["q_c91_dsir_importance"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    # top-k must be the per-partition-heap form, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aspect_bucket_argmin_is_projection(spark, sf_dir):
+    """M13: nearest-rung selection must stay a per-row projection —
+    no join against an exploded ladder, no sort-merge join anywhere;
+    the only joins are the two broadcasts (rung dims, final 5-row
+    agg) and the only corpus pass is the Arrow decode."""
+    plan = plan_of(registry.QUERIES["q_m13_aspect_bucket"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    # exactly two joins, both broadcast (tree lines carry the type)
+    assert plan.count("BroadcastHashJoin Inner") == 1
+    assert plan.count("BroadcastHashJoin LeftOuter") == 1
+
+
+def test_perplexity_buckets_no_per_lang_single_task_window(spark, sf_dir):
+    """C92: the per-language rank must come from the two-phase prefix
+    sum — every window in the plan is partitioned by (lang, bucket) or
+    runs on the bucket-count-sized offset table; a naive NTILE plan
+    would show a Window whose partitioning is just [lang#..] over the
+    full doc table. We pin the absence of the ntile function itself."""
+    plan = plan_of(
+        registry.QUERIES["q_c92_perplexity_buckets"](spark, sf_dir)
+    )
+    assert "ntile" not in plan.lower()

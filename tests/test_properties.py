@@ -946,3 +946,70 @@ def test_prefix_sum_variants_match_bruteforce(spark, rows):
     }
     assert got_b == expect
     assert got_r == expect
+
+
+@given(
+    wh=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=255),
+            st.integers(min_value=1, max_value=255),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_aspect_bucket_integer_argmin_is_exact(wh):
+    """M13: the BIGINT cross-multiplied rung argmin must equal the
+    exact rational argmin |w/h - bw/bh| (Fraction arithmetic), with
+    ladder-order tiebreak — for every (w, h). This is the no-float
+    claim the operator's docstring makes, checked independently of
+    Spark and DuckDB."""
+    from fractions import Fraction
+
+    from etl_spark_eks_spark.operators.multimodal import (
+        _AR_LADDER,
+        _AR_LCM,
+    )
+
+    for w, h in wh:
+        int_keys = [
+            (abs(w * bh - h * bw) * (_AR_LCM // bh), i)
+            for i, (bw, bh) in enumerate(_AR_LADDER)
+        ]
+        exact_keys = [
+            (abs(Fraction(w, h) - Fraction(bw, bh)), i)
+            for i, (bw, bh) in enumerate(_AR_LADDER)
+        ]
+        assert min(int_keys)[1] == min(exact_keys)[1]
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_formula_matches_row_number_semantics(n):
+    """C92: the closed-form rank->tile mapping (first n%3 tiles get
+    one extra row) must reproduce NTILE(3) exactly for every group
+    size — checked against the spec enumeration: tile sizes are
+    ceil(n/3) for the first n%3 tiles, floor(n/3) after."""
+    k = 3
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+
+    def tile(rank: int) -> int:
+        if rank <= big:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - 1 - big) // max(q, 1) + 1
+
+    sizes = {}
+    for rank in range(1, n + 1):
+        t = tile(rank)
+        sizes[t] = sizes.get(t, 0) + 1
+        assert 1 <= t <= min(k, n)
+    # NTILE spec: first r tiles have q+1 rows, the rest q
+    for t, sz in sizes.items():
+        assert sz == (q + 1 if t <= r else q)
+    # tiles are assigned in rank order (monotone non-decreasing)
+    tiles = [tile(x) for x in range(1, n + 1)]
+    assert tiles == sorted(tiles)

@@ -118,6 +118,9 @@ ALLOW_CARTESIAN = {
     "q_c8_minhash_bands",         # banded self-join candidates
     "q_c9_simhash_neardup",
     "q_c16_ngram_jaccard",
+    # 1-row totals tables broadcast-cross-joined (C26's class)
+    "q_c91_dsir_importance",
+    "q_c92_perplexity_buckets",
 }
 ALLOW_PY_ROW = {
     "q_b51_python_udf",   # the row-at-a-time surface demo the contract requires
@@ -147,6 +150,10 @@ ALLOW_SINGLE_PART = {
     # C68-style prefix sum: offset window over quality-rank buckets,
     # bounded by the 1e6+1 quantization levels, not n
     "q_c78_training_data_plan",
+    # 1-row corpus-total fold (C26's class); C92 additionally runs the
+    # C78-style offset window over quantized-score buckets per lang
+    "q_c91_dsir_importance",
+    "q_c92_perplexity_buckets",
     # waterfill rank window runs on the |languages|-row table
     "q_c84_token_budget_waterfill",
     # offsets window over the |partitions|-row totals table
