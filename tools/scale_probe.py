@@ -100,6 +100,11 @@ PROBE_QUERIES = (
     "q_m11_payload_entropy",
     "q_c86_range_prefix_sum",
     "q_c87_bpe_merge_rounds",
+    # late round-6 additions over documents (q_b136 runs on symlinked
+    # orders/customer — absent per the measure-the-op rule)
+    "q_c91_dsir_importance",
+    "q_c92_perplexity_buckets",
+    "q_m13_aspect_bucket",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
