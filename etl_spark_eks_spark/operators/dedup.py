@@ -1771,3 +1771,102 @@ def q_c90_dedup_decision_record(spark, sf_dir):
             .alias("canonical_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C93: intra-document segment dedup (rewrite each doc, zero shuffle)
+# ---------------------------------------------------------------------------
+
+# Tokens per segment: calibrated to the fixture so the rule has a real
+# positive path — at k=10 the synthetic token streams contain ZERO
+# repeated segments corpus-wide (measured; the C15 vacuous-test lesson),
+# at k=2 181/500 docs carry natural repeats (250 segments removed at
+# sf0.01). Production C4 uses lines; the shape is k-independent.
+_INTRA_SEG = 2
+
+
+@query(
+    "q_c93_intradoc_dedup",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_transform(range(0, len(toks), 2),
+                            i -> array_to_string(toks[i + 1 : i + 2], ' '))
+               AS segs
+      FROM t WHERE len(toks) > 0
+    ), d AS (
+      SELECT doc_id, segs,
+             list_filter(segs, (x, i) -> list_position(segs, x) = i)
+               AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(segs) AS BIGINT) AS n_segments,
+           CAST(len(kept) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(len(kept) AS DOUBLE) / len(segs), 6)
+             AS saved_frac,
+           array_to_string(kept, ' ') AS new_text
+    FROM d
+    """,
+)
+def q_c93_intradoc_dedup(spark, sf_dir):
+    """C93 (extension): INTRA-document segment dedup — C4's "remove
+    duplicate lines within a page" rule (Raffel et al. 2020) at C75's
+    segment granularity: within each document, every repeat of an
+    earlier segment is dropped and the document is rewritten from its
+    first occurrences, in order. Complements the corpus-level passes:
+    C75 removes segments shared ACROSS documents (needs a corpus-wide
+    segment table), this removes self-repetition (boilerplate loops,
+    scraper stutter) and needs nothing but the row — C28 only measures
+    repetition; this acts on it.
+
+    First-occurrence selection is position-based on BOTH engines —
+    keep segment i iff the array's first index of that text is i
+    (Spark filter((x, i) -> array_position = i+1) / DuckDB
+    list_filter((x, i) -> list_position = i)) — because DuckDB's
+    list_distinct does NOT preserve order (measured: ['b','a','b','c',
+    'a'] -> ['c','a','b']), so the obvious distinct-based rewrite is
+    not oracle-stable. The quadratic first-index scan is bounded by
+    segments-per-DOCUMENT (tokens/10), never corpus size.
+
+    Scale: pure per-row projection — ZERO shuffles, no generator, no
+    join, no window; pipelines into the parquet scan and is
+    embarrassingly parallel at any corpus size (plan-tested). The
+    output is deliberately unsorted (sampling.py's no-trailing-sort
+    rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    segs = F.transform(
+        F.sequence(
+            F.lit(0),
+            ((F.size(toks) - 1) / _INTRA_SEG).cast("int"),
+        ),
+        lambda i: F.array_join(
+            F.slice(toks, i * _INTRA_SEG + 1, _INTRA_SEG), " "
+        ),
+    )
+    base = (
+        widen(d)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", segs.alias("segs"))
+    )
+    kept = F.filter(
+        F.col("segs"),
+        lambda x, i: F.array_position(F.col("segs"), x) == i + 1,
+    )
+    return base.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segments"),
+        F.size(kept).cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.size(kept).cast("double") / F.size("segs"),
+            6,
+        ).alias("saved_frac"),
+        F.array_join(kept, " ").alias("new_text"),
+    )

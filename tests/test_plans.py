@@ -829,3 +829,18 @@ def test_perplexity_buckets_no_per_lang_single_task_window(spark, sf_dir):
         registry.QUERIES["q_c92_perplexity_buckets"](spark, sf_dir)
     )
     assert "ntile" not in plan.lower()
+
+
+def test_intradoc_dedup_pure_projection(spark, sf_dir):
+    """C93: the rewrite is a pure per-row projection — no hash
+    shuffle, no single-partition fold, no broadcast, no join, no
+    aggregate anywhere in the plan. The only exchange permitted is
+    widen()'s small-fixture round-robin (a no-op at scan-split
+    parallelism, catalog.py)."""
+    plan = plan_of(registry.QUERIES["q_c93_intradoc_dedup"](spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "Broadcast" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert plan.count("RoundRobinPartitioning") <= 1

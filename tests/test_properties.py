@@ -1013,3 +1013,73 @@ def test_ntile_formula_matches_row_number_semantics(n):
     # tiles are assigned in rank order (monotone non-decreasing)
     tiles = [tile(x) for x in range(1, n + 1)]
     assert tiles == sorted(tiles)
+
+
+def test_intradoc_dedup_planted_stutter(spark):
+    """C93: a planted self-stuttering document (its 2-token segments
+    repeated verbatim) must be rewritten to exactly one copy of each
+    segment, first-occurrence order preserved; a repeat-free doc must
+    pass through unchanged."""
+    from etl_spark_eks_spark.operators.dedup import _INTRA_SEG
+
+    assert _INTRA_SEG == 2  # fixture calibration the test plants for
+    stutter = "a b c d a b e f a b"  # segs: ab cd ab ef ab
+    clean = "p q r s t u"            # segs: pq rs tu, no repeats
+    df = spark.createDataFrame(
+        [(1, stutter, "en", "src0", len(stutter)),
+         (2, clean, "en", "src0", len(clean))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        from etl_spark_eks_spark import registry
+
+        out = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["q_c93_intradoc_dedup"](
+                spark, d
+            ).collect()
+        }
+    assert out[1]["n_segments"] == 5 and out[1]["n_unique"] == 3
+    assert out[1]["new_text"] == "a b c d e f"
+    assert out[2]["n_segments"] == 3 and out[2]["n_unique"] == 3
+    assert out[2]["new_text"] == clean
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                   max_size=5),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_closed_form_tile_matches_spark_ntile(spark, sizes):
+    """C92 differential: the closed-form rank->tile mapping must equal
+    Spark's own ntile(3) window on arbitrary group sizes — the
+    engine-internal check that the distributed rewrite IS NTILE."""
+    rows = [
+        (g, i + 1)
+        for g, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "grp int, rank long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("rank")
+    expected = {
+        (r["grp"], r["rank"]): r["nt"]
+        for r in df.select(
+            "grp", "rank", F.ntile(3).over(w).alias("nt")
+        ).collect()
+    }
+    n_by_grp = {g: n for g, n in enumerate(sizes)}
+    for (g, rank), nt in expected.items():
+        n = n_by_grp[g]
+        q, r = divmod(n, 3)
+        big = r * (q + 1)
+        if rank <= big:
+            tile = (rank - 1) // (q + 1) + 1
+        else:
+            tile = r + (rank - 1 - big) // max(q, 1) + 1
+        assert tile == nt, (n, rank, tile, nt)

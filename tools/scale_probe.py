@@ -105,6 +105,7 @@ PROBE_QUERIES = (
     "q_c91_dsir_importance",
     "q_c92_perplexity_buckets",
     "q_m13_aspect_bucket",
+    "q_c93_intradoc_dedup",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
