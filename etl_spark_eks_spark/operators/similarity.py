@@ -1098,3 +1098,123 @@ def q_c89_knn_matmul(spark, sf_dir):
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "sim_r", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C94: Matryoshka truncation recall audit (prefix-dim ANN quality)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)  # 64 = the fixture's full dimensionality
+_MRL_QUERIES = 25
+_MRL_K = 5
+
+
+@query(
+    "q_c94_matryoshka_recall",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT d.dim_budget, q.vec_id AS qid, c.vec_id AS cid,
+             list_sum(list_transform(
+                 list_zip(q.embedding[1:d.dim_budget],
+                          c.embedding[1:d.dim_budget]),
+                 s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(
+                     q.embedding[1:d.dim_budget],
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(
+                     c.embedding[1:d.dim_budget],
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < {_MRL_QUERIES}) q,
+           embeddings c,
+           (VALUES (8), (16), (32), (64)) AS d(dim_budget)
+    ), ranked AS (
+      SELECT dim_budget, qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY dim_budget, qid
+                                ORDER BY sim DESC, cid) AS rnk
+      FROM pairs
+    ), top AS (
+      SELECT dim_budget, qid, cid FROM ranked WHERE rnk <= {_MRL_K}
+    ), hits AS (
+      SELECT t.dim_budget, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM top t
+      JOIN (SELECT qid, cid FROM top WHERE dim_budget = 64) full_t
+        ON t.qid = full_t.qid AND t.cid = full_t.cid
+      GROUP BY t.dim_budget
+    )
+    SELECT dim_budget, n_matches,
+           ROUND(CAST(n_matches AS DOUBLE)
+                 / {_MRL_QUERIES * _MRL_K}, 6) AS recall_at_{_MRL_K}
+    FROM hits
+    ORDER BY dim_budget
+    """,
+)
+def q_c94_matryoshka_recall(spark, sf_dir):
+    """C94 (extension): Matryoshka-truncation recall audit (Kusupati
+    et al. 2022, "Matryoshka Representation Learning") — before
+    committing a cheaper index that stores only a PREFIX of each
+    embedding, measure what top-k quality survives: for each dim
+    budget, rank the corpus by cosine over the first D dims and
+    report recall@k against the full-dim top-k. The report is the
+    evidence for choosing the smallest D whose recall clears the
+    product bar (the C53 int8 ladder's dimensional sibling — that op
+    shrinks bits per dim, this shrinks dims).
+
+    Exactness: prefix slices are identical on both engines (Spark
+    slice(e,1,D) == DuckDB e[1:D]); the cosine uses the repo's
+    sequential-fold dot that is bit-exact vs list_sum (C3's verified
+    fragment); ties rank by cid; recall ratios are integer counts
+    over a constant, rounded once.
+
+    Scale: queries broadcast (the C3 contract), the corpus is
+    scanned map-side and only (dim_budget, qid, cid, sim) triples
+    shuffle to the per-(D, qid) top-k windows. The dims explode
+    multiplies the TRIPLE stream, not the corpus scan. At 100 TB
+    the full-dim reference comes from the existing ANN ladder
+    (C14/C17/C21) instead of brute force, and the prefix dot can
+    reuse partial sums across nested budgets (one incremental pass
+    per pair) — same report, cheaper inner loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = widen(emb).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "dim_budget",
+            F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])),
+        )
+    )
+    d = F.col("dim_budget")
+    sim = cosine_similarity(
+        F.slice(F.col("qe"), F.lit(1), d), F.slice(F.col("ce"), F.lit(1), d)
+    )
+    w = Window.partitionBy("dim_budget", "qid").orderBy(
+        F.col("sim").desc(), F.col("cid")
+    )
+    top = (
+        pairs.select("dim_budget", "qid", "cid", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MRL_K)
+        .select("dim_budget", "qid", "cid")
+    )
+    full_t = top.filter(d == _MRL_DIMS[-1]).select("qid", "cid")
+    return (
+        top.join(F.broadcast(full_t), ["qid", "cid"])
+        .groupBy("dim_budget")
+        .agg(F.count("*").alias("n_matches"))
+        .select(
+            "dim_budget",
+            "n_matches",
+            F.round(
+                F.col("n_matches").cast("double")
+                / (_MRL_QUERIES * _MRL_K),
+                6,
+            ).alias(f"recall_at_{_MRL_K}"),
+        )
+        .orderBy("dim_budget")
+    )

@@ -844,3 +844,15 @@ def test_intradoc_dedup_pure_projection(spark, sf_dir):
     assert "Join" not in plan
     assert "Aggregate" not in plan
     assert plan.count("RoundRobinPartitioning") <= 1
+
+
+def test_matryoshka_recall_no_corpus_shuffle(spark, sf_dir):
+    """C94: queries broadcast onto the corpus scan (the C3 contract
+    extended with the dims explode) — no sort-merge join anywhere;
+    the corpus-sized stream that shuffles is the (dim, qid, cid, sim)
+    triples into the per-(dim, qid) top-k windows."""
+    plan = plan_of(
+        registry.QUERIES["q_c94_matryoshka_recall"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1

@@ -1083,3 +1083,37 @@ def test_closed_form_tile_matches_spark_ntile(spark, sizes):
         else:
             tile = r + (rank - 1 - big) // max(q, 1) + 1
         assert tile == nt, (n, rank, tile, nt)
+
+
+@given(
+    a=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)),
+                  st.integers(-100, 100)),
+        max_size=25,
+    ),
+    b=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)),
+                  st.text(alphabet="xyz", max_size=2)),
+        max_size=25,
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_join_strategies_invariant_under_nulls(spark, a, b):
+    """B136's contract, fuzzed: broadcast / merge / shuffle_hash must
+    produce IDENTICAL inner-join results on arbitrary inputs,
+    including NULL keys (which match nothing in every strategy).
+    A strategy that mishandled NULL keys or duplicated rows would
+    diverge here."""
+    da = spark.createDataFrame(a, "k int, v int") if a else \
+        spark.createDataFrame([], "k int, v int")
+    db = spark.createDataFrame(b, "k int, w string") if b else \
+        spark.createDataFrame([], "k int, w string")
+    outs = []
+    for strat in ("broadcast", "merge", "shuffle_hash"):
+        rows = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in da.join(db.hint(strat), "k").collect()
+        )
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2]
