@@ -996,3 +996,80 @@ def q_b134_execute_immediate(spark, sf_dir):
     return spark.sql(
         "EXECUTE IMMEDIATE :tpl USING 'F'", args={"tpl": template}
     )
+
+
+@query(
+    "q_b137_column_defaults",
+    oracle="""
+    WITH landed AS (
+      SELECT o_orderkey, o_totalprice,
+             'landed' AS ingest_status, 0 AS retries, 'r6' AS batch
+      FROM orders WHERE o_orderkey <= 5
+    ), manual AS (
+      SELECT * FROM (VALUES
+        (1000001, 0.0,  'landed',   0, 'r6'),
+        (1000002, 10.5, 'rejected', 3, 'r6'),
+        (1000003, 1.5,  'landed',   0, 'r7')
+      ) AS t(o_orderkey, o_totalprice, ingest_status, retries, batch)
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,
+           ingest_status, CAST(retries AS INTEGER) AS retries, batch
+    FROM (SELECT * FROM landed UNION ALL SELECT * FROM manual)
+    ORDER BY o_orderkey
+    """,
+)
+def q_b137_column_defaults(spark, sf_dir):
+    """B137: column DEFAULT values through the full lifecycle a landing
+    table lives — the DDL surface that keeps audit columns populated
+    without every writer knowing about them:
+
+    1. CREATE TABLE with per-column DEFAULTs; a landing INSERT names
+       only the data columns and the audit columns self-populate.
+    2. INSERT with the explicit DEFAULT keyword and with overrides.
+    3. ALTER TABLE ADD COLUMN ... DEFAULT — schema evolution as a
+       METADATA-ONLY operation: existing parquet files are NOT
+       rewritten; rows written before the column existed read back
+       the EXISTENCE default captured at ALTER time. At 100 TB this
+       is the difference between adding an audit column in
+       milliseconds and rewriting a petabyte.
+    4. ALTER COLUMN SET DEFAULT — changes the CURRENT default for
+       future writes only; the existence default for old files stays
+       frozen (verified: pre-ALTER rows keep 'r6' after the default
+       moves to 'r7', the new row gets 'r7'). This is the subtle
+       two-defaults semantics (existence vs current) that B62's
+       mergeSchema path cannot express — drift reconciliation gives
+       NULL for missing columns, defaults give the declared value.
+
+    The result is the final table contents, deterministic by
+    construction; DROP IF EXISTS + fresh scratch keep reruns
+    idempotent (B50's discipline)."""
+    tag = _tag(sf_dir)
+    name = f"wh_defaults_{tag}"
+    src = f"orders_src_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    path = fresh_scratch("q_b137", tag, "wh_defaults")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(src)
+    spark.sql(
+        f"""
+        CREATE TABLE {name} (
+          o_orderkey BIGINT,
+          o_totalprice DOUBLE,
+          ingest_status STRING DEFAULT 'landed',
+          retries INT DEFAULT 0
+        ) USING parquet LOCATION '{path}'
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {name} (o_orderkey, o_totalprice)
+        SELECT o_orderkey, o_totalprice FROM {src} WHERE o_orderkey <= 5
+        """
+    )
+    spark.sql(f"INSERT INTO {name} VALUES (1000001, 0.0, DEFAULT, DEFAULT)")
+    spark.sql(f"INSERT INTO {name} VALUES (1000002, 10.5, 'rejected', 3)")
+    spark.sql(f"ALTER TABLE {name} ADD COLUMN batch STRING DEFAULT 'r6'")
+    spark.sql(f"ALTER TABLE {name} ALTER COLUMN batch SET DEFAULT 'r7'")
+    spark.sql(
+        f"INSERT INTO {name} (o_orderkey, o_totalprice) VALUES (1000003, 1.5)"
+    )
+    return spark.sql(f"SELECT * FROM {name} ORDER BY o_orderkey")

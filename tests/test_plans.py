@@ -856,3 +856,32 @@ def test_matryoshka_recall_no_corpus_shuffle(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_column_default_backfill_is_metadata_only(spark, tmp_path):
+    """B137's 100 TB claim, pinned: ALTER TABLE ADD COLUMN ... DEFAULT
+    must NOT rewrite existing parquet files — the same physical files
+    (path + mtime) serve the new column from the existence default."""
+    import os
+
+    name = "t_default_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / "t_default_pin")
+    spark.sql(
+        f"CREATE TABLE {name} (id BIGINT) USING parquet LOCATION '{loc}'"
+    )
+    spark.sql(f"INSERT INTO {name} VALUES (1), (2)")
+
+    def files():
+        return sorted(
+            (p, os.path.getmtime(os.path.join(loc, p)))
+            for p in os.listdir(loc)
+            if p.endswith(".parquet")
+        )
+
+    before = files()
+    spark.sql(f"ALTER TABLE {name} ADD COLUMN tag STRING DEFAULT 'x'")
+    rows = spark.sql(f"SELECT id, tag FROM {name} ORDER BY id").collect()
+    assert files() == before, "backfill rewrote data files"
+    assert [(r["id"], r["tag"]) for r in rows] == [(1, "x"), (2, "x")]
+    spark.sql(f"DROP TABLE {name}")
