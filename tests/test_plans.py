@@ -885,3 +885,15 @@ def test_column_default_backfill_is_metadata_only(spark, tmp_path):
     assert files() == before, "backfill rewrote data files"
     assert [(r["id"], r["tag"]) for r in rows] == [(1, "x"), (2, "x")]
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_gopher_rules_single_pass_no_explode(spark, sf_dir):
+    """C95: all seven rules are array higher-order functions evaluated
+    inside the scan partition — no Generate (explode) node, no join,
+    and exactly one hash shuffle (the final 5-row lang aggregate).
+    A token-explode formulation would show Generate + a corpus-sized
+    exchange; this pin keeps the gate a single streaming pass."""
+    plan = plan_of(registry.QUERIES["q_c95_gopher_rules"](spark, sf_dir))
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") <= 1
