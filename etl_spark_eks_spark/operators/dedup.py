@@ -1870,3 +1870,147 @@ def q_c93_intradoc_dedup(spark, sf_dir):
         ).alias("saved_frac"),
         F.array_join(kept, " ").alias("new_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C96: exact duplicated-substring spans (Lee et al. 2021, gram-anchored)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8  # anchor length in tokens: spans shorter than K are invisible
+
+
+@query(
+    "q_c96_exact_substring_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len_toks, pos,
+             list_aggregate(toks[pos:pos+7], 'string_agg', ' ') AS gram
+      FROM (SELECT doc_id, toks, len(toks) AS len_toks,
+                   unnest(range(1, len(toks) - 6)) AS pos
+            FROM t WHERE len(toks) >= 8)
+    ), dup AS (
+      SELECT doc_id, len_toks, pos
+      FROM (SELECT doc_id, len_toks, pos,
+                   COUNT(*) OVER (PARTITION BY gram) AS n_occ
+            FROM g)
+      WHERE n_occ > 1
+    ), isl AS (
+      SELECT doc_id, len_toks, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL
+                    OR pos > LAG(pos) OVER w + 7 THEN 1
+                  ELSE 0 END AS brk
+      FROM dup
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), spans AS (
+      SELECT doc_id, MIN(len_toks) AS len_toks,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+      FROM (SELECT doc_id, len_toks, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id
+                                  ORDER BY pos) AS island
+            FROM isl)
+      GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(MIN(len_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(SUM(span_end - span_start + 1) AS DOUBLE)
+                 / MIN(len_toks), 6) AS dup_frac
+    FROM spans
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_c96_exact_substring_spans(spark, sf_dir):
+    """C96 (extension): exact duplicated-SUBSTRING detection — the
+    Lee et al. 2021 (arXiv:2107.06499) exact-substring dedup that
+    removes any span repeated verbatim anywhere in the corpus, the
+    step that exact-doc (C1), near-dup (C2/C8/C64) and line-level
+    (C93) dedup all miss for partial plagiarism inside otherwise
+    unique documents. Their implementation is a monolithic suffix
+    array; the Spark-first reformulation anchors on token K-grams
+    (K=8): a position is "duplicated" iff the K-gram starting there
+    occurs more than once in the corpus, and overlapping duplicated
+    positions merge into maximal spans via gaps-and-islands. The
+    union of K-gram-anchored positions is exactly the set of starts
+    of duplicated substrings of length >= K, so the merged spans
+    equal the char mass Lee et al. would cut (duplicates shorter
+    than K are invisible by design — the same K floor their suffix
+    array applies). Output: per affected doc, token count, span
+    count, duplicated-token mass and fraction.
+
+    Shape at 100 TB: gram explode is partition-local; one shuffle on
+    the gram (window count with partial aggregation; here the gram
+    string itself so the oracle is collision-free — at scale swap in
+    xxhash64(gram) and the shuffle carries 8 bytes); one shuffle on
+    doc_id for the island merge (per-doc windows, thousands of rows
+    max per partition key); final per-doc aggregate rides the same
+    partitioning. No join back to the corpus: n_tokens is carried
+    through the pipeline as a per-doc constant. Serial work: none —
+    every window is keyed by gram or doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    k = _SUBSTR_K
+    toks = (
+        widen(d)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda p: F.concat_ws(
+                        " ", F.slice("toks", p, k)
+                    ),
+                )
+            ).alias("idx", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("idx") + 1).alias("pos"),
+            "gram",
+        )
+    )
+    dup = toks.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("gram"))
+    ).where(F.col("n_occ") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_doc) + (k - 1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_doc))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.min("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.sum(
+                    F.col("span_end") - F.col("span_start") + 1
+                ).cast("double")
+                / F.min("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

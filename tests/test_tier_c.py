@@ -1038,3 +1038,39 @@ def test_dedup_decision_record_planted_outcomes(spark, sf_dir):
         else:
             assert r["canonical_id"] is not None
             assert r["canonical_id"] != r["doc_id"]
+
+
+def test_exact_substring_spans_planted_boundaries(spark, tmp_path):
+    """C96 positive path: plant a 10-token run shared verbatim by two
+    otherwise-unique documents and assert the reported spans have
+    EXACT token boundaries (start/length), that both sharers are
+    flagged, and that the fully-unique document is absent. With K=8
+    the shared run holds duplicated 8-grams at its first 3 positions;
+    the island merge must recover the full 10-token span from them."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"b{i}" for i in range(10)) + " " + shared
+            + " " + " ".join(f"c{i}" for i in range(10))),
+        (3, " ".join(f"d{i}" for i in range(5)) + " " + shared
+            + " " + " ".join(f"e{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_c96_exact_substring_spans"](
+            spark, sf
+        ).collect()
+    }
+    assert set(out) == {2, 3}, f"flagged docs wrong: {sorted(out)}"
+    # doc 2: shared run at token positions 11..20 (1-based)
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 10
+    # doc 3: shared run at positions 6..15
+    assert out[3]["n_spans"] == 1 and out[3]["dup_tokens"] == 10
+    assert out[2]["n_tokens"] == 30 and out[3]["n_tokens"] == 30
