@@ -331,3 +331,40 @@ def test_update_mode_emissions_are_monotone_changelog(spark, sf_dir):
             emissions
         ), f"{k}: emissions not strictly increasing: {emissions}"
         assert max(emissions) == batch[k]
+
+
+def test_incremental_backlog_run2_processes_only_delta(spark, sf_dir):
+    """B138: the checkpointed file log must make run 2 ingest EXACTLY
+    the second-wave files — per-run sink row counts equal the staged
+    wave row counts, and no event_id appears under both run tags
+    (reprocessing would surface as run-1 ids recurring under run 2)."""
+    import glob
+    import os
+
+    from etl_spark_eks_spark.sources.parquet_io import scratch_path
+
+    registry.QUERIES["q_b138_incremental_backlog"](spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = scratch_path("q_b138", tag, "stage")
+    sink = scratch_path("q_b138", tag, "sink")
+    files = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    assert len(files) == 4
+    wave2_rows = spark.read.parquet(*files[2:]).count()
+    out = spark.read.parquet(sink)
+    by_run = {
+        r["ingest_run"]: r["n"]
+        for r in out.groupBy("ingest_run").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(by_run) == {1, 2}
+    assert by_run[2] == wave2_rows, (by_run, wave2_rows)
+    total = spark.read.parquet(*files).count()
+    assert by_run[1] + by_run[2] == total
+    dup_ids = (
+        out.groupBy("event_id")
+        .agg({"ingest_run": "count"})
+        .filter("count(ingest_run) > 1")
+        .count()
+    )
+    assert dup_ids == 0, f"{dup_ids} event_ids ingested by both runs"
