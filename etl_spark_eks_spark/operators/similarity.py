@@ -1218,3 +1218,130 @@ def q_c94_matryoshka_recall(spark, sf_dir):
         )
         .orderBy("dim_budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# C97: SemDeDup — semantic dedup inside deterministic clusters
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.999
+_SEMDEDUP_CLONES = 20
+_SEMDEDUP_SIGN_BITS = 8
+
+
+@query(
+    "q_c97_semdedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE vec_id < {_SEMDEDUP_CLONES}
+    ), b AS (
+      SELECT vec_id, embedding,
+             CAST((embedding[1] >= 0)::INT * 1
+                + (embedding[2] >= 0)::INT * 2
+                + (embedding[3] >= 0)::INT * 4
+                + (embedding[4] >= 0)::INT * 8
+                + (embedding[5] >= 0)::INT * 16
+                + (embedding[6] >= 0)::INT * 32
+                + (embedding[7] >= 0)::INT * 64
+                + (embedding[8] >= 0)::INT * 128 AS BIGINT) AS bucket
+      FROM base
+    ), pairs AS (
+      SELECT x.vec_id AS keeper, y.vec_id AS dropped
+      FROM b x JOIN b y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                     s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(x.embedding,
+                     e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+               * sqrt(list_sum(list_transform(y.embedding,
+                     e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))
+            >= {_SEMDEDUP_TAU}
+    ), dom AS (
+      SELECT dropped AS vec_id,
+             CAST(MIN(keeper) AS BIGINT) AS dominated_by
+      FROM pairs GROUP BY dropped
+    )
+    SELECT b.vec_id, b.bucket,
+           dom.vec_id IS NULL AS keep,
+           dom.dominated_by
+    FROM b LEFT JOIN dom ON b.vec_id = dom.vec_id
+    ORDER BY b.vec_id
+    """,
+)
+def q_c97_semdedup(spark, sf_dir):
+    """C97 (extension): SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540) — semantic deduplication that exact (C1) and
+    lexical near-dup (C2/C8/C64) dedup cannot see: paraphrases and
+    re-encodings collide only in embedding space. The method is
+    cluster-then-prune: partition vectors into clusters, and inside
+    each cluster drop every vector whose cosine to a higher-priority
+    member exceeds tau (priority here = lowest vec_id, the paper's
+    "keep one representative"). Output is the per-vector verdict
+    (keep / dominated_by) — the same decision-record shape as C90.
+
+    Clustering is a deterministic 8-bit sign signature over the
+    first 8 dims, NOT kmeans: sign buckets are SQL-expressible so
+    the whole operator is oracle-checked end to end (the paper's
+    kmeans step is C30, which is rows-only by nature — swap it in at
+    deployment and this operator's join/verdict machinery is
+    unchanged). Identical vectors share every sign, so clones can
+    never escape their source's bucket — the planted positives (20
+    exact clones under shifted ids, mirrored in the oracle's UNION)
+    prove the drop path end to end rather than reporting a vacuous
+    all-keep.
+
+    Scale: pairwise work is bucket-local (the C2 blocking argument);
+    bucket count doubles per signature bit, so at 100 TB the bits
+    (or kmeans k) grow with the corpus to hold per-bucket population
+    flat. The self-join shuffles on the bucket key; cosine is the
+    repo's fold-exact Catalyst expression (functions/vector.py), no
+    UDF; the verdict join is vec_id-keyed. Cross-pair cosines of
+    independent vectors concentrate near 0 at dim=64, so tau=0.999
+    fires exactly on the planted semantic duplicates."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(
+        F.col("vec_id") < _SEMDEDUP_CLONES
+    ).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base = widen(emb).unionByName(planted)
+    bucket = sum(
+        (F.element_at("embedding", i + 1) >= 0).cast("int") * (2**i)
+        for i in range(_SEMDEDUP_SIGN_BITS)
+    ).cast("bigint")
+    b = base.withColumn("bucket", bucket)
+    x = b.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("xe"),
+        "bucket",
+    )
+    y = b.select(
+        F.col("vec_id").alias("dropped"),
+        F.col("embedding").alias("ye"),
+        "bucket",
+    )
+    pairs = x.join(y, "bucket").where(
+        (F.col("keeper") < F.col("dropped"))
+        & (
+            cosine_similarity(F.col("xe"), F.col("ye"))
+            >= _SEMDEDUP_TAU
+        )
+    )
+    dom = pairs.groupBy("dropped").agg(
+        F.min("keeper").cast("bigint").alias("dominated_by")
+    )
+    return (
+        b.join(dom, b.vec_id == dom.dropped, "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("dropped").isNull().alias("keep"),
+            "dominated_by",
+        )
+        .orderBy("vec_id")
+    )

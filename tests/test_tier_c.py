@@ -1074,3 +1074,18 @@ def test_exact_substring_spans_planted_boundaries(spark, tmp_path):
     # doc 3: shared run at positions 6..15
     assert out[3]["n_spans"] == 1 and out[3]["dup_tokens"] == 10
     assert out[2]["n_tokens"] == 30 and out[3]["n_tokens"] == 30
+
+
+def test_semdedup_drops_exactly_planted_clones(spark, sf_dir):
+    """C97 positive path: the 20 planted exact clones must each be
+    dropped and dominated by their own source (vec_id - 1e6); every
+    original vector must survive (fixture embeddings are independent
+    gaussians, so no natural pair clears tau=0.999)."""
+    rows = registry.QUERIES["q_c97_semdedup"](spark, sf_dir).collect()
+    dropped = {r["vec_id"]: r["dominated_by"] for r in rows if not r["keep"]}
+    assert dropped == {
+        1_000_000 + i: i for i in range(20)
+    }, f"drop set wrong: {sorted(dropped.items())[:5]}..."
+    kept = [r for r in rows if r["keep"]]
+    assert len(kept) == len(rows) - 20
+    assert all(r["dominated_by"] is None for r in kept)

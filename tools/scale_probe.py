@@ -106,6 +106,11 @@ PROBE_QUERIES = (
     "q_c92_perplexity_buckets",
     "q_m13_aspect_bucket",
     "q_c93_intradoc_dedup",
+    # closing round-6 additions over documents (q_b138 drains the
+    # symlinked events table through a file stream — absent per the
+    # measure-the-op rule; q_c94 joins symlinked embeddings)
+    "q_c95_gopher_rules",
+    "q_c96_exact_substring_spans",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
