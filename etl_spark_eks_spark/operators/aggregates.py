@@ -971,3 +971,65 @@ def q_b125_hll_sketch(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_b139_exchange_reuse",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), top AS (
+      SELECT o_custkey, rev, 'top' AS bucket
+      FROM agg ORDER BY rev DESC, o_custkey LIMIT 5
+    ), bot AS (
+      SELECT o_custkey, rev, 'bottom' AS bucket
+      FROM agg ORDER BY rev ASC, o_custkey LIMIT 5
+    )
+    SELECT o_custkey,
+           ROUND(CAST(rev AS DOUBLE), 4) AS rev,
+           bucket
+    FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+    ORDER BY bucket, o_custkey
+    """,
+)
+def q_b139_exchange_reuse(spark, sf_dir):
+    """B139: Catalyst exchange reuse — one aggregate subplan consumed
+    by two branches (top-5 and bottom-5 customers by revenue) costs
+    ONE scan and ONE shuffle, not two: the physical ReuseExchange
+    rule replaces the second branch's identical Exchange with a
+    ReusedExchange node (pinned in tests/test_plans.py). This is the
+    declarative payoff the reference's imperative job can't get — a
+    hand-scheduled pipeline re-reads the input per report branch,
+    while expressing both branches over the same DataFrame lets the
+    optimizer share the heavy work automatically.
+
+    At 100 TB the reuse is the difference between one pass over the
+    fact table and N passes for an N-branch extremes/percentile
+    report; each branch's tail is a TakeOrderedAndProject (k-sized,
+    no extra shuffle). Exact money math: DECIMAL(38,6) sums, rounded
+    once at the edge."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    top = (
+        agg.orderBy(F.col("rev").desc(), "o_custkey")
+        .limit(5)
+        .withColumn("bucket", F.lit("top"))
+    )
+    bot = (
+        agg.orderBy(F.col("rev").asc(), "o_custkey")
+        .limit(5)
+        .withColumn("bucket", F.lit("bottom"))
+    )
+    return (
+        top.unionByName(bot)
+        .select(
+            "o_custkey",
+            F.round(F.col("rev").cast("double"), 4).alias("rev"),
+            "bucket",
+        )
+        .orderBy("bucket", "o_custkey")
+    )

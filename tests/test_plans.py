@@ -897,3 +897,17 @@ def test_gopher_rules_single_pass_no_explode(spark, sf_dir):
     assert "Generate" not in plan
     assert "Join" not in plan
     assert plan.count("hashpartitioning") <= 1
+
+
+def test_exchange_reuse_single_scan(spark, sf_dir):
+    """B139: the two extremes branches must share the aggregate's
+    shuffle — the executed plan contains a ReusedExchange node, and
+    the orders scan appears exactly once (the reuse rule runs during
+    physical planning/AQE, so the plan is read back after one
+    execution)."""
+    df = registry.QUERIES["q_b139_exchange_reuse"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("Scan parquet") == 1
