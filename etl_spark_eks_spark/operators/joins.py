@@ -957,3 +957,129 @@ def q_b136_join_strategy_hints(spark, sf_dir):
     for s in _STRATEGIES[1:]:
         out = out.unionAll(rollup(s))
     return out.orderBy("strategy", "c_mktsegment")
+
+
+def _b140_skewed_frames(spark, sf_dir):
+    """B140's scenario on a session tuned so AQE's skew-join rule can
+    fire at fixture scale: a 70%-hot join key (every user_id with
+    user_id % 10 < 7 collapses onto key -1) sort-merge-joined to its
+    key dim. Thresholds are scaled to the fixture's shuffle sizes the
+    same way a production job scales them to advisory partition size;
+    broadcast is disabled on BOTH the static and AQE paths so the
+    runtime skew split — not a broadcast rescue — is what handles the
+    hot key. Returns (session, joined-and-aggregated DataFrame); the
+    caller collects and, in tests, asserts `skew=true` on the
+    executed SortMergeJoin."""
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # The join feeds a groupBy(grp) that reshuffles regardless, but the
+    # skew rule's extra-shuffle guard can't see that — force it (the
+    # documented knob for exactly this join-then-reaggregate shape).
+    sess.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sess.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    e = load_table(sess, sf_dir, "events")
+    # Thresholds scale with the fact (the fixture spans 100x across
+    # scale factors; production sets these as absolute knobs): aim the
+    # skew threshold at ~half the hot partition's compressed bytes
+    # (~70% of rows x ~6 B/row compressed) so the split yields a few
+    # advisory-sized slices at every sf instead of thousands of
+    # micro-tasks at sf0.1 or nothing at sf0.001.
+    n = e.count()
+    threshold = max(1024, int(0.7 * n * 6 / 2))
+    sess.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        str(threshold),
+    )
+    sess.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        str(max(512, threshold // 2)),
+    )
+    # The fixture is ONE parquet file = one map task; AQE splits a
+    # skewed reduce partition into contiguous MAPPER ranges, so with a
+    # single mapper there is nothing to split and the rule silently
+    # no-ops (verified empirically). The round-robin repartition
+    # stands in for the thousands of scan tasks a real table has.
+    fact = e.repartition(16).select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+    )
+    # The dim is MATERIALIZED (k-sized key table, the dim-table
+    # stand-in) rather than derived lazily from the fact: a derived
+    # dim leaves its final HashAggregate between the join's Sort and
+    # the shuffle stage, and OptimizeSkewedJoin's pattern only fires
+    # on Sort-directly-over-shuffle children.
+    keys = sorted(
+        r.skew_key
+        for r in fact.select("skew_key").distinct().collect()
+    )
+    dim = sess.createDataFrame(
+        [(k, abs(k) % 5) for k in keys], "skew_key bigint, grp bigint"
+    )
+    out = (
+        fact.join(dim, "skew_key")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("grp")
+    )
+    return sess, out
+
+
+@query(
+    "q_b140_aqe_skew_join",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id END
+               AS skew_key,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT skew_key, abs(skew_key) % 5 AS grp FROM fact
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS total_value
+    FROM fact JOIN dim USING (skew_key)
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def q_b140_aqe_skew_join(spark, sf_dir):
+    """B140: RUNTIME skew-join handling — AQE's OptimizeSkewedJoin
+    splitting a hot partition, the automatic counterpart to B68's
+    hand salting. A 70%-hot key would pin one sort-merge task at ~70%
+    of the join's bytes (the straggler that defines wall-clock at
+    100 TB); with skewJoin enabled AQE measures the map output at the
+    shuffle barrier, splits the oversized partition into
+    advisory-sized slices, and replicates the matching dim rows per
+    slice — B68's exact salt-and-replicate contract, derived from
+    MEASURED sizes at runtime instead of a key histogram known in
+    advance. The executed plan's SortMergeJoin carries `skew=true`
+    (pinned in tests/test_plans.py); the result is identical either
+    way, which is what the oracle checks.
+
+    Where B68 remains the right tool: skew known ahead of time + a
+    downstream consumer that must see one partition per key. AQE's
+    version needs no prior knowledge and composes with every join in
+    a plan — the default posture for 100 TB ad-hoc SQL, which is why
+    the engine ships with AQE on (session.py) and this query only has
+    to SHRINK thresholds to fixture scale, not turn anything on.
+
+    Confs are scoped to a cloned session (q_b91's isolation rule);
+    the 5-row rollup re-materializes onto the caller's session.
+    Money math: DECIMAL(38,6) accumulation, one edge round."""
+    sess, out = _b140_skewed_frames(spark, sf_dir)
+    return spark.createDataFrame(out.collect(), schema=out.schema)

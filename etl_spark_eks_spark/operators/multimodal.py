@@ -1245,3 +1245,170 @@ def q_m13_aspect_bucket(spark, sf_dir):
         )
         .orderBy("bucket_w", "bucket_h")
     )
+
+
+SEGMENT_SCHEMA = (
+    "doc_id long, seg_id int, start_frame long, end_frame long, "
+    "n_frames long, avg_energy double"
+)
+
+
+def pcm_energy_segments(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    frame_len: int = 16,
+    threshold: float = 2000.0,
+) -> DataFrame:
+    """mapInPandas over PCM-like binary payloads -> energy-gated
+    segments (the voice-activity-detection shape): frame the samples,
+    compute per-frame mean-square energy around the u8 midpoint, gate
+    on a threshold, and merge consecutive voiced frames into segments
+    with numpy run-length islands. Only (id, segment bounds, stats)
+    rows leave the Python worker — the |payload|-sized sample and
+    frame intermediates never hit a shuffle, the same zero-exchange
+    contract as payload_byte_entropy.
+
+    Numerics: frame energy = sum((b-128)^2)/frame_len is an exact
+    multiple of 1/frame_len in double (integer squares, bounded sum),
+    so segment means are order-free and reproduce bit-for-bit in SQL
+    UNROUNDED — rounding would actually break the match, because the
+    means live on a 1/(16*n) grid where 6dp ties are common and
+    numpy (banker's) and SQL (half-up) break ties differently."""
+    import numpy as np
+
+    def batches(it):
+        for pdf in it:
+            cols = {
+                "doc_id": [],
+                "seg_id": [],
+                "start_frame": [],
+                "end_frame": [],
+                "n_frames": [],
+                "avg_energy": [],
+            }
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nf = arr.size // frame_len
+                if nf == 0:
+                    continue
+                fr = (
+                    arr[: nf * frame_len]
+                    .astype(np.float64)
+                    .reshape(nf, frame_len)
+                )
+                energy = ((fr - 128.0) ** 2).sum(axis=1) / frame_len
+                idx = np.flatnonzero(energy >= threshold)
+                if idx.size == 0:
+                    continue
+                brk = np.flatnonzero(np.diff(idx) > 1)
+                starts = np.concatenate(([idx[0]], idx[brk + 1]))
+                ends = np.concatenate((idx[brk], [idx[-1]]))
+                for seg_id, (s, t) in enumerate(
+                    zip(starts, ends), start=1
+                ):
+                    cols["doc_id"].append(int(i))
+                    cols["seg_id"].append(seg_id)
+                    cols["start_frame"].append(int(s))
+                    cols["end_frame"].append(int(t))
+                    cols["n_frames"].append(int(t - s + 1))
+                    cols["avg_energy"].append(
+                        float(energy[s : t + 1].mean())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                    "seg_id": pd.Series(cols["seg_id"], dtype="int32"),
+                    "start_frame": pd.Series(
+                        cols["start_frame"], dtype="int64"
+                    ),
+                    "end_frame": pd.Series(
+                        cols["end_frame"], dtype="int64"
+                    ),
+                    "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                    "avg_energy": pd.Series(
+                        cols["avg_energy"], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, SEGMENT_SCHEMA
+    )
+
+
+@query(
+    "q_m14_pcm_energy_segments",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, CAST((r.i - 1) // 16 AS BIGINT) AS frame,
+             (CASE WHEN ascii(substring(h, CAST(2*r.i-1 AS INT), 1)) >= 65
+                   THEN ascii(substring(h, CAST(2*r.i-1 AS INT), 1)) - 55
+                   ELSE ascii(substring(h, CAST(2*r.i-1 AS INT), 1)) - 48
+              END) * 16
+             + (CASE WHEN ascii(substring(h, CAST(2*r.i AS INT), 1)) >= 65
+                     THEN ascii(substring(h, CAST(2*r.i AS INT), 1)) - 55
+                     ELSE ascii(substring(h, CAST(2*r.i AS INT), 1)) - 48
+                END) AS byte
+      FROM p, UNNEST(range(1, CAST(n // 16 AS BIGINT) * 16 + 1)) AS r(i)
+    ),
+    e AS (
+      SELECT doc_id, frame,
+             SUM((byte - 128.0) * (byte - 128.0)) / 16 AS energy
+      FROM b GROUP BY doc_id, frame
+    ),
+    v AS (
+      SELECT doc_id, frame, energy,
+             frame - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY frame) AS isl
+      FROM e WHERE energy >= 2000.0
+    ),
+    seg AS (
+      SELECT doc_id, MIN(frame) AS start_frame, MAX(frame) AS end_frame,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             AVG(energy) AS avg_energy
+      FROM v GROUP BY doc_id, isl
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY start_frame) AS INT) AS seg_id,
+           start_frame, end_frame, n_frames, avg_energy
+    FROM seg ORDER BY doc_id, seg_id
+    """,
+)
+def q_m14_pcm_energy_segments(spark, sf_dir):
+    """M14 (extension): audio ACTIVITY SEGMENTATION over the opaque
+    binary column — frame the payload as PCM samples, compute
+    per-frame energy, and merge threshold-crossing frames into voiced
+    segments (start/end/duration/mean energy). This is the
+    silence-trim / utterance-split stage of an audio training
+    pipeline (the step before per-segment transcription or
+    embedding); M2 samples frames at fixed stride, this finds
+    CONTENT-dependent boundaries.
+
+    The codec-decode slot keeps the M1 convention: real audio arrives
+    as int16 PCM from the stubbed decoder (multimodal.py:50); the
+    fixture payload is the documents' UTF-8 bytes read as u8 samples,
+    which exercises identical framing/gating/merging machinery and
+    lets the oracle recompute every byte from the HEX expansion (the
+    M11 trick) plus SQL gaps-and-islands over voiced frames. The
+    threshold (2000) sits at the measured ~p25 of fixture frame
+    energies, so both gate outcomes and multi-segment docs occur.
+
+    Scale: one map-side pass, no shuffle, no explode — the
+    1000-samples-per-row blowup a SQL unnest would pay stays inside
+    numpy (the oracle's UNNEST is the verification cost, not the
+    engine's). Segment rows (sparse) are all that exits; the final
+    global sort is presentation-only. Trailing partial frames are
+    dropped on both sides (full 16-sample frames only)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return pcm_energy_segments(d, "payload", "doc_id").orderBy(
+        "doc_id", "seg_id"
+    )

@@ -1345,3 +1345,103 @@ def q_c97_semdedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# C98 semantic decontamination: the eval benchmark is the QUERY side
+# (k-sized, broadcast); a train doc is contaminated when its embedding
+# is near ANY eval embedding. tau sits at the measured p90 of the
+# max-sim distribution on the fixture (0.30 -> ~10% flagged), so both
+# the flag and the no-flag paths carry rows.
+_DECONTAM_TAU = 0.30
+_DECONTAM_EVAL_MOD = 50
+
+
+@query(
+    "q_c98_semantic_decontam",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT c.vec_id AS cid, q.vec_id AS qid,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM (SELECT * FROM embeddings
+            WHERE vec_id % {_DECONTAM_EVAL_MOD} = 0) q,
+           (SELECT * FROM embeddings
+            WHERE vec_id % {_DECONTAM_EVAL_MOD} <> 0) c
+    ),
+    best AS (
+      SELECT cid, qid, sim,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY sim DESC, qid) AS rnk
+      FROM pairs
+    )
+    SELECT b.cid AS doc_id, d.source,
+           b.qid AS nearest_eval_id, b.sim AS eval_sim
+    FROM best b JOIN documents d ON d.doc_id = b.cid
+    WHERE b.rnk = 1 AND b.sim >= {_DECONTAM_TAU}
+    ORDER BY doc_id
+    """,
+)
+def q_c98_semantic_decontam(spark, sf_dir):
+    """C98: SEMANTIC decontamination — flag train docs whose embedding
+    is too close to any eval-benchmark embedding. The third rung of the
+    contamination ladder: C25 catches exact copies, C55 catches 5-gram
+    overlaps, and this catches paraphrases/translations that share no
+    surface n-grams but embed next to the benchmark (the leakage mode
+    n-gram screens structurally miss). Eval set = vec_id % 50 == 0 (the
+    held-out-benchmark stand-in); a train doc is contaminated when its
+    max cosine against the eval set >= tau; output is the flagged doc
+    with its NEAREST eval item (the attribution a removal review needs)
+    plus the doc's source from the documents table.
+
+    Unlike C3's per-query top-k window (which shuffles the full
+    (train x eval) pair stream to rank within qid), the max here is an
+    ARGMAX PER TRAIN DOC folded with ``max_by``-style struct max inside
+    a partial-aggregated groupBy: the broadcast crossJoin emits pairs
+    map-side and the combiner collapses them to one row per train doc
+    before anything shuffles — at 100 TB the exchange carries n_train
+    rows, not n_train x k. Tie-break (equal sim) prefers the smaller
+    eval id via the negated-id struct field, mirroring the oracle's
+    ORDER BY sim DESC, qid. Cosine is the fold-exact Catalyst
+    expression (functions/vector.py) so the unrounded double
+    hash-matches DuckDB, the C3 contract.
+
+    Scale: eval benchmarks are KB-to-MB-sized (k docs) -> broadcast;
+    per-row work is k cosines map-side; one n_train-row exchange for
+    the argmax; the documents join is doc_id-keyed. For k large enough
+    that k cosines per row hurt, C97's sign-bucket blocking is the
+    pre-filter — the verdict machinery here is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ev = emb.where(F.col("vec_id") % _DECONTAM_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    tr = widen(emb).where(F.col("vec_id") % _DECONTAM_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    pairs = tr.crossJoin(F.broadcast(ev)).select(
+        "cid",
+        "qid",
+        cosine_similarity(F.col("ce"), F.col("qe")).alias("sim"),
+    )
+    best = pairs.groupBy("cid").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("qid")).alias("nq"))).alias(
+            "b"
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        best.where(F.col("b.sim") >= _DECONTAM_TAU)
+        .select(
+            F.col("cid").alias("doc_id"),
+            (-F.col("b.nq")).alias("nearest_eval_id"),
+            F.col("b.sim").alias("eval_sim"),
+        )
+        .join(d, "doc_id")
+        .select("doc_id", "source", "nearest_eval_id", "eval_sim")
+        .orderBy("doc_id")
+    )

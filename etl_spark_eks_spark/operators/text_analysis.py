@@ -2395,3 +2395,120 @@ def q_c95_gopher_rules(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_c99_calibration_bins",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(token), 1, 8))::BIGINT % 256) AS fidx
+      FROM toks
+    ),
+    weights AS (
+      SELECT i AS fidx,
+             (((('0x' || substr(md5('w' || CAST(i AS VARCHAR)), 1, 8))
+                ::BIGINT % 2001) - 1000) / 1000.0) AS w
+      FROM generate_series(0, 255) t(i)
+    ),
+    s AS (
+      SELECT doc_id, SUM(w) AS logit
+      FROM feats JOIN weights USING (fidx)
+      GROUP BY doc_id
+    ),
+    probs AS (
+      SELECT doc_id, ROUND(1 / (1 + EXP(-(logit - 0.1))), 6) AS prob
+      FROM s
+    ),
+    labels AS (
+      SELECT doc_id,
+             CAST(len(t.toks) BETWEEN 20 AND 1000
+                  AND CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                      / len(t.toks) >= 0.3 AS INT) AS y
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents) t
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(prob * 10) AS INT), 9) AS bin, prob, y
+      FROM probs JOIN labels USING (doc_id)
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(prob AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS label_rate,
+           ROUND(ABS(ROUND(CAST(SUM(CAST(prob AS DECIMAL(38,6))) AS DOUBLE)
+                           / COUNT(*), 6)
+                     - ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)), 6)
+             AS abs_gap
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_c99_calibration_bins(spark, sf_dir):
+    """C99: quality-classifier CALIBRATION audit — the reliability
+    table behind an ECE number. C49 serves the model's probability and
+    C54 thresholds it; before a pipeline trusts `prob >= 0.5` as a
+    keep gate, this checks whether the probabilities MEAN anything:
+    docs are binned by predicted probability (10 equal-width bins, top
+    bin closed) and each bin reports predicted mass vs the observed
+    rate of a reference label. The reference label is C10's hand-rule
+    verdict — rule-vs-model disagreement per confidence band is
+    exactly the audit that decides whether to recalibrate (Platt/
+    isotonic) or retrain before a 100 TB filtering run; the expected
+    calibration error is sum(n_docs/N * abs_gap) off this table.
+
+    Numerics: per-doc probs are 6dp-rounded (C49's contract), so the
+    DECIMAL(38,6) bin sums are exact and order-free; rates divide once
+    per bin and round at the edge; abs_gap subtracts the two ROUNDED
+    rates so both engines subtract identical doubles. The bin id
+    floors prob*10 in double on both sides — identical IEEE input,
+    identical floor.
+
+    Scale: reuses C49's serving plan (broadcast 256-weight join, one
+    partial-aggregated per-doc exchange); the label rule is a per-row
+    projection in the same documents scan; the bin rollup is a 10-row
+    aggregate. Nothing new shuffles at corpus scale beyond C49
+    itself."""
+    d = load_table(spark, sf_dir, "documents")
+    probs = classifier_quality_prob(spark, d)
+    stats = token_stats(F.col("text"))
+    labels = d.select(
+        "doc_id",
+        (
+            stats["n_tokens"].between(20, 1000)
+            & (stats["distinct_ratio"] >= 0.3)
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    binned = probs.join(labels, "doc_id").select(
+        F.least(
+            F.floor(F.col("prob") * 10).cast("int"), F.lit(9)
+        ).alias("bin"),
+        "prob",
+        "y",
+    )
+    avg_pred = F.round(
+        F.sum(F.col("prob").cast("decimal(38,6)")).cast("double")
+        / F.count("*"),
+        6,
+    )
+    label_rate = F.round(F.sum("y").cast("double") / F.count("*"), 6)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            avg_pred.alias("avg_pred"),
+            label_rate.alias("label_rate"),
+            F.round(F.abs(avg_pred - label_rate), 6).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )

@@ -911,3 +911,48 @@ def test_exchange_reuse_single_scan(spark, sf_dir):
     final = plan.split("+- == Initial Plan ==")[0]
     assert "ReusedExchange" in final
     assert final.count("Scan parquet") == 1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """B140: the executed plan must show AQE's skew handling — the
+    final SortMergeJoin carries skew=true (OptimizeSkewedJoin split
+    the 70%-hot partition into advisory-sized slices). Guards the
+    whole conf recipe: thresholds scaled to fixture shuffle sizes,
+    force flag for the join-then-reaggregate shape, and the
+    multi-mapper fact (a single-mapper shuffle cannot be split)."""
+    from etl_spark_eks_spark.operators.joins import _b140_skewed_frames
+
+    sess, out = _b140_skewed_frames(spark, sf_dir)
+    out.collect()
+    plan = plan_of(out)
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "skew=true" in final
+    assert "SortMergeJoin" in final
+
+
+def test_pcm_segments_no_shuffle(spark, sf_dir):
+    """M14: framing/gating/merging all happen inside mapInPandas — the
+    segment query's plan may contain no Exchange besides the
+    presentation sort's range partitioning, and no Generate (the
+    |payload|-row explode the SQL formulation would pay)."""
+    plan = plan_of(
+        registry.QUERIES["q_m14_pcm_energy_segments"](spark, sf_dir)
+    )
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan
+    # the only exchange is the presentation sort's range partitioning
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_semantic_decontam_broadcast_argmax(spark, sf_dir):
+    """C98: the eval side must broadcast (no SortMergeJoin anywhere)
+    and the argmax must be a partial-aggregated groupBy — exactly one
+    corpus-keyed hashpartitioning for the max fold plus the doc join,
+    never the pair stream."""
+    plan = plan_of(
+        registry.QUERIES["q_c98_semantic_decontam"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_max" in plan

@@ -1089,3 +1089,76 @@ def test_semdedup_drops_exactly_planted_clones(spark, sf_dir):
     kept = [r for r in rows if r["keep"]]
     assert len(kept) == len(rows) - 20
     assert all(r["dominated_by"] is None for r in kept)
+
+
+def test_pcm_energy_segments_unit_cases(spark):
+    """M14 helper totality and island semantics: sub-frame payload ->
+    no rows; an all-quiet payload -> no rows; a payload with two
+    separated loud bursts -> exactly two segments with correct
+    0-based frame bounds; an all-loud payload -> one segment covering
+    every full frame (the trailing partial frame dropped)."""
+    from etl_spark_eks_spark.operators.multimodal import (
+        pcm_energy_segments,
+    )
+
+    quiet = bytes([128] * 16)          # energy 0
+    loud = bytes([0] * 16)             # energy 128^2 = 16384
+    df = spark.createDataFrame(
+        [
+            (1, b"abc"),                                   # < 1 frame
+            (2, quiet * 4),                                # all quiet
+            (3, loud + quiet + loud * 2 + quiet),          # two bursts
+            (4, loud * 3 + b"xx"),                         # all loud + tail
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = pcm_energy_segments(df, "payload", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc
+    segs3 = sorted(by_doc[3], key=lambda r: r["seg_id"])
+    assert [(s["start_frame"], s["end_frame"]) for s in segs3] == [
+        (0, 0),
+        (2, 3),
+    ]
+    assert [s["n_frames"] for s in segs3] == [1, 2]
+    assert all(s["avg_energy"] == 16384.0 for s in segs3)
+    (seg4,) = by_doc[4]
+    assert (seg4["start_frame"], seg4["end_frame"], seg4["n_frames"]) == (
+        0,
+        2,
+        3,
+    )
+
+
+def test_semantic_decontam_planted_clone_flags(spark, sf_dir):
+    """C98: a train vector that IS an eval vector (cosine exactly 1)
+    must be flagged with that eval item as its nearest neighbor —
+    pins the flag path independent of the fixture's tau marginals."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.catalog import load_table
+    from etl_spark_eks_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    clone = emb.where(F.col("vec_id") == 0).select(
+        F.lit(999_001).alias("cid"), F.col("embedding").alias("ce")
+    )
+    best = (
+        clone.crossJoin(F.broadcast(ev))
+        .select(
+            "cid",
+            "qid",
+            cosine_similarity(F.col("ce"), F.col("qe")).alias("sim"),
+        )
+        .groupBy("cid")
+        .agg(F.max(F.struct("sim", (-F.col("qid")).alias("nq"))).alias("b"))
+        .select("cid", (-F.col("b.nq")).alias("nearest"), "b.sim")
+        .collect()
+    )
+    assert best[0]["nearest"] == 0
+    assert best[0]["sim"] >= 0.999999

@@ -111,6 +111,11 @@ PROBE_QUERIES = (
     # measure-the-op rule; q_c94 joins symlinked embeddings)
     "q_c95_gopher_rules",
     "q_c96_exact_substring_spans",
+    # final round-6 additions over documents (q_c98 joins the symlinked
+    # embeddings table and q_b140 the symlinked events table — absent
+    # per the measure-the-op rule)
+    "q_c99_calibration_bins",
+    "q_m14_pcm_energy_segments",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
