@@ -1412,3 +1412,163 @@ def q_m14_pcm_energy_segments(spark, sf_dir):
     return pcm_energy_segments(d, "payload", "doc_id").orderBy(
         "doc_id", "seg_id"
     )
+
+
+SHOT_SCHEMA = (
+    "doc_id long, shot_id int, start_frame long, end_frame long, "
+    "n_frames long, avg_level double"
+)
+
+
+def scene_cut_shots(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    frame_len: int = 32,
+    cut_threshold: float = 3.0,
+) -> DataFrame:
+    """mapInPandas over video-like binary payloads -> SHOT table: a
+    cut falls wherever the frame-level signal jumps by more than the
+    threshold between CONSECUTIVE frames (temporal first derivative —
+    M14 gates on the absolute level, this on the change), and shots
+    are the contiguous runs between cuts, so every full frame belongs
+    to exactly one shot. The per-frame signal is the mean sample
+    value; real deployments swap in any per-frame scalar (histogram
+    distance, embedding delta) without touching the segmentation.
+
+    Numerics: frame means are exact multiples of 1/frame_len
+    (frame_len a power of two), deltas and the threshold compare
+    exactly, and shot-level means of means are order-free sums —
+    emitted UNROUNDED (the M14 tie lesson)."""
+    import numpy as np
+
+    def batches(it):
+        for pdf in it:
+            cols = {
+                "doc_id": [],
+                "shot_id": [],
+                "start_frame": [],
+                "end_frame": [],
+                "n_frames": [],
+                "avg_level": [],
+            }
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nf = arr.size // frame_len
+                if nf == 0:
+                    continue
+                means = (
+                    arr[: nf * frame_len]
+                    .astype(np.float64)
+                    .reshape(nf, frame_len)
+                    .sum(axis=1)
+                    / frame_len
+                )
+                cut = np.zeros(nf, dtype=np.int64)
+                if nf > 1:
+                    cut[1:] = (
+                        np.abs(np.diff(means)) >= cut_threshold
+                    ).astype(np.int64)
+                shot = np.cumsum(cut) + 1
+                for sid in range(1, int(shot[-1]) + 1):
+                    idx = np.flatnonzero(shot == sid)
+                    cols["doc_id"].append(int(i))
+                    cols["shot_id"].append(sid)
+                    cols["start_frame"].append(int(idx[0]))
+                    cols["end_frame"].append(int(idx[-1]))
+                    cols["n_frames"].append(int(idx.size))
+                    cols["avg_level"].append(float(means[idx].mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                    "shot_id": pd.Series(cols["shot_id"], dtype="int32"),
+                    "start_frame": pd.Series(
+                        cols["start_frame"], dtype="int64"
+                    ),
+                    "end_frame": pd.Series(
+                        cols["end_frame"], dtype="int64"
+                    ),
+                    "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                    "avg_level": pd.Series(
+                        cols["avg_level"], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, SHOT_SCHEMA)
+
+
+@query(
+    "q_m15_scene_cut_shots",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, CAST((r.i - 1) // 32 AS BIGINT) AS frame,
+             (CASE WHEN ascii(substring(h, CAST(2*r.i-1 AS INT), 1)) >= 65
+                   THEN ascii(substring(h, CAST(2*r.i-1 AS INT), 1)) - 55
+                   ELSE ascii(substring(h, CAST(2*r.i-1 AS INT), 1)) - 48
+              END) * 16
+             + (CASE WHEN ascii(substring(h, CAST(2*r.i AS INT), 1)) >= 65
+                     THEN ascii(substring(h, CAST(2*r.i AS INT), 1)) - 55
+                     ELSE ascii(substring(h, CAST(2*r.i AS INT), 1)) - 48
+                END) AS byte
+      FROM p, UNNEST(range(1, CAST(n // 32 AS BIGINT) * 32 + 1)) AS r(i)
+    ),
+    m AS (
+      SELECT doc_id, frame, SUM(byte) / 32.0 AS mean_b
+      FROM b GROUP BY doc_id, frame
+    ),
+    c AS (
+      SELECT doc_id, frame, mean_b,
+             CASE WHEN ABS(mean_b - LAG(mean_b) OVER w) >= 3.0
+                  THEN 1 ELSE 0 END AS cut
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY frame)
+    ),
+    s AS (
+      SELECT doc_id, frame, mean_b,
+             SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame
+                            ROWS UNBOUNDED PRECEDING) + 1 AS shot_id
+      FROM c
+    )
+    SELECT doc_id, CAST(shot_id AS INT) AS shot_id,
+           MIN(frame) AS start_frame, MAX(frame) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           AVG(mean_b) AS avg_level
+    FROM s GROUP BY doc_id, shot_id
+    ORDER BY doc_id, shot_id
+    """,
+)
+def q_m15_scene_cut_shots(spark, sf_dir):
+    """M15 (extension): video SHOT segmentation — scene-cut detection
+    on the temporal derivative of a per-frame signal, partitioning
+    every payload's timeline into contiguous shots. The companion to
+    M14 (which gates on absolute level and emits only loud segments):
+    a cut falls where the frame mean jumps >= 3.0 against the previous
+    frame, and every full frame lands in exactly one shot — the shape
+    a keyframe sampler or per-shot captioner consumes (M2's fixed
+    stride is the content-blind baseline this replaces).
+
+    Codec slot per the M1 convention: a real decoder yields per-frame
+    pixel buffers and any per-frame scalar/histogram plugs into the
+    same cut rule; the fixture payload is the documents' UTF-8 bytes
+    as 32-byte frames, keeping every step byte-reproducible in SQL
+    (hex-pair expansion + LAG + running cut-count gaps-and-islands).
+
+    Numerics: frame means live on the 1/32 grid (exact doubles), the
+    threshold compare is exact, and shot means of means are order-free
+    sums emitted UNROUNDED (the M14 banker's-tie lesson).
+
+    Scale: one map-side numpy pass, zero shuffle — the per-frame
+    intermediates (the oracle's UNNEST blowup) never leave the
+    worker; only shot rows exit, and the final sort is
+    presentation-only."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return scene_cut_shots(d, "payload", "doc_id").orderBy(
+        "doc_id", "shot_id"
+    )

@@ -1162,3 +1162,38 @@ def test_semantic_decontam_planted_clone_flags(spark, sf_dir):
     )
     assert best[0]["nearest"] == 0
     assert best[0]["sim"] >= 0.999999
+
+
+def test_scene_cut_shots_unit_cases(spark):
+    """M15 shot semantics: constant payload -> ONE shot covering all
+    full frames; a single hard level jump -> exactly two shots split
+    at the jump frame; sub-frame payload -> no rows; every frame
+    belongs to exactly one shot (coverage partition)."""
+    from etl_spark_eks_spark.operators.multimodal import scene_cut_shots
+
+    flat = bytes([100] * 32)
+    loud = bytes([200] * 32)
+    df = spark.createDataFrame(
+        [
+            (1, flat * 4),          # one shot, frames 0-3
+            (2, flat * 2 + loud * 3),  # cut at frame 2
+            (3, b"tiny"),           # < 1 frame
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = scene_cut_shots(df, "payload", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    (s1,) = by_doc[1]
+    assert (s1["shot_id"], s1["start_frame"], s1["end_frame"]) == (1, 0, 3)
+    assert s1["avg_level"] == 100.0
+    segs2 = sorted(by_doc[2], key=lambda r: r["shot_id"])
+    assert [(s["start_frame"], s["end_frame"]) for s in segs2] == [
+        (0, 1),
+        (2, 4),
+    ]
+    assert [s["avg_level"] for s in segs2] == [100.0, 200.0]
+    # coverage partition: frame counts sum to the full-frame count
+    assert sum(s["n_frames"] for s in segs2) == 5
