@@ -1033,3 +1033,131 @@ def q_b139_exchange_reuse(spark, sf_dir):
         )
         .orderBy("bucket", "o_custkey")
     )
+
+
+@query(
+    "q_b141_approx_percentile_bound",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_b141_approx_percentile_bound(spark, sf_dir):
+    """B141: approximate percentiles with a SELF-VERIFYING error
+    bound — the quantile member of the sketch family (B19 = distinct
+    count, B125 = mergeable HLL binaries, C47 = sketch partials).
+    `percentile_approx` (Greenwald-Khanna) guarantees rank error
+    <= 1/accuracy; the query turns that guarantee into a checked
+    boolean: the approximate value must land between the EXACT
+    percentiles at q +/- eps (eps = 5x the rank bound — monotonicity
+    of the quantile function converts a rank bound into a value
+    interval). The oracle pins the exact arms and TRUE flags, the
+    B19 contract: the sketch's value is implementation-specific, its
+    CORRECTNESS CLAIM is not.
+
+    Why it matters at 100 TB: exact `percentile` (B88) buffers each
+    group's values on a reducer — fine while groups fit, impossible
+    at corpus scale. The GK sketch is constant-memory and MERGEABLE
+    (map-side partials combine), so this is the documented scale
+    ladder's upper rung, here sharing one aggregation pass with the
+    exact arms that audit it. In production only the approx arm
+    survives; the exact arms are the verification harness."""
+    acc = 1000
+    eps = 5.0 / acc
+    li = load_table(spark, sf_dir, "lineitem")
+    # ONE array-percentile per family: six exact arms as separate
+    # aggregates each re-buffer and re-select the group (measured
+    # 6.3 s -> collapsing to one array call shares a single pass),
+    # and the two approx arms share one GK sketch the same way.
+    qs = [0.5 - eps, 0.5, 0.5 + eps, 0.95 - eps, 0.95, 0.95 + eps]
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs])
+        ).alias("ex"),
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.95)),
+            F.lit(acc),
+        ).alias("ap"),
+    )
+    ex = lambda i: F.element_at("ex", i)  # noqa: E731
+    ap = lambda i: F.element_at("ap", i)  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(ex(2), 6).alias("exact_p50"),
+        F.round(ex(5), 6).alias("exact_p95"),
+        ap(1).between(ex(1), ex(3)).alias("p50_within_bound"),
+        ap(2).between(ex(4), ex(6)).alias("p95_within_bound"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_b142_content_digest",
+    oracle="""
+    SELECT COALESCE(source, '__ALL__') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31)
+                  || source || chr(31) || CAST(n_chars AS VARCHAR)
+                  || chr(31) || text), 1, 12))::BIGINT
+                AS DECIMAL(38,0))) AS VARCHAR) AS digest
+    FROM documents
+    GROUP BY ROLLUP(source)
+    ORDER BY source
+    """,
+)
+def q_b142_content_digest(spark, sf_dir):
+    """B142: order-independent table CONTENT DIGEST — one scan, one
+    k-row rollup, no sort, no collect: per-slice and whole-table
+    fingerprints as the SUM of a per-row md5-prefix integer over a
+    canonical field concatenation. SUM is commutative/associative, so
+    the digest is invariant to row order, partitioning, and plan
+    choice — the property a replication audit needs (verify a 100 TB
+    copy against its source by comparing k+1 numbers computed
+    independently on each side, partial sums merging map-side; file
+    checksums can't do this because parquet bytes differ across
+    writers/compression even when CONTENT is identical). M7 audits
+    per-PAYLOAD checksums; this fingerprints the relational content
+    itself. The md5 prefix is the repo's engine-portable hash (the
+    hash_bucket convention), 12 hex chars = 48 bits per row summed
+    into DECIMAL(38,0) — no overflow until ~1e23 rows; emitted as a
+    string so the exact integer survives every serialization edge.
+
+    The canonical form (field sep 0x1F, string casts) is part of the
+    digest's definition — both engines build the identical byte
+    string, which is what makes the fingerprint portable across
+    engines, not just across copies."""
+    sep = F.lit("\x1f")
+    d = load_table(spark, sf_dir, "documents")
+    row = F.concat(
+        F.col("doc_id").cast("string"), sep, F.col("lang"), sep,
+        F.col("source"), sep, F.col("n_chars").cast("string"), sep,
+        F.col("text"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(row), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    return (
+        d.rollup("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(h).cast("string").alias("digest"),
+        )
+        .select(
+            F.coalesce("source", F.lit("__ALL__")).alias("source"),
+            "n_rows",
+            "digest",
+        )
+        .orderBy("source")
+    )
