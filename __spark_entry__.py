@@ -39,15 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # every key in the suite has an official row (CORRECTNESS_r05: 50/50
 # clean — the 4 previously-unevidenced keys, all 30 round-5 additions,
 # the 13 rows-only refreshes, q_b102's re-measure, and 2 r1 re-checks).
-# Round 6 therefore leads with: (1) the 43 operators ADDED in round 6
-# (q_b123-q_b142, q_c82-q_c99, q_m11-q_m15 — all oracle-backed, no official
+# Round 6 therefore leads with: (1) the 45 operators ADDED in round 6
+# (q_b123-q_b143, q_c82-q_c100, q_m11-q_m15 — all oracle-backed, no official
 # row yet), (2) the 3 keys REWORKED this round whose oracles changed
 # identically on both engines (q_c68/q_c78 sort-key stride + prefix-sum
 # bucketing per ADVICE; q_b122's overflow band re-planted for the 10.7x
 # exception-storm fix) — re-verified locally, need fresh official rows,
 # (3) the OLDEST official greens — the r1-era keys whose last driver
 # check is round 1 and which missed r5's 50-slot cap (q_a4..q_b59
-# family): 43 + 3 = 46 lead keys, so the first 4 r1-era re-checks make
+# family): 45 + 3 = 48 lead keys, so the first 2 r1-era re-checks make
 # the 50-slot cap. The rest of the r1-era list and the r2-era greens
 # queue behind for round 7. Every key remains present and runnable
 # regardless of order; tools/verify_driver.py checks all of them.
@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_b140_aqe_skew_join", "q_m14_pcm_energy_segments",
     "q_m15_scene_cut_shots",
     "q_b141_approx_percentile_bound", "q_b142_content_digest",
+    "q_b143_multiplexed_stream_union", "q_c100_vocab_coverage_curve",
     # -- (2) reworked this round (new stride/bucketing/overflow band,
     #        oracles changed) --
     "q_c68_curriculum_phases", "q_c78_training_data_plan",

@@ -952,3 +952,90 @@ def q_b138_incremental_backlog(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_b143_multiplexed_stream_union",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS total_value,
+           CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0
+                                    THEN 'west' ELSE 'east' END)
+                AS BIGINT) AS n_regions
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_b143_multiplexed_stream_union(spark, sf_dir):
+    """B143: MULTIPLEXED streaming ingestion — two independent landing
+    prefixes (the multi-region / multi-producer S3 layout the
+    reference's one-prefix SQS chain generalizes to) consumed by ONE
+    streaming query via union of two file-source streams. Each source
+    keeps its own file-log offsets inside the SHARED checkpoint, so
+    exactly-once holds per prefix with no cross-prefix coordination —
+    the alternative (one job per prefix + a downstream merge) pays a
+    second pipeline and a reconciliation step.
+
+    The fixture splits events by user_id parity into 'west'/'east'
+    prefixes; the streamed union tags each row with its region and
+    appends stateless to the sink (sink commit = only coordination,
+    the B138 discipline). The read-back rollup proves BOTH prefixes
+    contributed (n_regions = 2 per event type) and the totals equal
+    the batch answer over the unsplit table — which is exactly what
+    the oracle computes without ever seeing the prefixes.
+
+    Scale: sources scale independently (each prefix lists its own
+    files); union is a no-shuffle plan node; the stateless passthrough
+    keeps the state store empty at any number of prefixes."""
+    import os
+
+    from etl_spark_eks_spark.catalog import table_path
+    from etl_spark_eks_spark.streaming.stream_ops import (
+        normalize_event_time,
+    )
+
+    tag = _tag(sf_dir)
+    west = fresh_scratch("q_b143", tag, "west")
+    east = fresh_scratch("q_b143", tag, "east")
+    sink = fresh_scratch("q_b143", tag, "sink")
+    ckpt = fresh_scratch("q_b143", tag, "ckpt")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    raw.where(F.col("user_id") % 2 == 0).write.parquet(west)
+    raw.where(F.col("user_id") % 2 != 0).write.parquet(east)
+    schema = spark.read.parquet(west).schema
+
+    def prefix_stream(path: str, region: str):
+        s = spark.readStream.schema(schema).parquet(path)
+        return normalize_event_time(s).select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.lit(region).alias("region"),
+        )
+
+    unioned = prefix_stream(west, "west").unionByName(
+        prefix_stream(east, "east")
+    )
+    run_available_now(unioned, sink, ckpt)
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_value"),
+            F.countDistinct("region").cast("bigint").alias("n_regions"),
+        )
+        .orderBy("event_type")
+    )

@@ -2512,3 +2512,92 @@ def q_c99_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+_VOCAB_CUTS = (256, 1024, 4096, 16384)
+
+
+@query(
+    "q_c100_vocab_coverage_curve",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, COUNT(*) AS occurrences
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT occurrences,
+             ROW_NUMBER() OVER (ORDER BY occurrences DESC, token) AS rnk
+      FROM freq
+    ),
+    tot AS (SELECT SUM(occurrences) AS total, COUNT(*) AS vocab
+            FROM ranked)
+    SELECT k,
+           CAST(LEAST(k, (SELECT vocab FROM tot)) AS BIGINT)
+             AS vocab_used,
+           CAST((SELECT SUM(occurrences) FROM ranked WHERE rnk <= k)
+                AS BIGINT) AS covered_occurrences,
+           ROUND(CAST((SELECT SUM(occurrences) FROM ranked
+                       WHERE rnk <= k) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in _VOCAB_CUTS)}) cuts(k)
+    ORDER BY k
+    """,
+)
+def q_c100_vocab_coverage_curve(spark, sf_dir):
+    """C100: vocabulary COVERAGE CURVE — corpus token mass covered by
+    the top-k vocabulary entries at candidate vocab sizes (256 / 1k /
+    4k / 16k). The vocab-size decision audit for tokenizer training:
+    C48 shows mass per frequency BAND, C77 audits a FIXED vocab's OOV
+    rate; this answers "how big must the vocab be" directly — the k
+    where the curve flattens is the budget, and everything past it
+    buys only tail tokens (the C87 BPE merges then spend that budget).
+
+    Plan shape: the corpus's only shuffle is the token-frequency agg
+    (map-side combined); the global rank window runs on the VOCAB
+    table — the n -> |V| contraction comes first, the C77/C48
+    discipline (sub-linear in corpus, the single-partition window is
+    over the contracted table and allowlisted as such). The four cut
+    points are CONDITIONAL SUMS in one 1-row aggregate over the
+    ranked vocab — no cuts-dim join, no re-scan per k; the row-per-k
+    presentation unions four selects of that one cached-size row.
+
+    Exact: integer occurrence sums; coverage rounds the one division
+    at the edge."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        widen(d)
+        .select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"))
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), "token")
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    one = ranked.agg(
+        F.sum("occurrences").alias("total"),
+        F.count("*").alias("vocab"),
+        *[
+            F.sum(
+                F.when(F.col("rnk") <= k, F.col("occurrences")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"cov_{k}")
+            for k in _VOCAB_CUTS
+        ],
+    )
+    rows = None
+    for k in _VOCAB_CUTS:
+        r = one.select(
+            F.lit(k).alias("k"),
+            F.least(F.lit(k).cast("long"), F.col("vocab")).alias(
+                "vocab_used"
+            ),
+            F.col(f"cov_{k}").cast("long").alias("covered_occurrences"),
+            F.round(
+                F.col(f"cov_{k}").cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("k")

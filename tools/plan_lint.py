@@ -141,6 +141,7 @@ ALLOW_SINGLE_PART = {
     "q_b33_topk", "q_b58_percentiles", "q_c31_length_quantiles",
     "q_c12_fingerprint", "q_c42_inverted_index", "q_c44_coreset_medoids",
     "q_c5_top_terms", "q_c48_zipf_histogram", "q_c60_bm25_topk",
+    "q_c100_vocab_coverage_curve",  # global rank window over the contracted VOCAB table (C77/C48 discipline)
     "q_c67_corpus_datasheet", "q_b108_transpose",
     "q_b84_recursive_cte",  # frontier is depth-bounded
     "q_c30_kmeans", "q_c61_pagerank",  # k-sized centroid/rank folds
