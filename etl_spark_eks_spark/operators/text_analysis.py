@@ -2442,13 +2442,11 @@ def q_c95_gopher_rules(spark, sf_dir):
     )
     SELECT bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(prob AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_pred,
-           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS label_rate,
-           ROUND(ABS(ROUND(CAST(SUM(CAST(prob AS DECIMAL(38,6))) AS DOUBLE)
-                           / COUNT(*), 6)
-                     - ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)), 6)
-             AS abs_gap
+           CAST(SUM(CAST(ROUND(prob * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS sum_pred_micros,
+           CAST(SUM(y) AS BIGINT) AS n_label,
+           CAST(ABS(SUM(CAST(ROUND(prob * 1000000, 0) AS BIGINT))
+                    - SUM(y) * 1000000) AS BIGINT) AS gap_micros
     FROM binned GROUP BY bin ORDER BY bin
     """,
 )
@@ -2465,12 +2463,19 @@ def q_c99_calibration_bins(spark, sf_dir):
     isotonic) or retrain before a 100 TB filtering run; the expected
     calibration error is sum(n_docs/N * abs_gap) off this table.
 
-    Numerics: per-doc probs are 6dp-rounded (C49's contract), so the
-    DECIMAL(38,6) bin sums are exact and order-free; rates divide once
-    per bin and round at the edge; abs_gap subtracts the two ROUNDED
-    rates so both engines subtract identical doubles. The bin id
-    floors prob*10 in double on both sides — identical IEEE input,
-    identical floor.
+    Numerics: the table is INTEGER-EXACT (the q_b122 micros
+    discipline). Per-doc probs are 6dp-rounded doubles (C49's
+    contract), so ROUND(prob*1e6) recovers the exact integer micro
+    count per doc; bin sums, label counts and the calibration gap
+    (|sum_pred_micros - 1e6*n_label|) are then BIGINT arithmetic with
+    no tie anywhere. The obvious alternative — ROUND(sum/n, 6) rates —
+    was MEASURED to diverge cross-engine at sf0.001 (a bin average
+    landing exactly on a 6th-decimal .5: Spark's BigDecimal HALF_UP
+    on the shortest repr vs DuckDB's libm rounding split 0.651411 /
+    0.65141). Rates and ECE derive downstream: avg_pred =
+    sum_pred_micros/(1e6*n_docs), ECE = sum(gap_micros)/(1e6*N). The
+    bin id floors prob*10 in double on both sides — identical IEEE
+    input, identical floor.
 
     Scale: reuses C49's serving plan (broadcast 256-weight join, one
     partial-aggregated per-doc exchange); the label rule is a per-row
@@ -2496,19 +2501,18 @@ def q_c99_calibration_bins(spark, sf_dir):
         "prob",
         "y",
     )
-    avg_pred = F.round(
-        F.sum(F.col("prob").cast("decimal(38,6)")).cast("double")
-        / F.count("*"),
-        6,
-    )
-    label_rate = F.round(F.sum("y").cast("double") / F.count("*"), 6)
+    micros = F.round(F.col("prob") * 1_000_000, 0).cast("long")
+    sum_pred = F.sum(micros)
+    n_label = F.sum("y")
     return (
         binned.groupBy("bin")
         .agg(
             F.count("*").alias("n_docs"),
-            avg_pred.alias("avg_pred"),
-            label_rate.alias("label_rate"),
-            F.round(F.abs(avg_pred - label_rate), 6).alias("abs_gap"),
+            sum_pred.cast("long").alias("sum_pred_micros"),
+            n_label.cast("long").alias("n_label"),
+            F.abs(sum_pred - n_label * 1_000_000)
+            .cast("long")
+            .alias("gap_micros"),
         )
         .orderBy("bin")
     )

@@ -1117,3 +1117,47 @@ def test_join_strategies_invariant_under_nulls(spark, a, b):
         )
         outs.append(rows)
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_content_digest_mergeable_and_order_free(spark, sf_dir):
+    """B142's design claims, tested directly: (1) MERGEABILITY — the
+    whole-table digest equals the integer sum of the digests of any
+    disjoint split (what lets a 100 TB audit combine per-shard
+    partials); (2) ORDER-FREEDOM — digesting a reshuffled copy yields
+    the identical fingerprint."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark import registry
+    from etl_spark_eks_spark.catalog import load_table
+
+    registry.load_all()
+    full = {
+        r["source"]: (int(r["digest"]), r["n_rows"])
+        for r in registry.QUERIES["q_b142_content_digest"](
+            spark, sf_dir
+        ).collect()
+    }
+    # (1) the ROLLUP total must equal the sum of the per-source parts
+    parts = {k: v for k, v in full.items() if k != "__ALL__"}
+    assert full["__ALL__"][0] == sum(d for d, _ in parts.values())
+    assert full["__ALL__"][1] == sum(n for _, n in parts.values())
+    # (2) same digest from a deliberately reshuffled, re-partitioned copy
+    d = load_table(spark, sf_dir, "documents")
+    sep = F.lit("\x1f")
+    row = F.concat(
+        F.col("doc_id").cast("string"), sep, F.col("lang"), sep,
+        F.col("source"), sep, F.col("n_chars").cast("string"), sep,
+        F.col("text"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(row), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    shuffled = (
+        d.orderBy(F.xxhash64("text"))
+        .repartition(7)
+        .agg(F.sum(h).cast("string").alias("digest"))
+        .first()["digest"]
+    )
+    assert int(shuffled) == full["__ALL__"][0]
