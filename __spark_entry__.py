@@ -39,18 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # every key in the suite has an official row (CORRECTNESS_r05: 50/50
 # clean — the 4 previously-unevidenced keys, all 30 round-5 additions,
 # the 13 rows-only refreshes, q_b102's re-measure, and 2 r1 re-checks).
-# Round 6 therefore leads with: (1) the 45 operators ADDED in round 6
-# (q_b123-q_b143, q_c82-q_c100, q_m11-q_m15 — all oracle-backed, no official
+# Round 6 therefore leads with: (1) the 47 operators ADDED in round 6
+# (q_b123-q_b144, q_c82-q_c101, q_m11-q_m15 — all oracle-backed, no official
 # row yet), (2) the 3 keys REWORKED this round whose oracles changed
 # identically on both engines (q_c68/q_c78 sort-key stride + prefix-sum
 # bucketing per ADVICE; q_b122's overflow band re-planted for the 10.7x
 # exception-storm fix) — re-verified locally, need fresh official rows,
 # (3) the OLDEST official greens — the r1-era keys whose last driver
 # check is round 1 and which missed r5's 50-slot cap (q_a4..q_b59
-# family): 45 + 3 = 48 lead keys, so the first 2 r1-era re-checks make
-# the 50-slot cap. The rest of the r1-era list and the r2-era greens
-# queue behind for round 7. Every key remains present and runnable
-# regardless of order; tools/verify_driver.py checks all of them.
+# family): 47 + 3 = 50 lead keys, exactly filling the 50-slot cap. The
+# whole r1-era and r2-era green backlog queues behind for round 7.
+# Every key remains present and runnable regardless of order;
+# tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) round-6 additions: first official rows --
     "q_b123_group_by_all", "q_b124_crosstab", "q_b125_hll_sketch",
@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_m15_scene_cut_shots",
     "q_b141_approx_percentile_bound", "q_b142_content_digest",
     "q_b143_multiplexed_stream_union", "q_c100_vocab_coverage_curve",
+    "q_b144_dynamic_partition_overwrite", "q_c101_source_divergence_matrix",
     # -- (2) reworked this round (new stride/bucketing/overflow band,
     #        oracles changed) --
     "q_c68_curriculum_phases", "q_c78_training_data_plan",

@@ -1073,3 +1073,93 @@ def q_b137_column_defaults(spark, sf_dir):
         f"INSERT INTO {name} (o_orderkey, o_totalprice) VALUES (1000003, 1.5)"
     )
     return spark.sql(f"SELECT * FROM {name} ORDER BY o_orderkey")
+
+
+@query(
+    "q_b144_dynamic_partition_overwrite",
+    oracle="""
+    WITH wave1 AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, 1 AS batch
+      FROM orders
+    ),
+    wave2 AS (
+      SELECT o_orderpriority, o_orderkey,
+             o_totalprice * 2 AS o_totalprice, 2 AS batch
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    final AS (
+      SELECT * FROM wave1
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      UNION ALL
+      SELECT * FROM wave2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS total_price,
+           CAST(MIN(batch) AS INT) AS min_batch,
+           CAST(MAX(batch) AS INT) AS max_batch
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b144_dynamic_partition_overwrite(spark, sf_dir):
+    """B144: DYNAMIC partition overwrite — `mode("overwrite")` with
+    `partitionOverwriteMode=dynamic` replaces ONLY the partitions the
+    incoming batch touches and leaves every other partition's files
+    untouched. This is the idempotent-backfill primitive of a
+    partitioned lake (re-land two corrected priority slices without
+    rewriting — or worse, DROPPING — the other three): under the
+    default STATIC mode the same statement wipes the whole table
+    first, the classic production data-loss footgun, and the
+    difference is one write OPTION, not a table format.
+
+    The scenario writes all orders partitioned by o_orderpriority
+    (wave 1), then overwrites with a corrected batch covering only
+    URGENT/HIGH (doubled totals, batch=2). The read-back rollup
+    proves both halves of the contract: untouched priorities still
+    carry wave-1 rows exactly (min_batch=max_batch=1), touched ones
+    carry ONLY wave-2 (min_batch=max_batch=2 — no leftover wave-1
+    files under the replaced prefixes). The oracle reconstructs the
+    final state relationally without ever seeing a filesystem.
+
+    Scale: partition-granular replacement means a backfill's write
+    cost is proportional to the CORRECTED slice, not the table; the
+    directory-partitioned layout is exactly A7/B3's, so partition
+    pruning on later reads is unchanged. Option scoped to the write
+    (no session conf bleed, q_b91's isolation rule satisfied for
+    free)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    tbl = fresh_scratch("q_b144", tag, "table")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    o.withColumn("batch", F.lit(1)).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(tbl)
+    wave2 = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("batch", F.lit(2))
+    )
+    wave2.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_orderpriority").parquet(tbl)
+    return (
+        spark.read.parquet(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_price"),
+            F.min("batch").cast("int").alias("min_batch"),
+            F.max("batch").cast("int").alias("max_batch"),
+        )
+        .orderBy("o_orderpriority")
+    )

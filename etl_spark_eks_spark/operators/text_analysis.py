@@ -2605,3 +2605,173 @@ def q_c100_vocab_coverage_curve(spark, sf_dir):
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("k")
+
+
+@query(
+    "q_c101_source_divergence_matrix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, token, COUNT(*) AS n
+      FROM toks GROUP BY source, token
+    ),
+    totals AS (
+      SELECT source, SUM(n) AS nt, COUNT(*) AS vs
+      FROM counts GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.nt AS na_tot, b.nt AS nb_tot, a.vs AS va, b.vs AS vb
+      FROM totals a, totals b WHERE a.source < b.source
+    ),
+    inter AS (
+      SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS i
+      FROM counts x JOIN counts y USING (token)
+      WHERE x.source < y.source
+      GROUP BY x.source, y.source
+    ),
+    vab AS (
+      SELECT p.src_a, p.src_b, p.na_tot, p.nb_tot,
+             p.va + p.vb - COALESCE(i.i, 0) AS v
+      FROM pairs p LEFT JOIN inter i
+        ON p.src_a = i.src_a AND p.src_b = i.src_b
+    ),
+    terms AS (
+      SELECT v.src_a, v.src_b, v.v,
+             (COALESCE(xa.n, 0) + 1.0) / (v.na_tot + v.v) AS pa,
+             (COALESCE(xb.n, 0) + 1.0) / (v.nb_tot + v.v) AS pb
+      FROM vab v
+      CROSS JOIN (SELECT DISTINCT token FROM counts) t
+      LEFT JOIN counts xa
+        ON xa.token = t.token AND xa.source = v.src_a
+      LEFT JOIN counts xb
+        ON xb.token = t.token AND xb.source = v.src_b
+      WHERE xa.n IS NOT NULL OR xb.n IS NOT NULL
+    )
+    SELECT src_a, src_b,
+           CAST(MAX(v) AS BIGINT) AS n_union_vocab,
+           ROUND(SUM(0.5 * (pa * ln(2 * pa / (pa + pb))
+                            + pb * ln(2 * pb / (pa + pb)))), 6) AS jsd
+    FROM terms
+    GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_c101_source_divergence_matrix(spark, sf_dir):
+    """C101: pairwise SOURCE-DIVERGENCE matrix — Jensen-Shannon
+    divergence between every pair of per-source unigram language
+    models (add-one smoothing over each pair's UNION vocabulary).
+    The mixture-design audit: C23/C40/C84 decide how much of each
+    source to take, C41 watches one source drift over time, C59
+    checks train-vs-val — this says which sources are near-duplicate
+    DISTRIBUTIONS (merge their quotas) and which are genuine
+    diversity (protect them), before mixture weights are spent.
+    C83's shingle-overlap matrix is the lexical containment view;
+    JSD here is the probability view the sampling literature scores.
+
+    Shape (the C83 contraction discipline): the corpus is touched by
+    ONE token count (map-side combined); everything pairwise runs on
+    the CONTRACTED vocab table — per-token source maps crossJoin the
+    broadcast 190-row pair dim (vocab x k^2 map-side, no corpus
+    re-scan), the union-vocab sizes come from a per-token
+    within-map pair expansion (sum of |sources-per-token| choose 2
+    rows, not vocab x k^2), and the k-sized totals/vocab/intersection
+    tables assemble the pair dim on the driver (k=20 sources -> 190
+    rows). Two vocab-sided aggregates total.
+
+    Numerics: pa/pb are identical integer-derived doubles on both
+    engines; the JSD sum is the one order-sensitive reduction and
+    rounds at the edge (C26/C52's measured ln/sum-order contract).
+    JSD in nats, bounded by ln 2 ~= 0.6931; the fixture matrix spans
+    ~0.15-0.35 — both near and far pairs carry signal."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(
+        "source", F.explode(tokenize("text")).alias("token")
+    )
+    counts = toks.groupBy("token", "source").agg(F.count("*").alias("n"))
+    tokmap = counts.groupBy("token").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("source", "n"))
+        ).alias("m")
+    )
+    totals = {
+        r["source"]: (r["nt"], r["vs"])
+        for r in counts.groupBy("source")
+        .agg(F.sum("n").alias("nt"), F.count("*").alias("vs"))
+        .collect()
+    }
+    inter = {
+        (r["src_a"], r["src_b"]): r["i"]
+        for r in tokmap.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.map_keys("m"),
+                            lambda a: F.transform(
+                                F.map_keys("m"),
+                                lambda b: F.struct(
+                                    a.alias("src_a"), b.alias("src_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda s: s["src_a"] < s["src_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("i"))
+        .collect()
+    }
+    srcs = sorted(totals)
+    pair_rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            na_tot, va = totals[a]
+            nb_tot, vb = totals[b]
+            v = va + vb - inter.get((a, b), 0)
+            pair_rows.append((a, b, na_tot, nb_tot, v))
+    pairs = F.broadcast(
+        spark.createDataFrame(
+            pair_rows,
+            "src_a string, src_b string, na_tot long, nb_tot long, v long",
+        )
+    )
+    t = tokmap.crossJoin(pairs).select(
+        "src_a",
+        "src_b",
+        "v",
+        (
+            (F.coalesce(F.element_at("m", F.col("src_a")), F.lit(0)) + 1.0)
+            / (F.col("na_tot") + F.col("v"))
+        ).alias("pa"),
+        (
+            (F.coalesce(F.element_at("m", F.col("src_b")), F.lit(0)) + 1.0)
+            / (F.col("nb_tot") + F.col("v"))
+        ).alias("pb"),
+        (
+            F.element_at("m", F.col("src_a")).isNotNull()
+            | F.element_at("m", F.col("src_b")).isNotNull()
+        ).alias("in_union"),
+    )
+    term = 0.5 * (
+        F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.col("pb")
+        * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    return (
+        t.where("in_union")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("v").cast("long").alias("n_union_vocab"),
+            F.round(F.sum(term), 6).alias("jsd"),
+        )
+        .orderBy("src_a", "src_b")
+    )
