@@ -1879,6 +1879,56 @@ def q_c93_intradoc_dedup(spark, sf_dir):
 _SUBSTR_K = 8  # anchor length in tokens: spans shorter than K are invisible
 
 
+def exact_dup_spans(d, k: int = None):
+    """C96's token->K-gram->anchor->island pipeline as a reusable
+    stage: per affected doc, the maximal duplicated spans
+    (doc_id, island, n_tokens, span_start, span_end) in 1-based token
+    positions. Consumed by q_c96 (the report) and q_c102 (the
+    surgery). Shape notes live on q_c96's docstring."""
+    if k is None:
+        k = _SUBSTR_K
+    toks = (
+        widen(d)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda p: F.concat_ws(
+                        " ", F.slice("toks", p, k)
+                    ),
+                )
+            ).alias("idx", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("idx") + 1).alias("pos"),
+            "gram",
+        )
+    )
+    dup = toks.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("gram"))
+    ).where(F.col("n_occ") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_doc) + (k - 1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_doc))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+    )
+
+
 @query(
     "q_c96_exact_substring_spans",
     oracle="""
@@ -1954,48 +2004,7 @@ def q_c96_exact_substring_spans(spark, sf_dir):
     partitioning. No join back to the corpus: n_tokens is carried
     through the pipeline as a per-doc constant. Serial work: none —
     every window is keyed by gram or doc_id."""
-    d = load_table(spark, sf_dir, "documents")
-    k = _SUBSTR_K
-    toks = (
-        widen(d)
-        .select("doc_id", tokenize("text").alias("toks"))
-        .where(F.size("toks") >= k)
-        .select(
-            "doc_id",
-            F.size("toks").alias("n_tokens"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda p: F.concat_ws(
-                        " ", F.slice("toks", p, k)
-                    ),
-                )
-            ).alias("idx", "gram"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("idx") + 1).alias("pos"),
-            "gram",
-        )
-    )
-    dup = toks.withColumn(
-        "n_occ", F.count("*").over(Window.partitionBy("gram"))
-    ).where(F.col("n_occ") > 1)
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    isl = dup.withColumn(
-        "brk",
-        F.when(
-            F.lag("pos").over(w_doc).isNull()
-            | (F.col("pos") > F.lag("pos").over(w_doc) + (k - 1)),
-            1,
-        ).otherwise(0),
-    ).withColumn("island", F.sum("brk").over(w_doc))
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("pos").cast("bigint").alias("span_start"),
-        (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
-    )
+    spans = exact_dup_spans(load_table(spark, sf_dir, "documents"))
     return (
         spans.groupBy("doc_id")
         .agg(
@@ -2011,6 +2020,151 @@ def q_c96_exact_substring_spans(spark, sf_dir):
                 / F.min("n_tokens"),
                 6,
             ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_c102_substring_span_surgery",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len_toks, pos,
+             list_aggregate(toks[pos:pos+7], 'string_agg', ' ') AS gram
+      FROM (SELECT doc_id, toks, len(toks) AS len_toks,
+                   unnest(range(1, len(toks) - 6)) AS pos
+            FROM t WHERE len(toks) >= 8)
+    ), dup AS (
+      SELECT doc_id, len_toks, pos
+      FROM (SELECT doc_id, len_toks, pos,
+                   COUNT(*) OVER (PARTITION BY gram) AS n_occ
+            FROM g)
+      WHERE n_occ > 1
+    ), isl AS (
+      SELECT doc_id, len_toks, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL
+                    OR pos > LAG(pos) OVER w + 7 THEN 1
+                  ELSE 0 END AS brk
+      FROM dup
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), spans AS (
+      SELECT doc_id, MIN(len_toks) AS len_toks,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+      FROM (SELECT doc_id, len_toks, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id
+                                  ORDER BY pos) AS island
+            FROM isl)
+      GROUP BY doc_id, island
+    ), affected AS (
+      SELECT doc_id, CAST(MIN(len_toks) AS BIGINT) AS n_tokens_before
+      FROM spans GROUP BY doc_id
+    ), tok_rows AS (
+      SELECT t.doc_id, r.pos, t.toks[r.pos] AS tok
+      FROM t JOIN affected a ON a.doc_id = t.doc_id,
+           UNNEST(range(1, len(t.toks) + 1)) AS r(pos)
+    ), kept AS (
+      SELECT tk.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tk.tok, ' ' ORDER BY tk.pos) AS text_clean
+      FROM tok_rows tk
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tk.doc_id
+                          AND tk.pos BETWEEN s.span_start AND s.span_end)
+      GROUP BY tk.doc_id
+    )
+    SELECT a.doc_id, a.n_tokens_before,
+           CAST(a.n_tokens_before - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM affected a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def q_c102_substring_span_surgery(spark, sf_dir):
+    """C102: exact-substring dedup APPLIED — the surgery step that
+    consumes C96's span report and rewrites each affected document
+    with its duplicated spans EXCISED, Lee et al. 2021's actual
+    output (their §4: cut every duplicated span; docs shorter than K
+    or reduced to nothing simply lose all cut tokens). C96 measures
+    WHERE the duplicated mass is; this produces the training corpus
+    with that mass gone, plus the per-doc removal audit
+    (n_tokens_before / n_removed / rebuilt text). Fully-excised docs
+    (every position in a span — exact twins) come back with
+    text_clean = '' rather than vanishing, so the drop set stays
+    visible to the caller.
+
+    Shape: spans come from the shared exact_dup_spans stage (C96's
+    gram shuffle + island merge); the surgery itself is one
+    positional token explode of ONLY the affected docs (span-doc
+    semi-join before the explode — unaffected docs never inflate),
+    one range-condition left_anti join against each doc's few spans,
+    and one per-doc ordered reconstruction (array_sort over (pos,
+    tok) structs — deterministic, engine-portable vs relying on
+    collect order). At 100 TB: affected-doc explode is the cost, and
+    it is the rewrite's irreducible work; everything is keyed by
+    doc_id after the gram count, no global step anywhere.
+
+    The rebuilt text hash-matches DuckDB's ORDER BY string_agg
+    byte-for-byte — the reconstruction really is position-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = exact_dup_spans(d)
+    affected = spans.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("bigint").alias("n_tokens_before")
+    )
+    tok_rows = (
+        widen(d)
+        .join(affected, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.posexplode(tokenize("text")).alias("idx", "tok"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            (F.col("idx") + 1).alias("pos"),
+            "tok",
+        )
+    )
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    kept = tok_rows.join(
+        sp,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        affected.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            (
+                F.col("n_tokens_before")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias(
+                "text_clean"
+            ),
         )
         .orderBy("doc_id")
     )

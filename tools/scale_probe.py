@@ -119,6 +119,7 @@ PROBE_QUERIES = (
     "q_m15_scene_cut_shots",
     "q_c100_vocab_coverage_curve",
     "q_c101_source_divergence_matrix",
+    "q_c102_substring_span_surgery",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
