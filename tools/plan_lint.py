@@ -42,6 +42,7 @@ ALLOW_CARTESIAN = {
     "q_c79_contrastive_pairs", # same broadcast-anchors x corpus contract (docstring: ANN ladder composes for big anchor sets)
     "q_c94_matryoshka_recall", # same broadcast-queries x corpus contract (docstring: exact recall baseline; ANN ladder is the scale path)
     "q_c98_semantic_decontam", # same broadcast-eval x corpus contract (docstring: k-sized eval side; C97 sign buckets are the big-k pre-filter)
+    "q_c101_source_divergence_matrix", # broadcast 190-row pair dim x CONTRACTED vocab table (docstring: vocab x k^2 map-side, corpus touched once)
     "q_c14_knn_ann_lsh",       # ANN probe: query x bucket candidates (bucketed, k-sized side)
     "q_c17_knn_ivf",           # probe x centroid table (k-sized)
     "q_c21_knn_pq",            # probe x codebook (k-sized)
