@@ -34,8 +34,13 @@ def q_b51_python_udf(spark, sf_dir):
     """B51: scalar row-at-a-time Python UDF (IEEE-identical arithmetic to
     the SQL oracle; Python floats ARE C doubles)."""
 
+    # No type hints on purpose: with hints present Spark 4 tries to
+    # infer an Arrow eval type and warns "Cannot infer the eval type"
+    # — this operator demonstrates the CLASSIC pickled row-at-a-time
+    # path (the Arrow path is B52), so the hint-free form is both
+    # quiet and honest.
     @F.udf(returnType=DoubleType())
-    def net_price(price: float, discount: float) -> float:
+    def net_price(price, discount):
         return price * (1.0 - discount)
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
