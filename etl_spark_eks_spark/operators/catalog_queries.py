@@ -1163,3 +1163,72 @@ def q_b144_dynamic_partition_overwrite(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_b145_ignore_missing_files",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS total_price
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b145_ignore_missing_files(spark, sf_dir):
+    """B145: MISSING-file resilience — the third rung of the
+    file-level resilience ladder (B75 = corrupt file skipped, B82 =
+    corrupt value nulled; this = file DELETED between listing and
+    read, the landing-prefix race every retention job loses at
+    100 TB). `ignoreMissingFiles=true` turns the mid-scan
+    FileNotFoundException into a skip: the query completes over the
+    surviving files instead of failing an hours-long job because a
+    lifecycle rule collected one input.
+
+    The scenario pins the race deterministically: orders written
+    partitioned by priority, the DataFrame DEFINED over the prefix
+    (listing captured), then the 1-URGENT partition's data file
+    deleted from under it before the action runs. The read option is
+    scoped to this reader (q_b91's isolation rule); the oracle is
+    simply the batch answer minus the vanished slice — which is the
+    CONTRACT: skipped means cleanly absent, not partially read, not
+    duplicated, not fatal.
+
+    At 100 TB the same option also covers FileScan replay after AQE
+    stage retries; the failure mode it guards is listing-vs-read
+    skew, which grows with prefix size and job duration."""
+    import glob
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    tbl = fresh_scratch("q_b145", tag, "table")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    o.write.partitionBy("o_orderpriority").parquet(tbl)
+    schema = spark.read.parquet(tbl).schema
+    reader = (
+        spark.read.option("ignoreMissingFiles", "true")
+        .schema(schema)
+        .parquet(tbl)
+    )
+    for f in glob.glob(
+        os.path.join(tbl, "o_orderpriority=1-URGENT", "*.parquet")
+    ):
+        os.remove(f)
+    return (
+        reader.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

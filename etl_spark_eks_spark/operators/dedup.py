@@ -2168,3 +2168,111 @@ def q_c102_substring_span_surgery(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_c103_dup_rate_estimation",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    h AS (
+      SELECT sha256(text) AS ch,
+             ('0x' || substr(md5(sha256(text)), 1, 8))::BIGINT % 1000
+               AS cb,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS rb
+      FROM base
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT ch) AS BIGINT) AS d,
+             CAST(COUNT(CASE WHEN cb < 100 THEN 1 END) AS BIGINT) AS nc,
+             CAST(COUNT(DISTINCT CASE WHEN cb < 100 THEN ch END)
+                  AS BIGINT) AS dc,
+             CAST(COUNT(CASE WHEN rb < 100 THEN 1 END) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT CASE WHEN rb < 100 THEN ch END)
+                  AS BIGINT) AS dr
+      FROM h
+    )
+    SELECT n, d, nc, dc, nr, dr,
+           (n - d) * nc * nr > 0
+             AND (nc - dc) * nr > (nr - dr) * nc AS content_beats_row,
+           (nr - dr) * n < (n - d) * nr AS row_underestimates,
+           ABS((nc - dc) * n - (n - d) * nc) * 100 < 8 * n * nc
+             AS content_within_8pct
+    FROM agg
+    """,
+)
+def q_c103_dup_rate_estimation(spark, sf_dir):
+    """C103: duplicate-rate ESTIMATION by sampling — the planning
+    audit run before committing a full dedup pass over 100 TB: how
+    much will dedup shrink the corpus, measured from a 10% sample.
+    The operator's real content is the SAMPLING DESIGN, checked as
+    booleans: sampling by CONTENT HASH (all copies of a sampled
+    content item co-sample, so the sample's dup fraction is an
+    unbiased estimate) versus sampling by ROW ID (duplicate pairs
+    split across the sample boundary, so the estimate biases toward
+    zero — measured here at ~6x under on the fixture). C22's
+    hash-sample mechanics, aimed at the estimation question; B19/B141
+    gave the sketch family this same self-verifying shape.
+
+    Planted positives per the C15/C97 lesson: every doc_id % 7 == 0
+    gains an exact clone under a shifted id (the fixture has no
+    natural exact twins at small sf), mirrored in the oracle's UNION,
+    so exact dup mass is ~12.6% at every scale and both estimators
+    have something to miss.
+
+    Everything is INTEGER-EXACT: the output carries the six counts
+    (one single-pass conditional aggregate — the two samples are
+    CASE-filtered count/count-distinct arms of the same agg, not
+    extra scans) and the three claims as integer cross-multiplied
+    comparisons — no float ratio is ever materialized, so no
+    rounding-tie class exists (the C99 lesson applied at design
+    time). Consumers derive dup_frac = (n-d)/n etc. downstream.
+
+    Scale: one scan, one exchange (the distinct-count partials);
+    sample membership is a per-row hash projection. The 64-hex ch
+    is the only wide column shuffled; at 100 TB swap count_distinct
+    for B125's mergeable HLL sketches, same query shape."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_spark_eks_spark.operators.sampling import hash_bucket
+
+    planted = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    base = widen(d.select("doc_id", "text")).unionByName(planted)
+    h = base.select(
+        F.sha2("text", 256).alias("ch"),
+        "doc_id",
+    ).select(
+        "ch",
+        hash_bucket("ch", 1000).alias("cb"),
+        hash_bucket(F.col("doc_id"), 1000).alias("rb"),
+    )
+    a = h.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("ch").cast("long").alias("d"),
+        F.count(F.when(F.col("cb") < 100, 1)).cast("long").alias("nc"),
+        F.count_distinct(F.when(F.col("cb") < 100, F.col("ch")))
+        .cast("long")
+        .alias("dc"),
+        F.count(F.when(F.col("rb") < 100, 1)).cast("long").alias("nr"),
+        F.count_distinct(F.when(F.col("rb") < 100, F.col("ch")))
+        .cast("long")
+        .alias("dr"),
+    )
+    n, dd, nc, dc, nr, dr = (F.col(c) for c in ("n", "d", "nc", "dc", "nr", "dr"))
+    return a.select(
+        "n", "d", "nc", "dc", "nr", "dr",
+        (
+            ((n - dd) * nc * nr > 0)
+            & ((nc - dc) * nr > (nr - dr) * nc)
+        ).alias("content_beats_row"),
+        ((nr - dr) * n < (n - dd) * nr).alias("row_underestimates"),
+        (
+            F.abs((nc - dc) * n - (n - dd) * nc) * 100 < 8 * n * nc
+        ).alias("content_within_8pct"),
+    )
