@@ -169,3 +169,109 @@ def q_c74_zorder_layout(spark, sf_dir):
         .parquet(out)
     )
     return spark.read.parquet(out).select(*cols)
+
+
+@query(
+    "q_b146_output_file_sizing",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS total_price,
+           TRUE AS within_cap,
+           TRUE AS file_count_bounded,
+           TRUE AS files_internally_sorted
+    FROM lineitem
+    """,
+)
+def q_b146_output_file_sizing(spark, sf_dir):
+    """B146: OUTPUT FILE SIZING — the small-files control every
+    100 TB writer needs: `repartition(P)` fixes task parallelism,
+    `sortWithinPartitions` orders rows inside each task, and
+    `maxRecordsPerFile=N` rolls each task's output into bounded
+    files. Unbounded, a 1000-task job writes 1000 arbitrary-size
+    files per day and the lake dies by listing cost and tiny-file
+    overhead; bounded-and-sorted, every file is zone-map friendly
+    (its min/max actually prune, C35's claim) and dataloader-sized
+    (M3's shard contract).
+
+    The audit reads back through the `_metadata` hidden column
+    (B126's surface) and CHECKS the three contract clauses as
+    booleans the oracle pins TRUE (the B19 self-verifying shape,
+    since SQL cannot see files): (1) no file exceeds N records,
+    (2) the file count lands in [ceil(n/N), ceil(n/N)+P] — each of
+    the P tasks rounds up at most once — and (3) every file is
+    INTERNALLY sorted by the sort key (checked with a per-file lag
+    window over the read-back, the property that makes per-file
+    min/max statistics selective instead of full-range).
+
+    Content columns (row count, DECIMAL-exact revenue) prove the
+    round-trip changed nothing while the layout changed completely."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = fresh_scratch("q_b146", tag, "out")
+    parts, cap = 4, 5000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    (
+        li.repartition(parts)
+        .sortWithinPartitions("l_shipdate")
+        .write.option("maxRecordsPerFile", cap)
+        .parquet(out)
+    )
+    rb = spark.read.parquet(out).select(
+        "l_orderkey",
+        "l_shipdate",
+        "l_extendedprice",
+        F.col("_metadata.file_name").alias("fname"),
+    )
+    n = li.count()
+    w_file = Window.partitionBy("fname").orderBy(
+        "l_shipdate", "l_orderkey"
+    )
+    per_file = (
+        rb.withColumn("prev_ship", F.lag("l_shipdate").over(w_file))
+        .withColumn(
+            "disorder",
+            (F.col("prev_ship") > F.col("l_shipdate")).cast("int"),
+        )
+        .groupBy("fname")
+        .agg(
+            F.count("*").alias("recs"),
+            F.sum(F.coalesce(F.col("disorder"), F.lit(0))).alias(
+                "disorders"
+            ),
+        )
+    )
+    stats = per_file.agg(
+        F.count("*").alias("n_files"),
+        F.max("recs").alias("max_recs"),
+        F.sum("disorders").alias("total_disorders"),
+    ).first()
+    lo = math.ceil(n / cap)
+    return (
+        rb.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(38,6)")
+                ).cast("double"),
+                4,
+            ).alias("total_price"),
+        )
+        .select(
+            "n_rows",
+            "total_price",
+            F.lit(bool(stats["max_recs"] <= cap)).alias("within_cap"),
+            F.lit(
+                bool(lo <= stats["n_files"] <= lo + parts)
+            ).alias("file_count_bounded"),
+            F.lit(bool(stats["total_disorders"] == 0)).alias(
+                "files_internally_sorted"
+            ),
+        )
+    )
