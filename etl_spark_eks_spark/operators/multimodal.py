@@ -1572,3 +1572,125 @@ def q_m15_scene_cut_shots(spark, sf_dir):
     return scene_cut_shots(d, "payload", "doc_id").orderBy(
         "doc_id", "shot_id"
     )
+
+
+@query(
+    "q_m16_manifest_reconciliation",
+    oracle="""
+    WITH manifest AS (
+      SELECT doc_id, doc_id % 8 AS shard, sha256(text) AS want_sha
+      FROM documents
+    ),
+    store AS (
+      -- the store drifted from the manifest in all three ways:
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 2
+                  THEN sha256(text || '!corrupt')
+                  ELSE sha256(text) END AS have_sha
+      FROM documents
+      WHERE doc_id % 13 <> 5          -- some payloads vanished
+      UNION ALL                       -- and some exist unmanifested
+      SELECT doc_id + 2000000, sha256(text)
+      FROM documents WHERE doc_id % 19 = 7
+    ),
+    j AS (
+      SELECT COALESCE(m.doc_id, s.doc_id) AS doc_id,
+             COALESCE(m.shard, COALESCE(m.doc_id, s.doc_id) % 8)
+               AS shard,
+             CASE
+               WHEN s.doc_id IS NULL THEN 'missing'
+               WHEN m.doc_id IS NULL THEN 'orphan'
+               WHEN m.want_sha <> s.have_sha THEN 'mismatch'
+               ELSE 'ok' END AS status
+      FROM manifest m FULL OUTER JOIN store s
+        ON m.doc_id = s.doc_id
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(SUM(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN status = 'missing' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing,
+           CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           CAST(SUM(CASE WHEN status = 'orphan' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan,
+           CAST(SUM(CASE WHEN status IN ('missing', 'mismatch')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_refetch,
+           CAST(SUM(CASE WHEN status = 'orphan' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantine
+    FROM j GROUP BY shard ORDER BY shard
+    """,
+)
+def q_m16_manifest_reconciliation(spark, sf_dir):
+    """M16 (extension): manifest<->store RECONCILIATION — the
+    three-way existence/identity diff that turns "is the media lake
+    consistent with its manifest?" into a per-shard repair plan. M7
+    checks BIT integrity of payloads the store has; M6 assembles the
+    manifest; this closes the loop: entries whose payload VANISHED
+    (lifecycle rule, failed transfer) -> refetch; payloads no
+    manifest claims (aborted multipart uploads, superseded versions)
+    -> quarantine; sha disagreement between the two -> refetch. At
+    100 TB this runs before every training launch — a dataloader
+    that discovers 'missing' at step 40k wastes a cluster-day.
+
+    Drift is planted deterministically in all three classes
+    (doc_id % 13 == 5 vanished, % 19 == 7 orphaned under shifted
+    ids, % 17 == 2 corrupted), mirrored in the oracle, so every
+    status and both repair actions carry non-zero mass on the
+    fixture.
+
+    Scale: ONE full-outer equi-join on the id (both sides narrow
+    projections — ids and 64-hex digests, payload bytes never move),
+    then a shard-keyed rollup. With both tables bucketed on the id
+    (B60's layout) the join co-locates and the reconciliation costs
+    one narrow scan per side."""
+    d = load_table(spark, sf_dir, "documents")
+    manifest = widen(d).select(
+        F.col("doc_id").alias("m_id"),
+        (F.col("doc_id") % 8).alias("shard"),
+        F.sha2("text", 256).alias("want_sha"),
+    )
+    store = (
+        d.where(F.col("doc_id") % 13 != 5)
+        .select(
+            F.col("doc_id").alias("s_id"),
+            F.when(
+                F.col("doc_id") % 17 == 2,
+                F.sha2(F.concat(F.col("text"), F.lit("!corrupt")), 256),
+            )
+            .otherwise(F.sha2("text", 256))
+            .alias("have_sha"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 19 == 7).select(
+                (F.col("doc_id") + 2_000_000).alias("s_id"),
+                F.sha2("text", 256).alias("have_sha"),
+            )
+        )
+    )
+    j = manifest.join(
+        store, F.col("m_id") == F.col("s_id"), "full_outer"
+    ).select(
+        F.coalesce(
+            F.col("shard"),
+            F.coalesce(F.col("m_id"), F.col("s_id")) % 8,
+        ).alias("shard"),
+        F.when(F.col("s_id").isNull(), F.lit("missing"))
+        .when(F.col("m_id").isNull(), F.lit("orphan"))
+        .when(F.col("want_sha") != F.col("have_sha"), F.lit("mismatch"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+    c = lambda s: F.sum((F.col("status") == s).cast("long"))  # noqa: E731
+    return (
+        j.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            c("ok").alias("n_ok"),
+            c("missing").alias("n_missing"),
+            c("mismatch").alias("n_mismatch"),
+            c("orphan").alias("n_orphan"),
+            (c("missing") + c("mismatch")).alias("n_refetch"),
+            c("orphan").alias("n_quarantine"),
+        )
+        .orderBy("shard")
+    )
