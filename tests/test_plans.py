@@ -956,3 +956,47 @@ def test_semantic_decontam_broadcast_argmax(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_max" in plan
+
+
+def test_dynamic_overwrite_leaves_untouched_files_alone(spark, sf_dir):
+    """B144: dynamic partition overwrite must not REWRITE untouched
+    partitions — their data files (path + mtime) must be byte-level
+    identical before and after the wave-2 overwrite (the B137
+    metadata-only discipline applied to partition replacement).
+    Catching this at the file level matters because the query-level
+    oracle would still pass if Spark rewrote everything."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.catalog import load_table
+    from etl_spark_eks_spark.sources.parquet_io import fresh_scratch
+
+    tbl = fresh_scratch("t_b144_files", sf_dir.strip("/").replace("/", "_"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    o.withColumn("batch", F.lit(1)).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(tbl)
+
+    def snapshot(prio):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(
+                os.path.join(tbl, f"o_orderpriority={prio}", "*.parquet")
+            )
+        }
+
+    before = snapshot("3-MEDIUM")
+    assert before, "fixture must have a 3-MEDIUM partition"
+    (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .withColumn("batch", F.lit(2))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(tbl)
+    )
+    assert snapshot("3-MEDIUM") == before

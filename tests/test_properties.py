@@ -1161,3 +1161,32 @@ def test_content_digest_mergeable_and_order_free(spark, sf_dir):
         .first()["digest"]
     )
     assert int(shuffled) == full["__ALL__"][0]
+
+
+def test_substring_surgery_consistent_with_span_report(spark, sf_dir):
+    """C96/C102 cross-operator consistency: for every affected doc the
+    surgery's n_removed must equal the report's dup_tokens, and the
+    rebuilt text must contain exactly n_tokens_before - n_removed
+    whitespace tokens — the two operators are views of one span set."""
+    from etl_spark_eks_spark import registry
+
+    registry.load_all()
+    report = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_c96_exact_substring_spans"](
+            spark, sf_dir
+        ).collect()
+    }
+    surgery = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_c102_substring_span_surgery"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(report) == set(surgery) and report
+    for doc_id, rep in report.items():
+        sur = surgery[doc_id]
+        assert sur["n_removed"] == rep["dup_tokens"], doc_id
+        assert sur["n_tokens_before"] == rep["n_tokens"], doc_id
+        kept = [t for t in sur["text_clean"].split(" ") if t]
+        assert len(kept) == rep["n_tokens"] - rep["dup_tokens"], doc_id
