@@ -552,3 +552,84 @@ def q_b130_interval_arithmetic(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_b148_dynamic_session_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click'
+                  THEN INTERVAL '30 minutes'
+                  ELSE INTERVAL '10 minutes' END AS gap
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, gap,
+             MAX(ts + gap) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS horizon
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, gap,
+             SUM(CASE WHEN horizon IS NULL OR ts >= horizon
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, gap
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts + gap) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_b148_dynamic_session_gap(spark, sf_dir):
+    """B148: session windows with a PER-EVENT dynamic gap —
+    `session_window(ts, gap_expr)` where the timeout depends on the
+    event itself (clicks hold a session open 30 minutes, everything
+    else 10). B47/B98 use the fixed-gap form; the dynamic form is
+    what real engagement models need (a purchase keeps the session
+    alive longer than a passive view) and is a genuinely different
+    merge rule: each event contributes its own interval
+    [ts, ts + gap(event)) and overlapping intervals fuse, so the
+    session's END is max(ts + gap) over members — not last_ts + G.
+
+    The oracle reproduces the interval-merge relationally: running
+    MAX(ts + gap) over prior events is the session horizon, an event
+    at or past the horizon starts a new session (end-exclusive, the
+    session_window contract), and gaps-and-islands does the rest —
+    which independently pins Spark's documented semantics rather
+    than trusting them.
+
+    Scale: one shuffle on user_id (session assembly is per-key local
+    work, same as B47); the gap expression is a per-row projection.
+    In streaming the identical expression drives state eviction —
+    dynamic gaps change watermark retention per event class."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "click", F.lit("30 minutes")
+        )
+        .otherwise(F.lit("10 minutes"))
+        .alias("gap"),
+    )
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", F.col("gap")).alias("w")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

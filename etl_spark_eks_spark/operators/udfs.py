@@ -511,3 +511,69 @@ def q_b113_apply_in_arrow(spark, sf_dir):
         "o_orderpriority string, n_orders long, total_cents long, "
         "max_cents long",
     )
+
+
+@query(
+    "q_b147_polymorphic_udtf",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(r.i - 1 AS INTEGER) AS pos,
+           t[CAST(r.i AS INTEGER)] AS g1,
+           t[CAST(r.i + 1 AS INTEGER)] AS g2
+    FROM d, unnest(range(1, len(t))) AS r(i)
+    """,
+)
+def q_b147_polymorphic_udtf(spark, sf_dir):
+    """B147: POLYMORPHIC Python UDTF — the Spark 4 `analyze()` static
+    method computes the OUTPUT SCHEMA from the call's literal
+    arguments at plan time: `b147_ngrams(text, 2)` returns (pos, g1,
+    g2), `(text, 3)` would return (pos, g1, g2, g3) — one registered
+    function serving every width, where B73's fixed `returnType`
+    would need a function per shape. This is the table-function
+    analogue of generics: format expanders, pivoting parsers, and
+    schema-carrying decoders declare their shape per call site and
+    Catalyst plans against it statically (column pruning and lateral
+    join planning all see the real schema, not a MapType blob).
+
+    The n-gram expansion itself is deliberately the same family as
+    B55/B73 so the NEW thing under test is exactly the analyze-time
+    polymorphism; the oracle reproduces the n=2 call relationally.
+
+    Scale: identical generator contract to B73 — per-partition
+    fan-out pipelined into the scan, no shuffle, Arrow-batched
+    boundary."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(text, n):
+            width = int(n.value)
+            schema = StructType().add("pos", IntegerType())
+            for i in range(width):
+                schema = schema.add(f"g{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = text.split() if text else []
+            for p in range(len(toks) - n + 1):
+                yield (p, *toks[p : p + n])
+
+    spark.udtf.register("b147_ngrams", udtf(NGrams, useArrow=True))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "b147_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.*
+        FROM b147_docs d, LATERAL b147_ngrams(d.text, 2) t
+        WHERE d.doc_id < 20
+        """
+    )
