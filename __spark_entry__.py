@@ -47,12 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # exception-storm fix) — re-verified locally, need fresh official rows,
 # (3) the OLDEST official greens — the r1-era keys whose last driver
 # check is round 1 and which missed r5's 50-slot cap (q_a4..q_b59
-# family): 54 + 3 = 57 lead keys — seven over the 50-slot cap, so the
-# seven LAST additions (q_c102/q_b145/q_c103/q_b146/q_m16/q_b147/
-# q_b148, each of whose machinery is officially evidenced through an
-# earlier family row in the same run: q_c96, B75, C22, C35, M7, B73,
-# B47) queue at positions 51-57. The whole r1-era and r2-era green
-# backlog queues behind for round 7.
+# family): 54 + 3 = 57 lead keys — seven over the 50-slot cap. The
+# REWORKED trio sits inside the cap (their old official rows describe
+# pre-rework oracles — refreshing them outranks first rows for keys
+# whose machinery already has a green family row), so the seven
+# newest additions (q_c102/q_b145/q_c103/q_b146/q_m16/q_b147/q_b148;
+# family rows q_c96/B75/C22/C35/M7/B73/B47) queue at positions 51-57.
+# The whole r1-era and r2-era green backlog queues behind for
+# round 7.
 # Every key remains present and runnable regardless of order;
 # tools/verify_driver.py checks all of them.
 _PRIORITY: tuple[str, ...] = (
@@ -81,14 +83,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_b141_approx_percentile_bound", "q_b142_content_digest",
     "q_b143_multiplexed_stream_union", "q_c100_vocab_coverage_curve",
     "q_b144_dynamic_partition_overwrite", "q_c101_source_divergence_matrix",
+    # -- (2) reworked this round (new stride/bucketing/overflow band,
+    #        oracles changed) — placed INSIDE the 50-slot cap because
+    #        their existing official rows describe the pre-rework
+    #        oracles; the newest additions below queue behind instead,
+    #        each machinery-evidenced through an earlier family row --
+    "q_c68_curriculum_phases", "q_c78_training_data_plan",
+    "q_b122_try_arithmetic",
+    # -- newest additions (51-57): q_c102/q_b145/q_c103/q_b146/q_m16/
+    #    q_b147/q_b148, family rows q_c96/B75/C22/C35/M7/B73/B47 --
     "q_c102_substring_span_surgery",
     "q_b145_ignore_missing_files", "q_c103_dup_rate_estimation",
     "q_b146_output_file_sizing", "q_m16_manifest_reconciliation",
     "q_b147_polymorphic_udtf", "q_b148_dynamic_session_gap",
-    # -- (2) reworked this round (new stride/bucketing/overflow band,
-    #        oracles changed) --
-    "q_c68_curriculum_phases", "q_c78_training_data_plan",
-    "q_b122_try_arithmetic",
     # -- (3) oldest official greens (r1), missed r5's cap --
     "q_a4_limit20", "q_a5_count",
     "q_a6_repartition_roundtrip", "q_a7_write_roundtrip",
