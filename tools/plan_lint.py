@@ -130,8 +130,14 @@ ALLOW_PY_ROW = {
     "q_b55_udtf_explode", # UDTF row interface
     "q_b73_python_udtf",  # python UDTF row interface
     "q_b97_python_datasource",  # python data source reader runs row generators
+    "q_b147_polymorphic_udtf",  # python UDTF row interface (the analyze()-time polymorphism is the operator)
 }
 ALLOW_SINGLE_PART = {
+    # global-scalar audit folds: the whole output IS one (or a few)
+    # rows built from partial-aggregated counts — the single partition
+    # holds the k-byte final fold, never corpus rows
+    "q_c103_dup_rate_estimation",   # 1-row six-count conditional agg
+    "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
     # bucket-/band-offset windows over n/bucket_size tables (plan-tested)
     "q_c24_pack_shards", "q_c45_length_banded_packing",
     "q_c88_shard_mix_audit",
