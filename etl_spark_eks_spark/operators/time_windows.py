@@ -633,3 +633,106 @@ def q_b148_dynamic_session_gap(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_b149_calendar_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders GROUP BY prio, d
+    ),
+    bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders
+    ),
+    spine AS (
+      SELECT p.prio, b.lo + CAST(r.i AS INT) AS d
+      FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p,
+           bounds b,
+           UNNEST(range(0, date_diff('day', b.lo, b.hi) + 1)) AS r(i)
+    ),
+    joined AS (
+      SELECT s.prio, s.d,
+             COALESCE(dl.n_orders, 0) AS n_orders,
+             dl.rev
+      FROM spine s LEFT JOIN daily dl
+        ON dl.prio = s.prio AND dl.d = s.d
+    )
+    SELECT prio, strftime(d, '%Y-%m-%d') AS day, n_orders,
+           ROUND(CAST(last_value(rev IGNORE NULLS)
+                        OVER (PARTITION BY prio ORDER BY d
+                              ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE), 4) AS carried_rev
+    FROM joined
+    ORDER BY prio, day
+    """,
+)
+def q_b149_calendar_gap_fill(spark, sf_dir):
+    """B149: calendar DENSIFICATION + carry-forward gap fill — the
+    sparse-to-dense time-series transform every daily dashboard and
+    feature pipeline needs: a per-key date spine (`sequence` between
+    the table's date bounds, exploded) left-joined to the actual
+    daily rollup, zero-filled counts, and the last known revenue
+    CARRIED FORWARD across empty days via `last(col,
+    ignorenulls=True)` over an unbounded-preceding window. B83's
+    spine DETECTS gaps; this materializes the dense series a
+    downstream consumer can difference/window without re-deriving
+    the calendar.
+
+    Shape: the spine is |keys| x |days| rows built from a 1-row
+    bounds aggregate (broadcast) — it never touches the fact table;
+    one equi-join (prio, date) against the daily rollup; one per-key
+    ordered window for the fill. At 100 TB the spine stays tiny
+    (days x keys), the rollup is the only corpus-sized agg, and the
+    fill window is keyed — no global step. DECIMAL(38,6) revenue
+    accumulation, one edge round; counts zero-fill exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"),
+    )
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = (
+        o.select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "prio",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["prio", "d"], "left").select(
+        "prio",
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "rev",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the day is emitted as a STRING: bare DATE cells cannot
+    # hash-match through the driver's pandas path (DuckDB fetchdf
+    # widens DATE to Timestamp, isoformat gains T00:00:00)
+    return joined.select(
+        "prio",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        F.round(
+            F.last("rev", ignorenulls=True).over(w).cast("double"), 4
+        ).alias("carried_rev"),
+    ).orderBy("prio", "day")
