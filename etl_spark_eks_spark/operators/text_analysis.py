@@ -278,14 +278,9 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-@query(
-    "q_c13_lang_id",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-      FROM documents)
-    SELECT doc_id, lang AS lang_actual,
+# The marker-argmax CASE, shared by C13 (per-doc) and C104 (confusion
+# matrix) so both oracles and both Spark sides stay one definition.
+_LANG_PRED_SQL = f"""
            CASE GREATEST(
                   len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["en"])!r}, x))),
                   len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["de"])!r}, x))),
@@ -297,20 +292,15 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
              WHEN len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["de"])!r}, x))) THEN 'de'
              WHEN len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["es"])!r}, x))) THEN 'es'
              WHEN len(list_filter(toks, x -> list_contains({list(_LANG_MARKERS["fr"])!r}, x))) THEN 'fr'
-             ELSE 'zh' END AS lang_pred
-    FROM t
-    """,
-)
-def q_c13_lang_id(spark, sf_dir):
-    """C13 (extension): heuristic language ID — marker-token hit counts
-    per language, argmax with fixed precedence (en>de>es>fr>zh on ties,
-    'und' when no markers hit). The synthetic corpus shares vocabulary
-    across langs, so accuracy is meaningless here; the operator shape
-    and determinism are what's verified."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+             ELSE 'zh' END
+"""
 
-    def marker_hits(markers: tuple[str, ...]):
+
+def lang_pred_expr(toks):
+    """C13's marker-argmax as a reusable Column (en>de>es>fr>zh tie
+    precedence, 'und' when no markers hit)."""
+
+    def marker_hits(markers):
         arr = F.array(*[F.lit(m) for m in markers])
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
@@ -319,7 +309,29 @@ def q_c13_lang_id(spark, sf_dir):
     pred = F.when(best == 0, "und")
     for lang in ("en", "de", "es", "fr"):
         pred = pred.when(scores[lang] == best, lang)
-    pred = pred.otherwise("zh")
+    return pred.otherwise("zh")
+
+
+@query(
+    "q_c13_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+           {{_LANG_PRED_SQL}} AS lang_pred
+    FROM t
+    """.replace("{_LANG_PRED_SQL}", _LANG_PRED_SQL),
+)
+def q_c13_lang_id(spark, sf_dir):
+    """C13 (extension): heuristic language ID — marker-token hit counts
+    per language, argmax with fixed precedence (en>de>es>fr>zh on ties,
+    'und' when no markers hit). The synthetic corpus shares vocabulary
+    across langs, so accuracy is meaningless here; the operator shape
+    and determinism are what's verified."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = lang_pred_expr(tokenize(F.col("text")))
     return d.select(
         "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
     )
@@ -2774,4 +2786,72 @@ def q_c101_source_divergence_matrix(spark, sf_dir):
             F.round(F.sum(term), 6).alias("jsd"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "q_c104_lang_confusion_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT lang AS lang_actual,
+             {{PRED}} AS lang_pred
+      FROM t
+    )
+    SELECT lang_actual, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY lang_actual)
+                AS BIGINT) AS n_actual_total,
+           lang_actual = lang_pred AS is_agreement
+    FROM p
+    GROUP BY lang_actual, lang_pred
+    ORDER BY lang_actual, lang_pred
+    """.replace("{{PRED}}", "{PRED}").replace("{PRED}", _LANG_PRED_SQL),
+)
+def q_c104_lang_confusion_matrix(spark, sf_dir):
+    """C104: LABEL-QUALITY confusion matrix — the declared `lang`
+    column crossed with C13's content-based prediction, one row per
+    observed (declared, predicted) cell with counts and the declared
+    row total. This is the metadata-audit step upstream mixing
+    depends on: C23/C84 allocate token budgets BY the lang label, so
+    a scrape whose labels drift (wrong Accept-Language headers, CMS
+    defaults) silently misallocates the mixture — the off-diagonal
+    mass here is the first number that catches it. C13 emits the
+    per-doc prediction; this is its corpus-level rollup against the
+    label, the same report a fasttext-based lang-id would feed.
+
+    Integer-only output (the C99/C103 discipline): cell count and
+    row total ship as BIGINTs, disagreement rate = 1 - n_diag/total
+    derives downstream; `is_agreement` marks the diagonal for cheap
+    filtering. The prediction expression is SHARED with C13 (one
+    definition, both oracles) so the two operators cannot drift.
+
+    Scale: the per-doc prediction is a projection in the documents
+    scan (marker arrays are literals — no join, no broadcast, no
+    shuffle for scoring); the only exchange is the <=36-cell
+    confusion rollup plus its row-total window over that tiny
+    table."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = lang_pred_expr(tokenize(F.col("text")))
+    cells = (
+        d.select(
+            F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
+        )
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_actual")
+    return (
+        cells.withColumn(
+            "n_actual_total", F.sum("n_docs").over(w).cast("long")
+        )
+        .withColumn(
+            "is_agreement", F.col("lang_actual") == F.col("lang_pred")
+        )
+        .orderBy("lang_actual", "lang_pred")
     )
