@@ -2855,3 +2855,129 @@ def q_c104_lang_confusion_matrix(spark, sf_dir):
         )
         .orderBy("lang_actual", "lang_pred")
     )
+
+
+@query(
+    "q_c105_quality_rate_confidence",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      -- planted degraded feed: truncated pages that fail the length
+      -- rule, so the flag path carries real mass (the C15 lesson)
+      SELECT 'src_degraded' AS source,
+             array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')[1:10], ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (
+      SELECT source,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000
+                   AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) >= 0.3
+                  THEN 1 ELSE 0 END AS ok
+      FROM (SELECT source,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM base)
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS k
+      FROM t GROUP BY source
+    ),
+    tot AS (SELECT SUM(k) AS tk, SUM(n) AS tn FROM per),
+    w AS (
+      SELECT source, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             1.959963984540054 AS z
+      FROM per
+    )
+    SELECT source, n, k,
+           ROUND(p, 6) AS pass_rate,
+           ROUND((p + z*z/(2*n)
+                  - z * sqrt(p*(1-p)/n + z*z/(4.0*n*n)))
+                 / (1 + z*z/n), 6) AS wilson_low,
+           ROUND((p + z*z/(2*n)
+                  + z * sqrt(p*(1-p)/n + z*z/(4.0*n*n)))
+                 / (1 + z*z/n), 6) AS wilson_high,
+           (p + z*z/(2*n)
+            + z * sqrt(p*(1-p)/n + z*z/(4.0*n*n)))
+           / (1 + z*z/n)
+             < (SELECT CAST(tk AS DOUBLE) / tn FROM tot)
+             AS significantly_below_corpus
+    FROM w ORDER BY source
+    """,
+)
+def q_c105_quality_rate_confidence(spark, sf_dir):
+    """C105: per-source quality pass-rate with WILSON 95% bounds —
+    the statistical layer on top of C10's gate: a source with 40
+    docs and a 0.55 pass rate is NOT evidence of a bad source, and
+    a naive rate ranking (C41/C95's descriptive counts) can't say
+    which low rates are real. A planted degraded feed (truncated
+    pages under 'src_degraded', mirrored in the oracle) keeps the
+    flag path non-vacuous at every scale. The Wilson score interval is the
+    small-n-safe choice (normal-approximation intervals collapse at
+    p near 0/1 and small n — exactly the new-source shape); the
+    actionable flag marks sources whose UPPER bound sits below the
+    corpus-wide rate — low even under the most favorable reading,
+    the defensible cut before quarantining a feed at 100 TB.
+
+    Numerics: n and k ship as exact BIGINTs; the interval arithmetic
+    is identical closed-form double math on both engines (same z
+    literal, same expression tree — sqrt/division outputs are not on
+    a rounding-tie grid, the C52 ln precedent) with one 6dp edge
+    round; the flag compares UNROUNDED doubles that both engines
+    derive from the same integers, so it cannot straddle a rounded
+    boundary.
+
+    Scale: one pass — the gate is a per-row projection, the rollup
+    is |sources| rows, the corpus rate is a 1-row fold crossed back
+    broadcast. Nothing else moves."""
+    d = load_table(spark, sf_dir, "documents")
+    degraded = d.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("src_degraded").alias("source"),
+        F.array_join(F.slice(tokenize("text"), 1, 10), " ").alias(
+            "text"
+        ),
+    )
+    base = widen(d.select("source", "text")).unionByName(degraded)
+    stats = token_stats(F.col("text"))
+    t = base.select(
+        "source",
+        (
+            stats["n_tokens"].between(20, 1000)
+            & (stats["distinct_ratio"] >= 0.3)
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+    per = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("k"),
+    )
+    tot = per.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("corpus_rate")
+    )
+    z = 1.959963984540054
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    halfw = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    hi = (center + halfw) / denom
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            "k",
+            F.round(p, 6).alias("pass_rate"),
+            F.round((center - halfw) / denom, 6).alias("wilson_low"),
+            F.round(hi, 6).alias("wilson_high"),
+            (hi < F.col("corpus_rate")).alias(
+                "significantly_below_corpus"
+            ),
+        )
+        .orderBy("source")
+    )

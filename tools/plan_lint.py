@@ -43,6 +43,7 @@ ALLOW_CARTESIAN = {
     "q_c94_matryoshka_recall", # same broadcast-queries x corpus contract (docstring: exact recall baseline; ANN ladder is the scale path)
     "q_c98_semantic_decontam", # same broadcast-eval x corpus contract (docstring: k-sized eval side; C97 sign buckets are the big-k pre-filter)
     "q_c101_source_divergence_matrix", # broadcast 190-row pair dim x CONTRACTED vocab table (docstring: vocab x k^2 map-side, corpus touched once)
+    "q_b149_calendar_gap_fill",   # keys x broadcast 1-row date-bounds fold (the spine construction; never touches the fact table)
     "q_c14_knn_ann_lsh",       # ANN probe: query x bucket candidates (bucketed, k-sized side)
     "q_c17_knn_ivf",           # probe x centroid table (k-sized)
     "q_c21_knn_pq",            # probe x codebook (k-sized)
@@ -68,6 +69,7 @@ ALLOW_CARTESIAN = {
     "q_c66_feed_anomaly_zscore",  # types-sized moment table
     "q_c41_source_drift",      # snapshot x snapshot distribution compare (sources-sized)
     "q_c49_classifier_quality",   # 1-row broadcast weight vector
+    "q_c105_quality_rate_confidence",  # 1-row corpus-rate broadcast (C26's class)
     "q_c63_k_anonymity",       # cells-sized generalization table
     "q_c23_domain_mix",        # broadcast rate VALUES table pre-AQE shows BNLJ on null-aware anti
     "q_c25_decontaminate",     # broadcast benchmark-hash anti join (null-aware)
@@ -138,6 +140,8 @@ ALLOW_SINGLE_PART = {
     # holds the k-byte final fold, never corpus rows
     "q_c103_dup_rate_estimation",   # 1-row six-count conditional agg
     "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
+    "q_b149_calendar_gap_fill",     # 1-row date-bounds fold feeding the spine
+    "q_c105_quality_rate_confidence",  # 1-row corpus-rate fold broadcast back
     # bucket-/band-offset windows over n/bucket_size tables (plan-tested)
     "q_c24_pack_shards", "q_c45_length_banded_packing",
     "q_c88_shard_mix_audit",
