@@ -2981,3 +2981,144 @@ def q_c105_quality_rate_confidence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_C106_THRESHOLDS = tuple(range(1, 10))  # 0.1 .. 0.9
+
+
+@query(
+    "q_c106_threshold_selection",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(token), 1, 8))::BIGINT % 256) AS fidx
+      FROM toks
+    ),
+    weights AS (
+      SELECT i AS fidx,
+             (((('0x' || substr(md5('w' || CAST(i AS VARCHAR)), 1, 8))
+                ::BIGINT % 2001) - 1000) / 1000.0) AS w
+      FROM generate_series(0, 255) t(i)
+    ),
+    probs AS (
+      SELECT doc_id, ROUND(1 / (1 + EXP(-(SUM(w) - 0.1))), 6) AS prob
+      FROM feats JOIN weights USING (fidx) GROUP BY doc_id
+    ),
+    labels AS (
+      SELECT doc_id,
+             CAST(len(t.toks) BETWEEN 20 AND 1000
+                  AND CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                      / len(t.toks) >= 0.3 AS INT) AS y
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents) t
+    ),
+    scored AS (SELECT prob, y FROM probs JOIN labels USING (doc_id)),
+    cm AS (
+      SELECT th.t AS threshold_decipct,
+             CAST(SUM(CASE WHEN prob >= th.t / 10.0 AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN prob >= th.t / 10.0 AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN prob < th.t / 10.0 AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN prob < th.t / 10.0 AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored, generate_series(1, 9) th(t)
+      GROUP BY th.t
+    )
+    SELECT threshold_decipct, tp, fp, fn, tn,
+           NOT EXISTS (
+             SELECT 1 FROM cm o
+             WHERE 2*o.tp * (2*cm.tp + cm.fp + cm.fn)
+                   > 2*cm.tp * (2*o.tp + o.fp + o.fn)
+                OR (2*o.tp * (2*cm.tp + cm.fp + cm.fn)
+                    = 2*cm.tp * (2*o.tp + o.fp + o.fn)
+                    AND o.threshold_decipct < cm.threshold_decipct)
+           ) AS is_best_f1
+    FROM cm ORDER BY threshold_decipct
+    """,
+)
+def q_c106_threshold_selection(spark, sf_dir):
+    """C106: OPERATING-POINT selection for the quality classifier —
+    the step between C49 (scores) and C54 (a gate that assumes a
+    threshold): sweep candidate thresholds, compute each one's full
+    confusion against C10's reference label, and mark the F1-argmax.
+    Shipping prob >= 0.5 unexamined is how a filtering run silently
+    trades precision it needed for recall it didn't; this emits the
+    whole operating curve (the consumer can re-argmax for any
+    F-beta) plus the defensible default.
+
+    Integer-exact end to end (the C99/C103 discipline): the sweep is
+    one conditional aggregate — per (threshold, cell) CASE sums over
+    the scored docs, no re-scan per threshold — and the F1 argmax is
+    INTEGER CROSS-MULTIPLICATION between candidates
+    (2tp_a(2tp_b+fp_b+fn_b) vs 2tp_b(...)), tie broken toward the
+    lower threshold, so no float F1 is ever materialized and the
+    boolean cannot straddle a rounding boundary. The per-doc prob
+    threshold compare uses the 6dp-rounded prob against exact-decimal
+    cutoffs (t/10 in double is identical IEEE on both engines).
+
+    Scale: C49's serving plan (broadcast weight join, one per-doc
+    exchange) + a 9-threshold conditional rollup to 9 rows; the
+    argmax is 9x9 driver-free SQL over the tiny table."""
+    d = load_table(spark, sf_dir, "documents")
+    probs = classifier_quality_prob(spark, d)
+    stats = token_stats(F.col("text"))
+    labels = d.select(
+        "doc_id",
+        (
+            stats["n_tokens"].between(20, 1000)
+            & (stats["distinct_ratio"] >= 0.3)
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    scored = probs.join(labels, "doc_id")
+    aggs = []
+    for t in _C106_THRESHOLDS:
+        cut = t / 10.0
+        keep = F.col("prob") >= cut
+        y1 = F.col("y") == 1
+        aggs += [
+            F.sum((keep & y1).cast("long")).alias(f"tp_{t}"),
+            F.sum((keep & ~y1).cast("long")).alias(f"fp_{t}"),
+            F.sum((~keep & y1).cast("long")).alias(f"fn_{t}"),
+            F.sum((~keep & ~y1).cast("long")).alias(f"tn_{t}"),
+        ]
+    one = scored.agg(*aggs).first()
+    cm = [
+        (
+            t,
+            one[f"tp_{t}"],
+            one[f"fp_{t}"],
+            one[f"fn_{t}"],
+            one[f"tn_{t}"],
+        )
+        for t in _C106_THRESHOLDS
+    ]
+
+    def denom(r):
+        return 2 * r[1] + r[2] + r[3]
+
+    def beats(a, b):
+        lhs, rhs = 2 * a[1] * denom(b), 2 * b[1] * denom(a)
+        return lhs > rhs or (lhs == rhs and a[0] < b[0])
+
+    rows = [
+        (t, tp, fp, fn, tn, not any(beats(o, r) for o in cm if o is not r))
+        for r in cm
+        for (t, tp, fp, fn, tn) in [r]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "threshold_decipct int, tp long, fp long, fn long, tn long, "
+        "is_best_f1 boolean",
+    ).orderBy("threshold_decipct")
