@@ -605,3 +605,56 @@ def q_b135_struct_surgery(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q_b150_modern_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           split_part(source, 'r', 2) AS src_tail,
+           CAST(len(regexp_extract_all(text, 'the')) AS BIGINT)
+             AS n_the,
+           CAST(levenshtein(left(text, 16), source) AS BIGINT)
+             AS edit_to_source,
+           left(text, 8) AS head8,
+           right(source, 2) AS tail2,
+           translate(lang, 'en', 'EN') AS lang_up
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q_b150_modern_string_funcs(spark, sf_dir):
+    """B150: the MODERN string-function surface (Spark 3.5+ SQL
+    additions) — `split_part` (field extraction without the
+    split+element_at two-step and its array materialization),
+    `regexp_count` (occurrence counting without extract_all's array),
+    `levenshtein` (the fuzzy-match primitive under entity
+    resolution), `left`/`right` (prefix/suffix without length
+    arithmetic), `translate` (character mapping without regexp). B37
+    covers the classic string core; these are the functions a
+    migration FROM a warehouse dialect (Snowflake/BigQuery/Postgres
+    all ship them) hits first, so their presence-with-identical-
+    semantics is itself the compatibility claim — every one mirrored
+     1:1 in the DuckDB oracle.
+
+    Scale: all per-row codegen projections in the scan — the point
+    of split_part/regexp_count over their array-building equivalents
+    is precisely that nothing intermediate materializes per row.
+    Levenshtein is O(len^2) per row; bounded here to a 16-char
+    prefix, the entity-resolution shape (compare keys, not
+    documents)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("source"), F.lit("r"), F.lit(2)).alias(
+            "src_tail"
+        ),
+        F.regexp_count("text", F.lit("the")).cast("long").alias("n_the"),
+        F.levenshtein(F.left("text", F.lit(16)), F.col("source"))
+        .cast("long")
+        .alias("edit_to_source"),
+        F.left("text", F.lit(8)).alias("head8"),
+        F.right("source", F.lit(2)).alias("tail2"),
+        F.translate("lang", "en", "EN").alias("lang_up"),
+    ).orderBy("doc_id")
