@@ -1761,3 +1761,128 @@ def q_c91_dsir_importance(spark, sf_dir):
         .orderBy(F.col("importance").desc(), "doc_id")
         .limit(_DSIR_TOPK)
     )
+
+
+@query(
+    "q_c107_exact_apportionment",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS n, CAST(SUM(n_docs) // 10 AS BIGINT)
+                     AS target FROM per),
+    q AS (
+      SELECT source, n_docs,
+             CAST(n_docs * t.target // t.n AS BIGINT) AS base,
+             n_docs * t.target % t.n AS rem
+      FROM per, tot t
+    ),
+    topup AS (
+      SELECT source, n_docs, base,
+             CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                       <= (SELECT target FROM tot)
+                          - (SELECT SUM(base) FROM q)
+                  THEN 1 ELSE 0 END AS extra
+      FROM q
+    ),
+    quota AS (
+      SELECT source, n_docs, CAST(base + extra AS BIGINT) AS quota
+      FROM topup
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 1000000007,
+                        d.doc_id) AS rnk
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rank_in_stratum,
+           q.n_docs AS stratum_size, q.quota
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rnk <= q.quota
+    ORDER BY r.source, r.rnk
+    """,
+)
+def q_c107_exact_apportionment(spark, sf_dir):
+    """C107: EXACT stratified apportionment — a 10% sample whose
+    per-stratum counts are the largest-remainder (Hamilton)
+    apportionment of the global target, so the total is EXACTLY
+    floor(N/10) and every stratum's count is within 1 of its exact
+    proportional share. C36's hash-rate sampling is the right tool
+    when per-stratum binomial noise is acceptable; this is the tool
+    when the contract is a count ("exactly 50k eval docs, source
+    proportions preserved") — rate sampling misses integer targets
+    by sqrt(n) and quota-first methods (C56) need the quotas handed
+    in; Hamilton DERIVES them: floor quotas + the target shortfall
+    topped up by largest fractional remainder (tie toward the
+    smaller source name, deterministic).
+
+    Within each stratum the quota picks the smallest hash-rank docs
+    (the C22 portable-hash order), so membership is content-stable
+    under reruns AND under corpus growth the sample drifts minimally
+    (a doc leaves only when enough smaller-ranked docs arrive).
+
+    Integer-exact throughout: quotas are BIGINT floor/mod arithmetic
+    (no float share ever computed), the top-up rank compares integer
+    remainders. Scale: one |strata|-row aggregate + driver-free
+    apportionment over that tiny table, one rank window PER STRATUM
+    (keyed — the corpus never single-partitions), one broadcast
+    quota join."""
+    from etl_spark_eks_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    per = widen(d).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("n"),
+        (F.sum("n_docs") / 10).cast("long").alias("target"),
+    )
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * F.col("target") / F.col("n"))
+        .cast("long")
+        .alias("base"),
+        (F.col("n_docs") * F.col("target") % F.col("n")).alias("rem"),
+        "target",
+    )
+    from pyspark.sql import Window
+
+    shortfall = q.agg(
+        (F.max("target") - F.sum("base")).cast("long").alias("k")
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    quota = (
+        q.crossJoin(F.broadcast(shortfall))
+        .withColumn("pos", F.row_number().over(w_rem))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("base")
+                + (F.col("pos") <= F.col("k")).cast("long")
+            ).alias("quota"),
+        )
+    )
+    w_strat = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id"), 1_000_000_007), "doc_id"
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "rank_in_stratum", F.row_number().over(w_strat).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rank_in_stratum") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_stratum",
+            F.col("n_docs").alias("stratum_size"),
+            "quota",
+        )
+        .orderBy("source", "rank_in_stratum")
+    )

@@ -44,6 +44,7 @@ ALLOW_CARTESIAN = {
     "q_c98_semantic_decontam", # same broadcast-eval x corpus contract (docstring: k-sized eval side; C97 sign buckets are the big-k pre-filter)
     "q_c101_source_divergence_matrix", # broadcast 190-row pair dim x CONTRACTED vocab table (docstring: vocab x k^2 map-side, corpus touched once)
     "q_b149_calendar_gap_fill",   # keys x broadcast 1-row date-bounds fold (the spine construction; never touches the fact table)
+    "q_c107_exact_apportionment", # strata x broadcast 1-row total/target fold (the quota derivation)
     "q_c14_knn_ann_lsh",       # ANN probe: query x bucket candidates (bucketed, k-sized side)
     "q_c17_knn_ivf",           # probe x centroid table (k-sized)
     "q_c21_knn_pq",            # probe x codebook (k-sized)
@@ -142,6 +143,7 @@ ALLOW_SINGLE_PART = {
     "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
     "q_b149_calendar_gap_fill",     # 1-row date-bounds fold feeding the spine
     "q_c105_quality_rate_confidence",  # 1-row corpus-rate fold broadcast back
+    "q_c107_exact_apportionment",   # remainder-rank window over the |strata| (20-row) quota table
     # bucket-/band-offset windows over n/bucket_size tables (plan-tested)
     "q_c24_pack_shards", "q_c45_length_banded_packing",
     "q_c88_shard_mix_audit",
