@@ -1886,3 +1886,87 @@ def q_c107_exact_apportionment(spark, sf_dir):
         )
         .orderBy("source", "rank_in_stratum")
     )
+
+
+# Chi-square critical value, df=63, alpha=0.05 — the 64-bucket test.
+_C108_CRIT = 82.529
+_C108_BUCKETS = 64
+
+
+@query(
+    "q_c108_shuffle_uniformity_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT source,
+             ('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % {_C108_BUCKETS} AS bucket
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY source, bucket
+    ),
+    per AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS n_occupied,
+             SUM(c * c) AS sum_sq
+      FROM cells GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(n_occupied AS BIGINT) AS n_occupied_buckets,
+           ROUND({_C108_BUCKETS}.0 * sum_sq / n - n, 6) AS chi2,
+           {_C108_BUCKETS}.0 * sum_sq / n - n < {_C108_CRIT}
+             AS well_mixed
+    FROM per ORDER BY source
+    """,
+)
+def q_c108_shuffle_uniformity_audit(spark, sf_dir):
+    """C108: training-order SHUFFLE uniformity audit — C46 assigns
+    the stable hash-derived training order; this checks that the
+    order actually MIXES: each source's docs, bucketed into 64
+    equal hash-order slices, must be chi-square-uniform (a clumped
+    source means a training run sees correlated batches — the
+    gradient-noise pathology data ordering is supposed to prevent).
+    The pairing follows C13->C104: the operator that PRODUCES an
+    artifact gets the operator that AUDITS it.
+
+    The statistic uses the classic simplification for equal
+    expected counts: chi2 = B*sum(c_b^2)/n - n, which needs only
+    integer sums (count and sum of squared counts per source) — one
+    (source, bucket) rollup of at most |sources| x 64 cells, then a
+    |sources|-row fold; the per-doc bucket is a seeded portable-hash
+    projection (seed in the hash input, so re-audits of a reshuffled
+    epoch change one literal). The boolean compares the identical
+    integer-derived double against the df=63 critical value on both
+    engines. Empty buckets need no special casing: the simplified
+    form accounts for them exactly, and n_occupied_buckets is
+    reported so a pathological collapse (many empty slices) is
+    visible directly.
+
+    Scale: one map-side-combined (source, bucket) count — the only
+    corpus exchange; everything after is sources-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(
+        F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string")),
+        _C108_BUCKETS,
+    )
+    cells = (
+        widen(d)
+        .select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = cells.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("long").alias("n_occupied_buckets"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    chi2 = (
+        float(_C108_BUCKETS) * F.col("sum_sq") / F.col("n") - F.col("n")
+    )
+    return per.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        "n_occupied_buckets",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 < _C108_CRIT).alias("well_mixed"),
+    ).orderBy("source")
