@@ -1161,3 +1161,48 @@ def q_b142_content_digest(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_b151_sql_unpivot_clause",
+    oracle="""
+    WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS val FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def q_b151_sql_unpivot_clause(spark, sf_dir):
+    """B151: the SQL `UNPIVOT` clause — B81 covers the DataFrame
+    `unpivot`/melt API; this is the ANSI-SQL surface a warehouse
+    migration writes (Snowflake/BigQuery/Oracle dialect), planning
+    through the same Expand node. The distinction matters for the
+    gateway story (B133/B134/B121): SQL arriving as TEXT must parse,
+    not just have a DataFrame equivalent. The oracle deliberately
+    uses the UNION ALL desugaring — proving the clause EQUALS its
+    relational definition rather than comparing two engines'
+    implementations of the same keyword.
+
+    Scale: Expand is map-side row multiplication (B81's note) —
+    exactly the 4x the semantics demand, column pruning intact."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "b151_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, measure, val
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax
+              FROM b151_lineitem WHERE l_orderkey < 100)
+        UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice,
+                                     l_discount, l_tax))
+        ORDER BY l_orderkey, l_linenumber, measure
+        """
+    )
