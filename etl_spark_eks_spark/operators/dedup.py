@@ -2276,3 +2276,113 @@ def q_c103_dup_rate_estimation(spark, sf_dir):
             F.abs((nc - dc) * n - (n - dd) * nc) * 100 < 8 * n * nc
         ).alias("content_within_8pct"),
     )
+
+
+@query(
+    "q_c109_source_diversity_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, text,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 1000000007,
+                        doc_id) AS rnk
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, source, rnk,
+             list_distinct(
+               list_transform(
+                 range(1, len(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> ''))),
+                 i -> list_aggregate(
+                        list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')[i:i+1],
+                        'string_agg', ' ')
+               )) AS grams
+      FROM ranked WHERE rnk <= 10
+    )
+    SELECT a.source,
+           a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+             AS n_shared_grams,
+           CAST(len(list_distinct(a.grams || b.grams)) AS BIGINT)
+             AS n_union_grams
+    FROM sampled a JOIN sampled b
+      ON a.source = b.source AND a.rnk < b.rnk
+    ORDER BY a.source, doc_a, doc_b
+    """,
+)
+def q_c109_source_diversity_sample(spark, sf_dir):
+    """C109: intra-source DIVERSITY audit — pairwise 3-gram overlap
+    inside a deterministic 10-doc sample per source, the self-BLEU-
+    shaped check that catches template-generated feeds (every page a
+    fill-in of one skeleton) which PASS dedup (no span long enough,
+    C96), PASS quality rules (C10/C95) and PASS label audits (C104)
+    while contributing near-zero learning signal. C83 measures
+    overlap BETWEEN sources; this measures homogeneity WITHIN one.
+
+    Sampling is the C107/C22 portable hash-rank pick, so the audited
+    pairs are content-stable across reruns; pairwise work is
+    sample-bounded by construction — choose(10,2) = 45 pairs per
+    source regardless of corpus size, the audit that stays O(|sources|)
+    at 100 TB. Output is INTEGER-EXACT per pair (shared / union
+    shingle counts — the C99/C103 discipline): no averaged float
+    Jaccard is materialized, so consumers derive mean overlap, any
+    quantile, or a max-pair flag without a rounding-tie class.
+
+    Scale: one rank window per source (keyed), shingling only on the
+    10xk sampled docs (the corpus is filtered BEFORE the array
+    build), one sample-sized self-join on source."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_spark_eks_spark.operators.sampling import hash_bucket
+
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id"), 1_000_000_007), "doc_id"
+    )
+    ranked = (
+        widen(d)
+        .select("doc_id", "source", "text")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+    )
+    toks = tokenize("text")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    sampled = ranked.select("doc_id", "source", "rnk", grams.alias("grams"))
+    a = sampled.select(
+        "source",
+        F.col("doc_id").alias("doc_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.col("grams").alias("ga"),
+    )
+    b = sampled.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.col("grams").alias("gb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("rnk_a") < F.col("rnk_b")),
+        )
+        .select(
+            "source",
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb"))
+            .cast("long")
+            .alias("n_shared_grams"),
+            F.size(F.array_distinct(F.concat("ga", "gb")))
+            .cast("long")
+            .alias("n_union_grams"),
+        )
+        .orderBy("source", "doc_a", "doc_b")
+    )
