@@ -39,22 +39,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # every key in the suite has an official row (CORRECTNESS_r05: 50/50
 # clean — the 4 previously-unevidenced keys, all 30 round-5 additions,
 # the 13 rows-only refreshes, q_b102's re-measure, and 2 r1 re-checks).
-# Round 6 therefore leads with: (1) the 63 operators ADDED in round 6
-# (q_b123-q_b151, q_c82-q_c109, q_m11-q_m16 — all oracle-backed, no official
+# Round 6 therefore leads with: (1) the 64 operators ADDED in round 6
+# (q_b123-q_b152, q_c82-q_c109, q_m11-q_m16 — all oracle-backed, no official
 # row yet), (2) the 3 keys REWORKED this round whose oracles changed
 # identically on both engines (q_c68/q_c78 sort-key stride + prefix-sum
 # bucketing per ADVICE; q_b122's overflow band re-planted for the 10.7x
 # exception-storm fix) — re-verified locally, need fresh official rows,
 # (3) the OLDEST official greens — the r1-era keys whose last driver
 # check is round 1 and which missed r5's 50-slot cap (q_a4..q_b59
-# family): 63 + 3 = 66 lead keys — sixteen over the 50-slot cap. The
+# family): 64 + 3 = 67 lead keys — seventeen over the 50-slot cap. The
 # REWORKED trio sits inside the cap (their old official rows describe
 # pre-rework oracles — refreshing them outranks first rows for keys
 # whose machinery already has a green family row), so the seven
 # newest additions (q_c102/q_b145/q_c103/q_b146/q_m16/q_b147/q_b148/
-# q_b149/q_c104/q_c105/q_c106/q_b150/q_c107/q_c108/q_b151/q_c109;
-# family rows q_c96/B75/C22/C35/M7/B73/B47/B83/C13/C10/C49/B37/C36/
-# C46/B81/C83) queue at 51-66.
+# q_b149/q_c104/q_c105/q_c106/q_b150/q_c107/q_c108/q_b151/q_c109/
+# q_b152; family rows q_c96/B75/C22/C35/M7/B73/B47/B83/C13/C10/C49/
+# B37/C36/C46/B81/C83/B61) queue at 51-67.
 # The whole r1-era and r2-era green backlog queues behind for
 # round 7.
 # Every key remains present and runnable regardless of order;
@@ -102,7 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_c105_quality_rate_confidence", "q_c106_threshold_selection",
     "q_b150_modern_string_funcs", "q_c107_exact_apportionment",
     "q_c108_shuffle_uniformity_audit", "q_b151_sql_unpivot_clause",
-    "q_c109_source_diversity_sample",
+    "q_c109_source_diversity_sample", "q_b152_insert_by_name",
     # -- (3) oldest official greens (r1), missed r5's cap --
     "q_a4_limit20", "q_a5_count",
     "q_a6_repartition_roundtrip", "q_a7_write_roundtrip",

@@ -1232,3 +1232,62 @@ def q_b145_ignore_missing_files(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_b152_insert_by_name",
+    oracle="""
+    SELECT o_orderkey AS k,
+           o_totalprice AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey < 200
+    UNION ALL
+    SELECT o_orderkey + 1000000 AS k,
+           o_totalprice * 2 AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey < 100
+    ORDER BY k
+    """,
+)
+def q_b152_insert_by_name(spark, sf_dir):
+    """B152: `INSERT INTO ... BY NAME` — column binding by NAME
+    instead of position, the schema-evolution-safe insert (Spark
+    3.5 SQL). Positional INSERT is the silent-corruption classic: a
+    producer reorders its SELECT (or the table gains a column) and
+    values land in the wrong columns while types happen to line up;
+    BY NAME binds each source column to the target column of the
+    same name regardless of order. The scenario proves exactly the
+    failure case: the second wave's SELECT emits (prio, k, price) —
+    a completely different order than the table — and BY NAME still
+    lands every value correctly, which the relational oracle (that
+    never sees a table at all) confirms value-for-value.
+
+    Completes the gateway-write ladder: B137 binds DEFAULTs for
+    UNNAMED columns, B87/B72 merge rows, this binds NAMED columns
+    under reordering — the three evolution hazards of text-SQL
+    ingest. Scale: metastore insert into the warehouse table, same
+    append path as B61's."""
+    tag = _tag(sf_dir)
+    tbl = f"wh_b152_orders_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    o = load_table(spark, sf_dir, "orders")
+    o.where(F.col("o_orderkey") < 200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    ).write.format("parquet").option(
+        "path", scratch_path("q_b152", tag, "tbl")
+    ).mode("overwrite").saveAsTable(tbl)
+    o.where(F.col("o_orderkey") < 100).createOrReplaceTempView(
+        "b152_wave2"
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl} BY NAME
+        SELECT o_orderpriority AS prio,
+               o_orderkey + 1000000 AS k,
+               o_totalprice * 2 AS price
+        FROM b152_wave2
+        """
+    )
+    return spark.table(tbl).orderBy("k")
