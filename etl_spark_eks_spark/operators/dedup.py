@@ -583,8 +583,15 @@ def connected_components(
                 .filter(F.col("m") < F.col("node"))
                 .localCheckpoint(eager=True)
             )
-            if moves.count() == 0:
+            n_moves = moves.count()
+            if n_moves == 0:
                 break
+            # Broadcast the remap table only when the count we already
+            # paid for says it fits (~16 bytes/row; 4M rows ≈ 64 MB).
+            # Round 1 on a huge dup graph can have node-scale moves —
+            # a forced hint there is an executor OOM, not a speedup;
+            # past the bound we let AQE pick the join side.
+            bmoves = F.broadcast(moves) if n_moves <= 4_000_000 else moves
             assign = (
                 assign.join(
                     moves.withColumnRenamed("node", "label"), "label", "left"
@@ -592,18 +599,16 @@ def connected_components(
                 .select("node", F.coalesce("m", "label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            # Contract: remap both endpoints through the moves (tiny
-            # table -> broadcast joins, no shuffle), drop self-loops
-            # BEFORE distinct so the dedup shuffle sees only the
-            # surviving bridge edges.
+            # Contract: remap both endpoints through the moves
+            # (size-gated broadcast above — no shuffle when it fits),
+            # drop self-loops BEFORE distinct so the dedup shuffle
+            # sees only the surviving bridge edges.
             g = (
-                g.join(F.broadcast(moves), "node", "left")
+                g.join(bmoves, "node", "left")
                 .select(F.coalesce("m", "node").alias("node"), "nbr")
                 .join(
-                    F.broadcast(
-                        moves.select(
-                            F.col("node").alias("nbr"), F.col("m").alias("m2")
-                        )
+                    bmoves.select(
+                        F.col("node").alias("nbr"), F.col("m").alias("m2")
                     ),
                     "nbr",
                     "left",
@@ -1196,7 +1201,14 @@ def containment_pairs(alldocs, t_thresh: float = 0.8):
     (doc_id, text) frame — C64's asymmetric prefix-filter machinery,
     factored so compositions (C90's decision record) reuse the exact
     candidate generation + verification instead of re-deriving it.
-    See q_c64_containment_neardup for the full design rationale."""
+    See q_c64_containment_neardup for the full design rationale.
+
+    The corpus-sized shingle-set frame is persisted ONLY for the
+    duration of this call: the verified pairs (bounded: near-dup
+    pairs, not the corpus) are materialized via an eager
+    localCheckpoint and the set cache is unpersisted before
+    returning, so back-to-back callers in one session (q_c64 then
+    q_c90) don't stack two corpus-sized caches."""
     th = widen(alldocs).select(
         "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
     )
@@ -1244,7 +1256,7 @@ def containment_pairs(alldocs, t_thresh: float = 0.8):
         F.col("doc_id").alias("dst_doc"), F.col("s").alias("s_dst")
     )
     inter = F.size(F.array_intersect("s_src", "s_dst"))
-    return (
+    verified = (
         cand.join(sa, "src_doc")
         .join(sb, "dst_doc")
         .filter(
@@ -1256,6 +1268,9 @@ def containment_pairs(alldocs, t_thresh: float = 0.8):
             (inter.cast("double") / F.col("n_src")).alias("containment"),
         )
     )
+    out = verified.localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
 
 
 
@@ -1452,9 +1467,12 @@ def q_c75_segment_dedup_rewrite(spark, sf_dir):
 
     Scale: two map-side-combined shuffles (segment frequency, doc
     reassembly) + one join whose build side is only the boilerplate
-    segments — broadcastable at any corpus size where boilerplate is
-    sparse; if it isn't sparse the join degrades to a hash join on
-    seg_text, still never all-pairs. collect_list holds ONE document's
+    segments. NO broadcast hint is forced: AQE picks broadcast when
+    the hot-segment table lands under the threshold (it does at
+    fixture scale) and degrades to a shuffled hash join on seg_text
+    when a boilerplate-heavy corpus makes it large — a forced hint
+    would instead OOM the executors, since Spark honors hints
+    regardless of build-side size. Still never all-pairs. collect_list holds ONE document's
     segments (bounded by doc length), the same per-entity invariant as
     B116. Segments hash as full strings here for oracle parity; at
     100 TB the join key would be xxhash64(seg_text) (C50's injective
@@ -1478,7 +1496,7 @@ def q_c75_segment_dedup_rewrite(spark, sf_dir):
         .select("seg_text")
     )
     marked = segs.join(
-        F.broadcast(hot.withColumn("removed", F.lit(True))),
+        hot.withColumn("removed", F.lit(True)),
         "seg_text",
         "left",
     ).withColumn("removed", F.coalesce("removed", F.lit(False)))
@@ -2315,7 +2333,7 @@ def q_c103_dup_rate_estimation(spark, sf_dir):
     """,
 )
 def q_c109_source_diversity_sample(spark, sf_dir):
-    """C109: intra-source DIVERSITY audit — pairwise 3-gram overlap
+    """C109: intra-source DIVERSITY audit — pairwise bigram (2-gram) overlap
     inside a deterministic 10-doc sample per source, the self-BLEU-
     shaped check that catches template-generated feeds (every page a
     fill-in of one skeleton) which PASS dedup (no span long enough,

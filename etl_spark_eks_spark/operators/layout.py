@@ -200,9 +200,11 @@ def q_b146_output_file_sizing(spark, sf_dir):
     since SQL cannot see files): (1) no file exceeds N records,
     (2) the file count lands in [ceil(n/N), ceil(n/N)+P] — each of
     the P tasks rounds up at most once — and (3) every file is
-    INTERNALLY sorted by the sort key (checked with a per-file lag
-    window over the read-back, the property that makes per-file
-    min/max statistics selective instead of full-range).
+    INTERNALLY sorted by the sort key — checked with a per-file lag
+    window ordered by `_metadata.row_index` (the PHYSICAL row order;
+    ordering the window by l_shipdate itself would make the check
+    vacuously true), the property that makes per-file min/max
+    statistics selective instead of full-range.
 
     Content columns (row count, DECIMAL-exact revenue) prove the
     round-trip changed nothing while the layout changed completely."""
@@ -228,11 +230,10 @@ def q_b146_output_file_sizing(spark, sf_dir):
         "l_shipdate",
         "l_extendedprice",
         F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.row_index").alias("ridx"),
     )
     n = li.count()
-    w_file = Window.partitionBy("fname").orderBy(
-        "l_shipdate", "l_orderkey"
-    )
+    w_file = Window.partitionBy("fname").orderBy("ridx")
     per_file = (
         rb.withColumn("prev_ship", F.lag("l_shipdate").over(w_file))
         .withColumn(

@@ -1839,14 +1839,12 @@ def q_c107_exact_apportionment(spark, sf_dir):
     )
     tot = per.agg(
         F.sum("n_docs").alias("n"),
-        (F.sum("n_docs") / 10).cast("long").alias("target"),
+        F.expr("sum(n_docs) DIV 10").alias("target"),
     )
     q = per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        (F.col("n_docs") * F.col("target") / F.col("n"))
-        .cast("long")
-        .alias("base"),
+        F.expr("n_docs * target DIV n").alias("base"),
         (F.col("n_docs") * F.col("target") % F.col("n")).alias("rem"),
         "target",
     )
