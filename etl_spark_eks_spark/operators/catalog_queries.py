@@ -1291,3 +1291,70 @@ def q_b152_insert_by_name(spark, sf_dir):
         """
     )
     return spark.table(tbl).orderBy("k")
+
+
+def avro_available() -> bool:
+    """Automated availability probe for B153 (Avro landing source).
+
+    Avro is the one row-format of the common lake trio
+    (parquet A1/B92, ORC B92, Avro) whose Spark reader ships as the
+    EXTERNAL ``spark-avro`` module (reference addons.tf pins the same
+    trio through Glue crawlers) — the JVM-side datasource jar
+    (``spark-avro_2.13-*.jar``) is not in this container's pyspark
+    distribution and cannot be downloaded here. Probe the jars dir
+    each session, exactly as ``stream_queries.tws_available()`` probes
+    ``google.protobuf`` for B96: the day the environment gains the
+    package, q_b153 self-registers below with no code change.
+    tests/test_plans.py records the probe outcome either way."""
+    from pathlib import Path
+
+    import pyspark
+
+    jars = Path(pyspark.__file__).resolve().parent / "jars"
+    return any(jars.glob("spark-avro_*.jar"))
+
+
+if avro_available():
+
+    @query(
+        "q_b153_avro_source",
+        oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority
+        """,
+    )
+    def q_b153_avro_source(spark, sf_dir):
+        """B153: Avro landing/interchange source — B92's shape on the
+        row-oriented member of the lake trio: orders staged as Avro
+        (the Kafka/schema-registry interchange format) and read back
+        through ``spark.read.format("avro")``. Unlike parquet/ORC,
+        Avro is row-major: no min-max pushdown exists, so the filter
+        runs post-scan and the win Spark CAN take is schema
+        projection (the reader deserializes only requested fields).
+        Aggregation in exact integer cents (B92's discipline).
+
+        Scale: Avro is the LANDING format, not the lake format — the
+        engine's contract is parse-once into columnar (B89/B80/B93's
+        path); this operator is the compatibility read that feeds
+        that conversion."""
+        tag = _tag(sf_dir)
+        landing = scratch_path("q_b153", tag, "avro")
+        fp = _fixture_fingerprint(sf_dir, "orders")
+        if not _staged(landing, fp):
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ).write.mode("overwrite").format("avro").save(landing)
+            _mark_staged(landing, fp)
+        back = spark.read.format("avro").load(landing).filter(
+            F.col("o_totalprice") > 100000
+        )
+        return back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("total_cents"),
+        )

@@ -604,8 +604,11 @@ def test_plan_lint_no_new_antipatterns(spark, sf_dir):
 
     # reuse the session fixture's scale via the lint's own tiny SF;
     # the lint builds plans only (no DuckDB), ~2 min for the suite
-    violations = plan_lint.lint()
+    violations, dead = plan_lint.lint()
     assert not violations, f"plan anti-patterns: {violations}"
+    # A dead entry means a plan improved past its allowlisted pattern:
+    # delete the entry so the allowlist shrinks (VERDICT r6 item 4).
+    assert not dead, f"dead allowlist entries — delete them: {dead}"
 
 
 def test_cached_multi_action_reads_memory_not_files(spark, sf_dir):
@@ -1000,3 +1003,38 @@ def test_dynamic_overwrite_leaves_untouched_files_alone(spark, sf_dir):
         .parquet(tbl)
     )
     assert snapshot("3-MEDIUM") == before
+
+
+def test_b153_avro_probe_and_registration(spark, sf_dir):
+    """B153 automated availability probe (VERDICT r6 item 3): q_b153
+    self-registers iff the external spark-avro datasource jar is in
+    the pyspark distribution (it is not in this container and cannot
+    be downloaded). When absent, the documented skip holds — Avro is
+    the only lake-trio format without a landing operator, by
+    environment, not by gap; when the jar appears, this test upgrades
+    to a full round-trip check with no code change."""
+    from etl_spark_eks_spark.operators.catalog_queries import (
+        avro_available,
+    )
+    from etl_spark_eks_spark import registry
+
+    if not avro_available():
+        assert "q_b153_avro_source" not in registry.QUERIES, (
+            "q_b153 must not register without the spark-avro jar"
+        )
+        return  # probe note: spark-avro absent; B92 covers columnar trio
+    assert "q_b153_avro_source" in registry.QUERIES
+    got = registry.QUERIES["q_b153_avro_source"](spark, sf_dir)
+    want = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

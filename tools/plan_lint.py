@@ -37,7 +37,6 @@ ALLOW_CARTESIAN = {
     "q_b16_cross_small",       # the intentional CROSS JOIN surface demo
     "q_b19_approx_cd",         # 1-row x 1-row join of the two aggregate halves (code comment: 4x faster than one Expand-planned agg)
     "q_b83_event_gap_detection",  # type-list x hour-spine (5 x ~720) — the deliberate gap spine
-    "q_b13_join_theta",        # theta join IS the declared operator
     "q_c3_knn_cosine",         # brute-force kNN: broadcast queries x corpus is the baseline contract
     "q_c79_contrastive_pairs", # same broadcast-anchors x corpus contract (docstring: ANN ladder composes for big anchor sets)
     "q_c94_matryoshka_recall", # same broadcast-queries x corpus contract (docstring: exact recall baseline; ANN ladder is the scale path)
@@ -45,85 +44,19 @@ ALLOW_CARTESIAN = {
     "q_c101_source_divergence_matrix", # broadcast 190-row pair dim x CONTRACTED vocab table (docstring: vocab x k^2 map-side, corpus touched once)
     "q_b149_calendar_gap_fill",   # keys x broadcast 1-row date-bounds fold (the spine construction; never touches the fact table)
     "q_c107_exact_apportionment", # strata x broadcast 1-row total/target fold (the quota derivation)
-    "q_c14_knn_ann_lsh",       # ANN probe: query x bucket candidates (bucketed, k-sized side)
-    "q_c17_knn_ivf",           # probe x centroid table (k-sized)
     "q_c21_knn_pq",            # probe x codebook (k-sized)
-    "q_c30_kmeans",            # point x centroid assignment (k centroids)
     "q_c39_knn_random_projection",
-    "q_c44_coreset_medoids",   # medoid x medoid (k x k)
-    "q_c15_embedding_neardup", # bucketed pair verify vs 1-row stats
-    "q_c4_embedding_stats",    # crossJoin(broadcast 1-row stats table)
     "q_c43_embedding_winsorize",  # 1-row bounds table
-    "q_c53_int8_quantize",     # 1-row quantizer bounds
-    "q_c57_embedding_outliers",   # 1-row moment table
     "q_c59_split_divergence",  # tiny distribution x distribution compare
     "q_c67_corpus_datasheet",  # 1-row fold x 1-row fold datasheet join
-    "q_c2_near_dedup_jaccard", # documented allpairs-within-block strategy demo
-    "q_c18_dedup_clusters",    # same blocked allpairs (C8 is the scale path)
-    "q_c58_cluster_canonicals",
-    "q_c12_fingerprint",       # winnowing window constant x token stream
-    "q_c38_bigram_lm",         # 1-row vocab-size table
     "q_c26_unigram_logprob",   # 1-row corpus-total table
-    "q_c52_doc_perplexity",    # 1-row LM normalizer
-    "q_c48_zipf_histogram",    # 1-row total
-    "q_c31_length_quantiles",  # 1-row quantile bounds
-    "q_c66_feed_anomaly_zscore",  # types-sized moment table
     "q_c41_source_drift",      # snapshot x snapshot distribution compare (sources-sized)
-    "q_c49_classifier_quality",   # 1-row broadcast weight vector
     "q_c105_quality_rate_confidence",  # 1-row corpus-rate broadcast (C26's class)
-    "q_c63_k_anonymity",       # cells-sized generalization table
-    "q_c23_domain_mix",        # broadcast rate VALUES table pre-AQE shows BNLJ on null-aware anti
-    "q_c25_decontaminate",     # broadcast benchmark-hash anti join (null-aware)
-    "q_c29_content_split",     # broadcast split-bounds row
-    "q_c55_ngram_contamination",  # broadcast benchmark shingle set
-    "q_c64_containment_neardup",  # pigeonhole prefix probe (docstring: measured shape)
-    "q_c68_curriculum_phases",    # 1-row budget total
     "q_c76_epoch_upsample",    # 1-row budget x language-count rate table (docstring: zero corpus shuffle)
     "q_c84_token_budget_waterfill",  # 1-row totals/fill x langs-sized allocation table
-    "q_c45_length_banded_packing",  # band-offset table
-    "q_c24_pack_shards",       # bucket-offset broadcast
-    "q_m3_media_shard_pack",
-    "q_m5_media_curation",
-    "q_m10_tar_member_offsets",
-    "q_m4_media_phash_neardup",   # banded pair verify
-    "q_m9_cdc_chunk_dedup",
-    "q_c22_hash_sample",
-    "q_c36_stratified_sample",    # per-stratum rate row
     "q_c40_temperature_mix",      # per-group rate table
-    "q_c56_quota_sample",
-    "q_c33_domain_caps",
-    "q_c46_stable_seq_ids",
-    "q_c47_sketch_partials",
-    "q_c5_top_terms",             # 1-row doc-count
     "q_c7_tfidf",                 # 1-row doc-count
     "q_c60_bm25_topk",            # 1-row avgdl + query-term broadcast
-    "q_c10_quality_score",
-    "q_c54_filter_ensemble",
-    "q_c19_curation_pipeline",
-    "q_c27_incremental_dedup",    # broadcast batch probe
-    "q_c73_signature_probe_neardup",  # broadcast batch band/token tables
-    "q_c34_snapshot_diff",
-    "q_c37_shared_chunks",
-    "q_c50_boilerplate_ngrams",
-    "q_c61_pagerank",             # broadcast rank table (edges never shuffle)
-    "q_c72_ngram_novelty",
-    "q_b43_scalar_subquery",      # scalar subquery = 1-row broadcast by definition
-    "q_b78_observed_metrics",
-    "q_b109_interval_overlap_join",  # hash join on bkt; tiny side may plan BNLJ pre-AQE at sf0.001
-    "q_b88_robust_stats",         # 1-row median/MAD bounds
-    "q_b102_stat_aggregates",
-    "q_c62_unicode_normalize",
-    "q_c71_pii_class_audit",
-    "q_c11_token_count_regex",
-    "q_c13_lang_id",
-    "q_c20_pii_scrub",
-    "q_c28_repetition_metrics",
-    "q_c32_doc_chunking",
-    "q_c51_bpe_pair_stats",       # vocab-bounded pair scan
-    "q_c65_scd2_history",
-    "q_c8_minhash_bands",         # banded self-join candidates
-    "q_c9_simhash_neardup",
-    "q_c16_ngram_jaccard",
     # 1-row totals tables broadcast-cross-joined (C26's class)
     "q_c91_dsir_importance",
     "q_c92_perplexity_buckets",
@@ -132,7 +65,6 @@ ALLOW_PY_ROW = {
     "q_b51_python_udf",   # the row-at-a-time surface demo the contract requires
     "q_b55_udtf_explode", # UDTF row interface
     "q_b73_python_udtf",  # python UDTF row interface
-    "q_b97_python_datasource",  # python data source reader runs row generators
     "q_b147_polymorphic_udtf",  # python UDTF row interface (the analyze()-time polymorphism is the operator)
 }
 ALLOW_SINGLE_PART = {
@@ -145,24 +77,18 @@ ALLOW_SINGLE_PART = {
     "q_c105_quality_rate_confidence",  # 1-row corpus-rate fold broadcast back
     "q_c107_exact_apportionment",   # remainder-rank window over the |strata| (20-row) quota table
     # bucket-/band-offset windows over n/bucket_size tables (plan-tested)
-    "q_c24_pack_shards", "q_c45_length_banded_packing",
+    "q_c24_pack_shards",
     "q_c88_shard_mix_audit",
     "q_c46_stable_seq_ids", "q_c68_curriculum_phases",
     "q_m3_media_shard_pack", "q_m5_media_curation",
     "q_m10_tar_member_offsets",
     # k-sized / report-sized tails documented in the docstrings
-    "q_b33_topk", "q_b58_percentiles", "q_c31_length_quantiles",
-    "q_c12_fingerprint", "q_c42_inverted_index", "q_c44_coreset_medoids",
-    "q_c5_top_terms", "q_c48_zipf_histogram", "q_c60_bm25_topk",
+    "q_c60_bm25_topk",
     "q_c100_vocab_coverage_curve",  # global rank window over the contracted VOCAB table (C77/C48 discipline)
-    "q_c67_corpus_datasheet", "q_b108_transpose",
-    "q_b84_recursive_cte",  # frontier is depth-bounded
-    "q_c30_kmeans", "q_c61_pagerank",  # k-sized centroid/rank folds
+    "q_c67_corpus_datasheet",
     "q_c59_split_divergence", "q_c41_source_drift",
-    "q_b90_multiset_ops", "q_b95_pipe_syntax",
     # global vocab-rank window runs over the VOCAB table (vocab-sized,
     # never the corpus — docstring-owned)
-    "q_c77_vocab_oov_audit",
     # C68-style prefix sum: offset window over quality-rank buckets,
     # bounded by the 1e6+1 quantization levels, not n
     "q_c78_training_data_plan",
@@ -177,11 +103,6 @@ ALLOW_SINGLE_PART = {
     # bloom_filter_agg subquery folds the build side to ONE filter
     # value (1-row by construction) + a 1-group final agg
     "q_b132_runtime_bloom_join",
-    "q_c38_bigram_lm", "q_c49_classifier_quality",
-    "q_c9_simhash_neardup", "q_m4_media_phash_neardup",
-    "q_c2_near_dedup_jaccard", "q_c18_dedup_clusters",
-    "q_c58_cluster_canonicals", "q_c16_ngram_jaccard",
-    "q_c34_snapshot_diff",
     # global scalar aggregates: the final single-partition exchange
     # folds per-partition PARTIAL aggregates (#partitions rows), the
     # map-side combine having already reduced the data — the canonical
@@ -207,7 +128,15 @@ SKIP = {
 }
 
 
-def lint(only=None) -> dict[str, list[str]]:
+def lint(only=None) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    """Return (violations, dead_allowlist_entries).
+
+    A DEAD allowlist entry is one whose query was linted this run and
+    no longer exhibits the allowlisted pattern — an improved plan whose
+    stale justification would otherwise mask a future regression
+    silently (VERDICT r6 item 4: without this, the ~130-key list only
+    ever grows). Dead entries fail the lint the same as violations:
+    the fix is deleting the entry, so the list shrinks as plans improve."""
     from etl_spark_eks_spark import registry
     from etl_spark_eks_spark.session import get_spark
 
@@ -219,6 +148,9 @@ def lint(only=None) -> dict[str, list[str]]:
     if only:
         keys = [k for k in keys if k in only]
     violations: dict[str, list[str]] = {}
+    used: dict[str, set[str]] = {
+        "cartesian": set(), "py_row": set(), "single_part": set()
+    }
     for k in keys:
         df = registry.QUERIES[k](spark, SF_DIR)
         buf = io.StringIO()
@@ -226,23 +158,37 @@ def lint(only=None) -> dict[str, list[str]]:
             df.explain("formatted")
         plan = buf.getvalue()
         hits = []
-        if (
-            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
-        ) and k not in ALLOW_CARTESIAN:
-            hits.append("cartesian")
-        if (
-            "BatchEvalPython" in plan or "PythonUDTF" in plan
-        ) and k not in ALLOW_PY_ROW:
-            hits.append("py_row")
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            if k in ALLOW_CARTESIAN:
+                used["cartesian"].add(k)
+            else:
+                hits.append("cartesian")
+        if "BatchEvalPython" in plan or "PythonUDTF" in plan:
+            if k in ALLOW_PY_ROW:
+                used["py_row"].add(k)
+            else:
+                hits.append("py_row")
         # explain("formatted") prints the exchange as "(n) Exchange" with
         # "Arguments: SinglePartition ..." on its own line, so match the
         # argument token alone — the contiguous "Exchange SinglePartition"
         # form only appears in simple-mode explain output.
-        if "SinglePartition" in plan and k not in ALLOW_SINGLE_PART:
-            hits.append("single_part")
+        if "SinglePartition" in plan:
+            if k in ALLOW_SINGLE_PART:
+                used["single_part"].add(k)
+            else:
+                hits.append("single_part")
         if hits:
             violations[k] = hits
-    return violations
+    linted = set(keys)
+    dead: dict[str, list[str]] = {}
+    for pattern, allow in (
+        ("cartesian", ALLOW_CARTESIAN),
+        ("py_row", ALLOW_PY_ROW),
+        ("single_part", ALLOW_SINGLE_PART),
+    ):
+        for k in sorted((allow & linted) - used[pattern]):
+            dead.setdefault(k, []).append(pattern)
+    return violations, dead
 
 
 def main() -> int:
@@ -250,11 +196,13 @@ def main() -> int:
     for arg in sys.argv[1:]:
         if arg.startswith("--only="):
             only = set(arg.split("=", 1)[1].split(","))
-    v = lint(only)
+    v, dead = lint(only)
     for k, hits in sorted(v.items()):
         print(f"VIOLATION {k}: {', '.join(hits)}")
-    print(f"== {len(v)} violations ==")
-    return 1 if v else 0
+    for k, patterns in sorted(dead.items()):
+        print(f"DEAD ALLOWLIST ENTRY {k}: {', '.join(patterns)}")
+    print(f"== {len(v)} violations, {len(dead)} dead allowlist entries ==")
+    return 1 if (v or dead) else 0
 
 
 if __name__ == "__main__":
