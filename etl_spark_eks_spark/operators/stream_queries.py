@@ -98,7 +98,7 @@ def q_b49_stream_dedup(spark, sf_dir):
 def q_b56_stateful_user_stats(spark, sf_dir):
     """B56 (extension): CUSTOM stateful streaming operator via
     applyInPandasWithState — per-user running (count, total) carried in
-    GroupState across real micro-batches (the input is replayed as 4
+    GroupState across real micro-batches (the input is replayed as 3
     files, one per trigger). Each batch emits the user's cumulative
     stats; the final emission per user equals the batch aggregate, which
     is the SQL oracle. This is the surface Spark offers for stateful
@@ -262,7 +262,7 @@ def q_b74_stream_outer_join(spark, sf_dir):
     Spark a point of certainty: once the watermark passes view_ts + 30
     minutes, no future purchase can match, so the unmatched view is
     emitted with NULLs and its state evicted. The input is replayed as
-    4 micro-batches so the watermark genuinely advances mid-stream and
+    3 micro-batches so the watermark genuinely advances mid-stream and
     most NULL rows emit before the final batch; views still inside the
     horizon at end-of-stream are withheld (append semantics — the same
     containment contract as B48, asserted in tests/test_streaming.py:
@@ -367,7 +367,7 @@ def q_b66_stream_static_join(spark, sf_dir):
 def q_b72_foreachbatch_upsert(spark, sf_dir):
     """B72 (extension): streaming keyed UPSERT via foreachBatch — the
     MERGE-into-a-keyed-table pattern parquet sinks cannot express
-    (append-only). The events table is replayed as 4 micro-batches;
+    (append-only). The events table is replayed as 3 micro-batches;
     each batch reduces to its newest row per user_id (max ts,
     event_id tie-break), merges with the standing keyed table, and
     atomically swaps the new snapshot in (write-to-temp + rename —
@@ -457,7 +457,7 @@ def q_b91_stream_complete_mode(spark, sf_dir):
     output-mode rung (B48 append withholds open windows, B72
     foreachBatch hand-rolls update; complete re-emits the whole
     aggregate each micro-batch, the mode a live dashboard sink
-    consumes). The events table replays over 4 micro-batches
+    consumes). The events table replays over 3 micro-batches
     (maxFilesPerTrigger=1) into an unwindowed per-type aggregate in a
     memory sink; after availableNow drains the input, the final table
     must equal the batch answer EXACTLY — which is why this streaming
@@ -682,7 +682,7 @@ def q_b110_stream_update_mode(spark, sf_dir):
     ONLY the rows whose state changed in this micro-batch: the
     changelog a downstream upsert sink consumes; B72 hand-rolls the
     same contract with foreachBatch+MERGE, this is the declarative
-    form). The events table replays over 4 micro-batches; the memory
+    form). The events table replays over 3 micro-batches; the memory
     sink accumulates each batch's changed rows, so the LAST emission
     per key — selected by the monotone n_events, exactly B56's
     read-back discipline — must equal the batch aggregate, which is
@@ -773,7 +773,9 @@ def q_b118_stream_progress_metrics(spark, sf_dir):
 
     sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = events_stream_time_ordered(sess, sf_dir)
+    # n_files pinned to 4: the oracle recomputes the telemetry as
+    # ntile(4) — the replay width IS the contract here.
+    stream = events_stream_time_ordered(sess, sf_dir, n_files=4)
     q = (
         stream.writeStream.format("noop")
         .option(
