@@ -2404,3 +2404,91 @@ def q_c109_source_diversity_sample(spark, sf_dir):
         )
         .orderBy("source", "doc_a", "doc_b")
     )
+
+
+@query(
+    "q_c111_dup_cluster_histogram",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL  -- planted exact clones: every 89th doc twice more,
+                 -- every 178th once more -> sizes 3 and 4 both occur
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 89 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 89 = 0
+      UNION ALL
+      SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 178 = 0
+    ), clusters AS (
+      SELECT md5(text) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             MIN(doc_id) AS example_doc
+      FROM corpus GROUP BY md5(text)
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(example_doc) AS BIGINT) AS example_doc
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q_c111_dup_cluster_histogram(spark, sf_dir):
+    """C111 (extension): duplication PROFILE — the cluster-size
+    histogram of exact-duplicate groups (size -> how many clusters,
+    how many docs, one example doc per size). C1 executes the dedup
+    and C103 samples an aggregate rate; this is the distribution the
+    curation decision actually reads: web-scale corpora duplicate on
+    a power law, and the histogram's tail tells you whether the mass
+    sits in millions of pairs (near-dup machinery's job, C8) or in a
+    few megaclusters (one blocklist line each — C50's boilerplate
+    case). The example_doc per size row is the auditor's entry point
+    into the biggest offenders (deterministic: MIN doc_id).
+
+    Shape: two map-side-combined aggregations, both shrinking — corpus
+    -> distinct-hash clusters (the C1 shuffle, on the 16-byte md5) ->
+    |distinct sizes| rows (dozens at any corpus scale). No window, no
+    join. Integer-exact output, so the hash match is total.
+
+    Scale: the md5 groupBy is the same narrow-projection shuffle C1
+    already pays (at 100 TB: hash + doc_id only, never text); the
+    second agg's key cardinality is bounded by the largest cluster
+    size — trivially tiny. This is the cheapest whole-corpus dedup
+    diagnostic that exists.
+
+    The fixture corpus has no natural exact duplicates, so clones are
+    PLANTED (every 89th doc x2, every 178th x1 — the C90-style
+    construction, identical on both engines) so sizes 1, 3 and 4 all
+    carry mass and the histogram's positive path is exercised every
+    run (the C15 vacuous-test lesson)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d
+    for off, mod in ((2_000_000, 89), (3_000_000, 89), (4_000_000, 178)):
+        corpus = corpus.unionByName(
+            d.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            )
+        )
+    clusters = (
+        widen(corpus)
+        .select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.min("doc_id").alias("example_doc"),
+        )
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.count("*"))
+            .cast("long")
+            .alias("n_docs"),
+            F.min("example_doc").cast("long").alias("example_doc"),
+        )
+        .select(
+            "cluster_size", "n_clusters", "n_docs", "example_doc"
+        )
+        .orderBy("cluster_size")
+    )

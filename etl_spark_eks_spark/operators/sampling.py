@@ -1968,3 +1968,101 @@ def q_c108_shuffle_uniformity_audit(spark, sf_dir):
         F.round(chi2, 6).alias("chi2"),
         (chi2 < _C108_CRIT).alias("well_mixed"),
     ).orderBy("source")
+
+
+# Tokens per training sequence for C110's chunk map. 512 at fixture
+# scale (sf0.01 has ~66k tokens -> ~130 chunks, enough to exercise
+# every boundary case: doc inside chunk, doc spanning chunks, chunk
+# holding many docs); production swaps 2048/4096/8192 — one constant.
+_C110_CHUNK = 512
+
+
+@query(
+    "q_c110_packed_chunk_map",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS n
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+               AS cb
+      FROM toks WHERE n > 0
+    )
+    SELECT CAST(c AS BIGINT) AS chunk_id,
+           doc_id,
+           CAST(GREATEST(cb - c * {_C110_CHUNK}, 0) AS BIGINT) AS tok_start,
+           CAST(LEAST(cb + n - c * {_C110_CHUNK}, {_C110_CHUNK}) AS BIGINT)
+             AS tok_end,
+           CAST(n AS BIGINT) AS n_doc_tokens,
+           (c = cb // {_C110_CHUNK}) AS is_doc_start,
+           (c = (cb + n - 1) // {_C110_CHUNK}) AS is_doc_end
+    FROM pos, UNNEST(range(CAST(cb // {_C110_CHUNK} AS BIGINT),
+                           CAST((cb + n - 1) // {_C110_CHUNK} + 1
+                                AS BIGINT))) AS u(c)
+    """,
+)
+def q_c110_packed_chunk_map(spark, sf_dir):
+    """C110 (extension): GPT-style sequence packing — concatenate the
+    token stream in doc_id order and cut it into fixed-length training
+    chunks, emitting per (chunk, doc) the exact token span the doc
+    occupies inside the chunk. This is the OTHER packing contract from
+    C24/C45: those keep documents whole and fill variable shards; a
+    causal-LM pretraining loader does the opposite — every sequence is
+    exactly CHUNK tokens, documents are SPLIT across boundaries, and
+    the trainer needs the boundary map to reset attention / mask the
+    loss at document joins (the attention-span table). Output:
+    (chunk_id, doc_id, tok_start, tok_end exclusive, n_doc_tokens,
+    is_doc_start, is_doc_end) — per chunk, the spans tile [0, CHUNK)
+    exactly; per doc, the spans concatenate to the whole doc. Both
+    tiling invariants are pinned in tests/test_sampling.py.
+
+    Shape: ONE token-count projection (no token rows ever materialize
+    — size(tokenize()) stays inside the scan projection), the shared
+    distributed two-phase prefix sum (running_total_before — the same
+    no-global-window discipline as C24/C86), then a pure-arithmetic
+    explode of sequence(first_chunk, last_chunk): each doc emits
+    exactly the chunks it overlaps, 1 + n/CHUNK rows on average.
+    Integer-exact throughout (DIV, no doubles), so the oracle matches
+    value-for-value.
+
+    Scale: zero corpus shuffle beyond the prefix sum's broadcast-
+    offsets join; output is ~corpus-token-count/CHUNK + n_docs rows,
+    written partitioned by chunk_id range for the loader. Empty docs
+    contribute no tokens and no rows (filtered, documented)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokenize("text")).alias("n")
+    ).filter(F.col("n") > 0)
+    pos = running_total_before(toks, "doc_id", "n").withColumnRenamed(
+        "__cum_before", "cb"
+    )
+    c = F.col("chunk_id")
+    first = F.expr(f"cb DIV {_C110_CHUNK}")
+    last = F.expr(f"(cb + n - 1) DIV {_C110_CHUNK}")
+    return (
+        pos.select(
+            "doc_id",
+            "n",
+            "cb",
+            F.explode(F.sequence(first, last)).alias("chunk_id"),
+        )
+        .select(
+            "chunk_id",
+            "doc_id",
+            F.greatest(
+                F.col("cb") - c * _C110_CHUNK, F.lit(0)
+            ).cast("long").alias("tok_start"),
+            F.least(
+                F.col("cb") + F.col("n") - c * _C110_CHUNK,
+                F.lit(_C110_CHUNK),
+            ).cast("long").alias("tok_end"),
+            F.col("n").cast("long").alias("n_doc_tokens"),
+            (c == F.expr(f"cb DIV {_C110_CHUNK}")).alias("is_doc_start"),
+            (c == F.expr(f"(cb + n - 1) DIV {_C110_CHUNK}")).alias(
+                "is_doc_end"
+            ),
+        )
+    )

@@ -658,3 +658,62 @@ def q_b150_modern_string_funcs(spark, sf_dir):
         F.right("source", F.lit(2)).alias("tail2"),
         F.translate("lang", "en", "EN").alias("lang_up"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_b158_lateral_view_posexplode",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')[1:5]
+                  ELSE [] END AS arr
+      FROM documents WHERE doc_id % 37 = 0
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN len(arr) = 0 THEN NULL ELSE i END AS BIGINT)
+             AS pos,
+           CASE WHEN len(arr) = 0 THEN NULL ELSE arr[i + 1] END AS tok
+    FROM t, UNNEST(CASE WHEN len(arr) = 0 THEN [CAST(0 AS BIGINT)]
+                        ELSE range(CAST(0 AS BIGINT),
+                                   CAST(len(arr) AS BIGINT)) END) AS u(i)
+    """,
+)
+def q_b158_lateral_view_posexplode(spark, sf_dir):
+    """B158: LATERAL VIEW OUTER posexplode — the HiveQL-dialect
+    generator surface that text SQL arriving from a Hive/Athena
+    migration is written in (the B121/B133 gateway story again; the
+    DataFrame equivalents are B41's explode and B76's explode_outer,
+    but `LATERAL VIEW` is its own grammar production, not sugar the
+    parser shares with them). Three contracts in one statement:
+    POSEXPLODE emits the 0-based ORDINAL with each element (the
+    position column an array-order-sensitive consumer needs — B41's
+    explode loses it), OUTER keeps empty-array rows as (NULL, NULL)
+    instead of dropping the parent row (B76's semantics, spelled in
+    Hive), and the generated columns join the parent row laterally.
+    Odd doc_ids carry a planted empty array so the OUTER path is
+    exercised on every run; the oracle reproduces the ordinal and the
+    NULL row relationally (UNNEST over an index range).
+
+    Scale: generators run inside the projection — no shuffle, output
+    rows = total array length; the 5-element slice bounds fan-out.
+    Catalyst plans the same Generate node as the DataFrame form, so
+    nothing is lost by arriving through the Hive dialect."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 37 == 0
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.slice(toks, 1, 5))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("arr"),
+    ).createOrReplaceTempView("b158_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, CAST(pos AS LONG) AS pos, tok
+        FROM b158_docs
+        LATERAL VIEW OUTER posexplode(arr) AS pos, tok
+        """
+    )

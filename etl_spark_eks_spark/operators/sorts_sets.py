@@ -264,3 +264,80 @@ def q_b120_distribute_sort_by(spark, sf_dir):
         SORT BY l_returnflag, l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "q_b155_order_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q_b155_order_by_all(spark, sf_dir):
+    """B155: ORDER BY ALL — the companion of B123's GROUP BY ALL and
+    the last piece of the DuckDB-dialect ergonomic pair a warehouse
+    migration types on day one: sort by every select-list column,
+    left to right, without restating them (and without the
+    positional-ORDER-BY-1,2 fragility when the list is edited). The
+    oracle runs the LITERAL same text — both engines implement the
+    same dialect extension, so presence-with-identical-semantics is
+    the compatibility claim, exactly B150's discipline.
+
+    Scale: sugar, not a plan change — Catalyst expands ALL to the
+    select list at analysis, the sort is the same range-partitioned
+    TakeOrdered/Sort any explicit ORDER BY plans. The k-row aggregate
+    here sorts 4 rows; the operator exists for the TEXT surface."""
+    from etl_spark_eks_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query("q_b157_tablesample_repeatable")  # rows-only: sample membership is
+# partition-layout-dependent (per-split Bernoulli), so no cross-engine
+# oracle exists; determinism WITHIN an engine run is invariant-tested in
+# tests/test_properties.py (same seed -> identical sample, twice).
+def q_b157_tablesample_repeatable(spark, sf_dir):
+    """B157: TABLESAMPLE ... REPEATABLE — the SQL-text sampling surface
+    (ad-hoc exploration, query-time downsampling) with a pinned seed.
+    Contract demonstrated: (1) BERNOULLI percent sampling happens AT
+    THE SCAN (the sample pushes into the file source — rows never
+    reach the query above it), (2) REPEATABLE(seed) makes the draw
+    deterministic for a fixed file layout — rerunning the same query
+    on the same table yields the SAME rows, which is what makes a
+    sampled debugging session reproducible.
+
+    The engine's own corpus-sampling ladder deliberately does NOT use
+    this: C22/C36's hash-rank sampling is content-keyed, so membership
+    survives repartitioning, appends, and engine changes — TABLESAMPLE
+    is split-keyed (per-partition seed), so its membership is only
+    stable while the physical layout is. That distinction is the
+    operator's documentation payload: TABLESAMPLE for interactive
+    speed, hash-rank for anything a pipeline depends on.
+
+    Scale: sampling at the scan means a 1% TABLESAMPLE of 100 TB reads
+    all bytes but materializes 1% of rows into the query — the win is
+    downstream, not in IO (row-group skipping needs a filter, not a
+    sample)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "b157_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM b157_orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        """
+    )

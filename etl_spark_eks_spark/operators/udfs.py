@@ -577,3 +577,55 @@ def q_b147_polymorphic_udtf(spark, sf_dir):
         WHERE d.doc_id < 20
         """
     )
+
+
+@query(
+    "q_b154_arrow_python_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(split_part(o_orderpriority, '-', 1) AS BIGINT)
+             AS priority_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b154_arrow_python_udf(spark, sf_dir):
+    """B154: Arrow-OPTIMIZED scalar Python UDF (`useArrow=True`,
+    Spark 4) — the third rung of the Python scalar ladder and the one
+    that closes it: B51 is the classic pickled row loop (10-100x slow
+    path), B52 the pandas/Series batch API (fast but a different
+    FUNCTION SHAPE — the author writes vectorized code), this is the
+    row-shaped function B51's author already wrote, transported over
+    Arrow batches instead of pickled rows. Same signature, same
+    per-row semantics (including Python-side exceptions), ~10x less
+    serialization: the migration path for a codebase full of legacy
+    UDFs that cannot all be rewritten as Series kernels.
+
+    The function parses the leading integer from the priority code
+    ('1-URGENT' -> 1) — string surgery that exercises Arrow's string
+    transport both directions, applied BEFORE a groupBy so the plan
+    shows the UDF feeding a real aggregation, not a projection-only
+    demo. The oracle reproduces it relationally (split_part).
+
+    Scale: still Python — built-ins win when expressible (this one
+    IS expressible, which is what makes it oracle-checkable); the
+    point of the operator is the transport contract, and at 100 TB
+    the Arrow batches are what keep a must-be-Python hook from
+    dominating the stage."""
+    parse_rank = F.udf(
+        lambda p: int(p.split("-")[0]) if p else None,
+        "long",
+        useArrow=True,
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderpriority",
+            parse_rank("o_orderpriority").alias("priority_rank"),
+        )
+        .groupBy("o_orderpriority", "priority_rank")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

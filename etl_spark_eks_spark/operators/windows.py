@@ -329,3 +329,59 @@ def q_b105_running_distinct(spark, sf_dir):
             F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@query(
+    "q_b156_named_window_clause",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_before,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_before,
+           ROUND(AVG(o_totalprice) OVER w3, 6) AS avg3
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_b156_named_window_clause(spark, sf_dir):
+    """B156: named WINDOW clause — the SQL-text surface for SHARING a
+    window specification across expressions (`WINDOW w AS (...)`,
+    one definition, many OVER references; Spark requires
+    re-framed variants as sibling definitions in the same clause —
+    ANSI's `OVER (w ROWS ...)` inline extension is not in its
+    grammar, a documented dialect edge). The DataFrame API has had this since day one (one Window
+    object, many .over() calls — B26/B29 use it); arriving TEXT SQL
+    (the B121/B133/B134 gateway story) writes it this way, and
+    restating a 4-line spec per expression is the copy-paste-drift
+    bug the clause exists to prevent. The oracle runs the LITERAL
+    same text (DuckDB implements the identical ANSI clause).
+
+    Plan payload: all four functions resolve to the SAME window spec,
+    so Catalyst computes them in ONE Window node — one sort, one
+    pass; avg3's sibling window shares the partitioning/sort, so its
+    second Window node rides the SAME exchange (no extra shuffle). At
+    100 TB that is the difference between one shuffle and four.
+
+    Float discipline: running sums of doubles ROUND 2 (cents-exact
+    inputs), the 3-row average ROUND 6 — both associative-safe inside
+    one partition's ordered frame."""
+    from etl_spark_eks_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER w AS LONG) AS rn,
+               COUNT(*) OVER w AS n_before,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS spend_before,
+               ROUND(AVG(o_totalprice) OVER w3, 6) AS avg3
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+               w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """
+    )

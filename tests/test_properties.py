@@ -1190,3 +1190,25 @@ def test_substring_surgery_consistent_with_span_report(spark, sf_dir):
         assert sur["n_tokens_before"] == rep["n_tokens"], doc_id
         kept = [t for t in sur["text_clean"].split(" ") if t]
         assert len(kept) == rep["n_tokens"] - rep["dup_tokens"], doc_id
+
+
+def test_b157_tablesample_repeatable_is_deterministic(spark, sf_dir):
+    """B157's contract: REPEATABLE(seed) gives the SAME sample on
+    rerun (fixed file layout), the sample is a subset of the table,
+    and the draw is a plausible 10% (binomial 5-sigma bounds)."""
+    from etl_spark_eks_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES["q_b157_tablesample_repeatable"]
+    a = sorted(r["o_orderkey"] for r in q(spark, sf_dir).collect())
+    b = sorted(r["o_orderkey"] for r in q(spark, sf_dir).collect())
+    assert a == b, "REPEATABLE seed must reproduce the sample"
+    full = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    assert set(a) <= set(full)
+    n, p = len(full), 0.10
+    mean, sigma = n * p, (n * p * (1 - p)) ** 0.5
+    assert abs(len(a) - mean) <= 5 * sigma + 1, (len(a), mean, sigma)

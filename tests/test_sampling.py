@@ -385,3 +385,37 @@ def test_waterfill_matches_independent_implementation(spark, sf_dir):
             m -= 1
     got = {r["lang"]: r["alloc"] for r in rows}
     assert got == expect, (got, expect)
+
+
+def test_c110_chunk_map_tiles_exactly(spark, sf_dir):
+    """C110's two tiling invariants: (1) every chunk except the last is
+    covered by its doc spans EXACTLY — spans sum to CHUNK, start at 0,
+    end at CHUNK, and are gap/overlap-free (sorted spans are adjacent);
+    (2) every doc's spans concatenate to the whole doc — per-doc span
+    total equals n_doc_tokens, with exactly one is_doc_start and one
+    is_doc_end."""
+    from etl_spark_eks_spark.operators.sampling import _C110_CHUNK
+
+    rows = (
+        registry.QUERIES["q_c110_packed_chunk_map"](spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    by_chunk: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    last_chunk = max(by_chunk)
+    for cid, spans in by_chunk.items():
+        spans.sort(key=lambda r: r["tok_start"])
+        assert spans[0]["tok_start"] == 0, (cid, spans[0])
+        for a, b in zip(spans, spans[1:]):
+            assert a["tok_end"] == b["tok_start"], (cid, a, b)
+        if cid != last_chunk:
+            assert spans[-1]["tok_end"] == _C110_CHUNK, (cid, spans[-1])
+    for did, spans in by_doc.items():
+        total = sum(r["tok_end"] - r["tok_start"] for r in spans)
+        assert total == spans[0]["n_doc_tokens"], (did, total)
+        assert sum(r["is_doc_start"] for r in spans) == 1
+        assert sum(r["is_doc_end"] for r in spans) == 1

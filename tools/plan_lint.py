@@ -78,6 +78,7 @@ ALLOW_SINGLE_PART = {
     "q_c107_exact_apportionment",   # remainder-rank window over the |strata| (20-row) quota table
     # bucket-/band-offset windows over n/bucket_size tables (plan-tested)
     "q_c24_pack_shards",
+    "q_c110_packed_chunk_map",  # same shared prefix-sum offset window as C24
     "q_c88_shard_mix_audit",
     "q_c46_stable_seq_ids", "q_c68_curriculum_phases",
     "q_m3_media_shard_pack", "q_m5_media_curation",
