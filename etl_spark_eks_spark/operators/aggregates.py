@@ -1206,3 +1206,112 @@ def q_b151_sql_unpivot_clause(spark, sf_dir):
         ORDER BY l_orderkey, l_linenumber, measure
         """
     )
+
+
+@query(
+    "q_b159_filter_clause_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(SUM(CAST(l_quantity AS BIGINT))
+                FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS open_qty,
+           CAST(COUNT(DISTINCT l_suppkey)
+                FILTER (WHERE l_tax = 0) AS BIGINT) AS notax_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_b159_filter_clause_aggregates(spark, sf_dir):
+    """B159: ANSI `FILTER (WHERE ...)` aggregate clause — per-aggregate
+    predicates in one grouping pass, the text-SQL surface of the
+    conditional-aggregation idiom the C-tier audit layer leans on
+    (C103/C105 via CASE WHEN). FILTER is the standard's spelling and
+    what migrating Postgres/DuckDB SQL arrives written in; it also
+    composes where CASE cannot: `COUNT(DISTINCT x) FILTER (...)`
+    counts distinct values AMONG matching rows, while
+    COUNT(DISTINCT CASE WHEN ... THEN x END) must thread a NULL
+    through the distinct set to fake it. The oracle runs the LITERAL
+    same text (B150/B155's presence-with-identical-semantics
+    discipline).
+
+    Plan payload: all four aggregates — two filtered, one filtered
+    DISTINCT — evaluate in the ONE hash-aggregate pass over the scan
+    (the distinct adds the standard Expand, exactly as unfiltered
+    B18); four separate filtered scans is what the clause saves.
+
+    Scale: map-side partial aggregation applies the predicates before
+    any shuffle; bytes exchanged are |groups| x |aggregates|,
+    independent of the filters' selectivity."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               SUM(CAST(l_quantity AS LONG))
+                 FILTER (WHERE l_linestatus = 'O') AS open_qty,
+               COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0)
+                 AS notax_suppliers
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q_b160_sql_pivot_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                                   THEN o_totalprice END), 0), 2)
+             AS open_total,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                                   THEN o_totalprice END), 0), 2)
+             AS finished_total,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                                   THEN o_totalprice END), 0), 2)
+             AS pending_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b160_sql_pivot_clause(spark, sf_dir):
+    """B160: the SQL `PIVOT` clause — B151's mirror (that one proved
+    UNPIVOT == its UNION ALL desugaring; this proves PIVOT == its
+    conditional-aggregate desugaring) and the text surface of B59's
+    DataFrame pivot. The oracle is DELIBERATELY the desugared form —
+    SUM(CASE WHEN status = v THEN x END) per pivot value — so the
+    clause is checked against its relational definition, not against
+    another engine's PIVOT keyword (DuckDB's PIVOT grammar differs;
+    the semantics cannot).
+
+    The IN list is EXPLICIT ('O','F','P' aliased) — the schema is
+    static at plan time, which is what makes text-SQL PIVOT safe in a
+    pipeline; B59 documents the dynamic-values variant (an extra
+    distinct-scan) as the exploratory form. COALESCE(...,0) pins the
+    absent-cell convention on both engines.
+
+    Scale: one hash aggregate over the scan, |priorities| x 3 cells —
+    PIVOT is GROUP BY in a trench coat; no shuffle beyond the one the
+    aggregate pays."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(COALESCE(open_total, 0), 2) AS open_total,
+               ROUND(COALESCE(finished_total, 0), 2) AS finished_total,
+               ROUND(COALESCE(pending_total, 0), 2) AS pending_total
+        FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice
+              FROM orders)
+        PIVOT (SUM(o_totalprice)
+               FOR o_orderstatus IN ('O' AS open_total,
+                                     'F' AS finished_total,
+                                     'P' AS pending_total))
+        ORDER BY o_orderpriority
+        """
+    )

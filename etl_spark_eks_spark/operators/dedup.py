@@ -2492,3 +2492,146 @@ def q_c111_dup_cluster_histogram(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "q_c113_threshold_sweep_curve",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+               AS raw
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, lang, raw FROM base
+      UNION ALL   -- planted nested-set clones: truncations land in
+                  -- mid bands, exact copies in band 10
+      SELECT doc_id + 5000000, lang, raw[1:CAST((3*len(raw)+3)//4 AS BIGINT)]
+      FROM base WHERE doc_id % 101 = 0
+      UNION ALL
+      SELECT doc_id + 6000000, lang, raw[1:CAST((len(raw)+1)//2 AS BIGINT)]
+      FROM base WHERE doc_id % 103 = 0
+      UNION ALL
+      SELECT doc_id + 7000000, lang, raw FROM base WHERE doc_id % 107 = 0
+    ), sized AS (
+      SELECT doc_id, lang, list_distinct(raw) AS toks,
+             len(list_distinct(raw)) AS n
+      FROM corpus WHERE len(raw) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             len(list_intersect(a.toks, b.toks)) AS i,
+             a.n + b.n - len(list_intersect(a.toks, b.toks)) AS u
+      FROM sized a JOIN sized b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n - b.n) <= 0.5 * greatest(a.n, b.n)
+    ), banded AS (
+      SELECT d1, d2, CAST(10 * i // u AS BIGINT) AS band_tenths
+      FROM pairs WHERE 2 * i >= u
+    )
+    SELECT band_tenths,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+    FROM (SELECT band_tenths, d1 AS d FROM banded
+          UNION ALL SELECT band_tenths, d2 FROM banded)
+    GROUP BY band_tenths
+    ORDER BY band_tenths
+    """,
+)
+def q_c113_threshold_sweep_curve(spark, sf_dir):
+    """C113 (extension): near-dup THRESHOLD SWEEP — pair similarities
+    computed ONCE, bucketed into Jaccard tenths (band 5 = [0.5,0.6) …
+    band 10 = exact), reporting pairs and affected docs per band.
+    This is the curve a dedup threshold is actually chosen FROM
+    (C106's pattern, applied to C2's knob): rerunning the dedup per
+    candidate threshold recomputes the same intersections N times;
+    the sweep pays the pairwise verify once and every threshold's
+    kill-count is a suffix sum of the histogram.
+
+    INTEGER-EXACT banding: band = (10·i) DIV u on intersection/union
+    counts — no float Jaccard is ever compared, so no band can flip
+    between engines (the C99/C103 discipline). The admission gate
+    J >= 0.5 is the cross-multiplied 2i >= u.
+
+    The fixture corpus has few natural mid-band pairs, so NESTED-SET
+    clones are planted (every 101st doc truncated to 3/4 of its
+    tokens, every 103rd halved, every 107th copied verbatim — a
+    truncation's distinct set is contained in its source's, landing
+    deterministic mass in the mid bands and band 10; identical
+    integer arithmetic both engines).
+
+    Scale: this runs C2's blocked all-pairs verify (lang block +
+    50% length band — the J >= 0.5 pigeonhole bound), the documented
+    DEMO path; at corpus scale candidate generation swaps to C8's
+    MinHash bands (one banding pass admits everything down to the
+    sweep floor) with this operator's banding arithmetic unchanged."""
+    base = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", tokenize("text").alias("raw")
+    )
+    n_raw = F.size("raw")
+    plants = [
+        (5_000_000, 101, F.expr("slice(raw, 1, (3*size(raw)+3) div 4)")),
+        (6_000_000, 103, F.expr("slice(raw, 1, (size(raw)+1) div 2)")),
+        (7_000_000, 107, F.col("raw")),
+    ]
+    corpus = base
+    for off, mod, expr in plants:
+        corpus = corpus.unionByName(
+            base.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                "lang",
+                expr.alias("raw"),
+            )
+        )
+    sized = (
+        corpus.filter(n_raw > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("raw", lambda t: F.xxhash64(t))
+                )
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.col("a.n") - F.col("b.n"))
+            <= 0.5 * F.greatest(F.col("a.n"), F.col("b.n"))
+        ),
+    )
+    i = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    u = F.col("a.n") + F.col("b.n") - i
+    banded = (
+        cand.select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            i.alias("i"),
+            u.alias("u"),
+        )
+        .filter(2 * F.col("i") >= F.col("u"))
+        .select(
+            "d1",
+            "d2",
+            F.expr("10 * i div u").cast("long").alias("band_tenths"),
+        )
+    )
+    out = (
+        banded.select("band_tenths", F.col("d1").alias("d"))
+        .unionByName(banded.select("band_tenths", F.col("d2").alias("d")))
+        .groupBy("band_tenths")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_pairs"),
+            F.count_distinct("d").cast("long").alias("n_docs"),
+        )
+        .orderBy("band_tenths")
+    )
+    result = out.localCheckpoint(eager=True)
+    sized.unpersist()
+    return result

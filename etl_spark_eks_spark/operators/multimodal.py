@@ -1694,3 +1694,155 @@ def q_m16_manifest_reconciliation(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# M17 fetch coalescing knobs: requested members = every 3rd doc (a
+# deterministic sampled batch); ranges <= _M17_GAP bytes apart merge
+# into one GET. 2048 at fixture scale (tar members are ~512-4k) so
+# both merged multi-member groups and singleton fetches occur.
+_M17_GAP = 2048
+
+
+@query(
+    "q_m17_byte_range_fetch_plan",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_bytes,
+             CAST(FLOOR(CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_bytes AS DOUBLE)
+                        / 4096) AS BIGINT) AS shard_id,
+             512 + CAST(CEIL(n_bytes / 512.0) AS BIGINT) * 512
+               AS padded_bytes
+      FROM p
+    ),
+    members AS (
+      SELECT doc_id, shard_id, padded_bytes,
+             COALESCE(CAST(SUM(padded_bytes) OVER (PARTITION BY shard_id
+                             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT), 0) AS member_offset
+      FROM sharded
+    ),
+    needed AS (
+      SELECT *,
+             member_offset + padded_bytes AS member_end,
+             CASE WHEN member_offset
+                       - COALESCE(MAX(member_offset + padded_bytes) OVER (
+                           PARTITION BY shard_id ORDER BY member_offset
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         member_offset) > {_M17_GAP}
+                  THEN 1 ELSE 0 END AS brk
+      FROM members WHERE doc_id % 3 = 0
+    ),
+    grouped AS (
+      SELECT *,
+             SUM(brk) OVER (PARTITION BY shard_id ORDER BY member_offset
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM needed
+    )
+    SELECT shard_id, CAST(grp AS BIGINT) AS fetch_group,
+           CAST(MIN(member_offset) AS BIGINT) AS start_byte,
+           CAST(MAX(member_end) AS BIGINT) AS end_byte,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(member_end) - MIN(member_offset) AS BIGINT)
+             AS fetched_bytes,
+           CAST(SUM(padded_bytes) AS BIGINT) AS useful_bytes
+    FROM grouped
+    GROUP BY shard_id, grp
+    ORDER BY shard_id, fetch_group
+    """,
+)
+def q_m17_byte_range_fetch_plan(spark, sf_dir):
+    """M17 (extension): coalesced byte-range FETCH PLAN — given M10's
+    member offsets and a sampled batch (every 3rd doc, the
+    deterministic stand-in for a dataloader's shuffled slice), emit
+    the ranged GETs the loader should issue per shard: adjacent
+    needed members whose gap is <= GAP bytes merge into one request
+    (start, end, members covered, fetched vs useful bytes). This is
+    the S3/GCS range-coalescing every multimodal loader implements —
+    per-member GETs die by request count, whole-shard GETs by
+    amplification when the batch needs 1/3 of the bytes; the plan
+    quantifies both (useful_bytes/fetched_bytes is the amplification
+    the GAP knob trades against request count).
+
+    Shape: M10's member table (shared two-phase prefix sum + the
+    shard-bounded offset window), filter to the batch, then
+    gaps-and-islands per shard: brk = gap-to-running-max-end > GAP,
+    group = running sum of brk, one rollup per (shard, group). All
+    windows partition by shard_id — byte-budget-bounded membership,
+    trivially parallel. Integer byte arithmetic end-to-end (the
+    ranges must be byte-exact or the reader desyncs — M10's rule).
+
+    Scale: metadata-only (payload bytes never move); output is
+    request-plan-sized. The running-max-end form (not lag) makes the
+    islands correct even when a skipped member's range nests inside
+    the union of earlier ones."""
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = d.select(
+        "doc_id", F.length("payload").cast("long").alias("n_bytes")
+    )
+    sharded = running_total_before(meta, "doc_id", "n_bytes").select(
+        "doc_id",
+        "n_bytes",
+        F.floor(F.col("__cum_before").cast("double") / 4096)
+        .cast("bigint")
+        .alias("shard_id"),
+        (512 + F.ceil(F.col("n_bytes") / 512.0).cast("bigint") * 512).alias(
+            "padded_bytes"
+        ),
+    )
+    w_off = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    members = sharded.select(
+        "doc_id",
+        "shard_id",
+        "padded_bytes",
+        F.coalesce(F.sum("padded_bytes").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("member_offset"),
+    )
+    needed = members.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "member_end", F.col("member_offset") + F.col("padded_bytes")
+    )
+    w_prev = (
+        Window.partitionBy("shard_id")
+        .orderBy("member_offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        F.col("member_offset")
+        - F.coalesce(
+            F.max("member_end").over(w_prev), F.col("member_offset")
+        )
+        > _M17_GAP
+    ).cast("int")
+    w_grp = (
+        Window.partitionBy("shard_id")
+        .orderBy("member_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = needed.withColumn("brk", brk).withColumn(
+        "fetch_group", F.sum("brk").over(w_grp).cast("long")
+    )
+    return (
+        grouped.groupBy("shard_id", "fetch_group")
+        .agg(
+            F.min("member_offset").cast("long").alias("start_byte"),
+            F.max("member_end").cast("long").alias("end_byte"),
+            F.count("*").cast("long").alias("n_members"),
+            (F.max("member_end") - F.min("member_offset"))
+            .cast("long")
+            .alias("fetched_bytes"),
+            F.sum("padded_bytes").cast("long").alias("useful_bytes"),
+        )
+        .orderBy("shard_id", "fetch_group")
+    )

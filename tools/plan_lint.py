@@ -83,6 +83,7 @@ ALLOW_SINGLE_PART = {
     "q_c46_stable_seq_ids", "q_c68_curriculum_phases",
     "q_m3_media_shard_pack", "q_m5_media_curation",
     "q_m10_tar_member_offsets",
+    "q_m17_byte_range_fetch_plan",  # M10's prefix-sum offset window class
     # k-sized / report-sized tails documented in the docstrings
     "q_c60_bm25_topk",
     "q_c100_vocab_coverage_curve",  # global rank window over the contracted VOCAB table (C77/C48 discipline)
