@@ -26,6 +26,7 @@ _FAMILIES = (
     "sampling",
     "catalog_queries",
     "layout",
+    "tpch",
 )
 
 

@@ -1315,3 +1315,51 @@ def q_b160_sql_pivot_clause(spark, sf_dir):
         ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_b163_grouping_id_disambiguation",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '__ALL__') AS returnflag,
+           COALESCE(l_linestatus, '__ALL__') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+)
+def q_b163_grouping_id_disambiguation(spark, sf_dir):
+    """B163: GROUPING() / GROUPING_ID() — the disambiguators that make
+    B21/B22/B23's multi-level aggregates actually consumable. A
+    ROLLUP emits NULL group keys for the subtotal levels, but a NULL
+    can ALSO be a real data value — a consumer reading `key IS NULL`
+    as "subtotal row" silently merges genuine-NULL groups into the
+    totals (the classic OLAP-cube bug). GROUPING(col) is the per-
+    column this-is-a-subtotal bit and GROUPING_ID the packed bitmask
+    — the level selector a report filters on (`WHERE gid = 0` = leaf
+    rows only). The COALESCE to '__ALL__' in the output is exactly
+    the rendering the bits make safe.
+
+    Both engines implement the ANSI functions; the oracle runs the
+    literal same text, pinning bit ORDER (left arg = high bit) as
+    well as values — the part implementations disagree on most.
+
+    Scale: free — the bits are computed in the same Expand node the
+    rollup already plans; no extra pass, no extra shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '__ALL__') AS returnflag,
+               COALESCE(l_linestatus, '__ALL__') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS LONG) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS LONG) AS g_status,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS LONG) AS gid,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus
+        """
+    )

@@ -1083,3 +1083,74 @@ def q_b140_aqe_skew_join(spark, sf_dir):
     Money math: DECIMAL(38,6) accumulation, one edge round."""
     sess, out = _b140_skewed_frames(spark, sf_dir)
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+@query(
+    "q_b162_sql_semi_anti_join",
+    oracle="""
+    WITH buyers AS (
+      SELECT c.c_custkey, c.c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 200000)
+    ),
+    idle AS (
+      SELECT c.c_custkey, c.c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT 'big_buyer' AS cohort, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM buyers GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'no_orders' AS cohort, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM idle GROUP BY c_mktsegment
+    ORDER BY cohort, c_mktsegment
+    """,
+)
+def q_b162_sql_semi_anti_join(spark, sf_dir):
+    """B162: LEFT SEMI / LEFT ANTI JOIN as SQL TEXT — B10/B11 cover
+    the DataFrame surface; migrating HiveQL arrives spelled `LEFT
+    SEMI JOIN` / `LEFT ANTI JOIN`, a grammar production of its own
+    (ANSI SQL has no semi-join keyword — the standard spells it
+    EXISTS, which is why the ORACLE uses EXISTS/NOT EXISTS: the check
+    is that Spark's dialect keyword means exactly the standard's
+    subquery semantics, including the no-duplication guarantee a
+    plain JOIN+DISTINCT would fake wrong for multi-order customers).
+
+    One statement exercises both: big-buyer customers (semi on a
+    pushed-down price predicate) and never-ordered customers (anti),
+    each rolled up by segment — the existence-cohort report shape.
+
+    Scale: semi/anti hash joins keep only the probe side's columns
+    and short-circuit on first match — no fact-side fan-out ever
+    materializes; the build side is the filtered orderkey set. Same
+    physical nodes as B10/B11, arriving through the parser."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "b162_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "b162_orders"
+    )
+    return spark.sql(
+        """
+        WITH buyers AS (
+          SELECT c.c_custkey, c.c_mktsegment FROM b162_customer c
+          LEFT SEMI JOIN b162_orders o
+            ON o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+        ),
+        idle AS (
+          SELECT c.c_custkey, c.c_mktsegment FROM b162_customer c
+          LEFT ANTI JOIN b162_orders o ON o.o_custkey = c.c_custkey
+        )
+        SELECT 'big_buyer' AS cohort, c_mktsegment,
+               COUNT(*) AS n_customers
+        FROM buyers GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'no_orders' AS cohort, c_mktsegment,
+               COUNT(*) AS n_customers
+        FROM idle GROUP BY c_mktsegment
+        ORDER BY cohort, c_mktsegment
+        """
+    )

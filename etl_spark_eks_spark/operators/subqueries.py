@@ -179,3 +179,53 @@ def q_b121_parameterized_sql(spark, sf_dir):
             "priorities": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
         },
     )
+
+
+@query(
+    "q_b161_correlated_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT AVG(i.o_totalprice) FROM orders i
+        WHERE i.o_custkey = o.o_custkey
+    )
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_b161_correlated_scalar_subquery(spark, sf_dir):
+    """B161: CORRELATED scalar subquery — each order compared against
+    its own customer's average ("orders 1.5x above this customer's
+    norm"). B43 is the uncorrelated case (one global scalar,
+    broadcast); correlation changes everything about execution: a
+    tuple-at-a-time re-execution of the inner query is O(n) subquery
+    runs, so Catalyst DECORRELATES — rewrites the subquery into a
+    per-custkey aggregate joined back on the correlation key
+    (DecorrelateInnerQuery / RewriteCorrelatedScalarSubquery), turning
+    the apply into one aggregate + one equi-join. The oracle runs the
+    literal same text; DuckDB performs the same flattening — agreeing
+    ANSWERS through independent decorrelations is the semantics check.
+
+    Plan contract: the executed plan contains an Aggregate on
+    o_custkey joined to orders — never a nested-loop re-evaluation.
+    Both sides read orders twice (self-aggregate + probe), which
+    B117's caching pattern collapses when this shape sits in a hot
+    path.
+
+    Scale: the decorrelated form is a map-side-combined per-customer
+    aggregate (|customers| rows) joined on the grouping key —
+    broadcastable when customers fit, shuffled-hash otherwise; either
+    way linear, where the naive correlated execution is quadratic."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               ROUND(o.o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT AVG(i.o_totalprice) FROM orders i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )

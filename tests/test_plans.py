@@ -1038,3 +1038,37 @@ def test_b153_avro_probe_and_registration(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_b161_subquery_is_decorrelated(spark, sf_dir):
+    """B161's docstring claim: the correlated scalar subquery executes
+    as a decorrelated per-custkey aggregate joined back — never a
+    nested-loop re-evaluation of the inner query per row."""
+    plan = plan_of(
+        registry.QUERIES["q_b161_correlated_scalar_subquery"](
+            spark, sf_dir
+        )
+    )
+    assert "HashAggregate" in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_composites_plan_shape(spark, sf_dir):
+    """B164/B166: top-N tails plan TakeOrderedAndProject (never a
+    global sort of the aggregate) and the date/segment predicates
+    reach the scans (PushedFilters non-empty)."""
+    for key in ("q_b164_tpch_q3", "q_b166_tpch_q10"):
+        plan = plan_of(registry.QUERIES[key](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (key, plan)
+        assert "PushedFilters: [" in plan, key
+        # at least one scan carries a real pushed predicate
+        assert any(
+            "PushedFilters: [" in ln and "[]" not in ln
+            for ln in plan.splitlines()
+        ), (key, plan)
