@@ -2066,3 +2066,132 @@ def q_c110_packed_chunk_map(spark, sf_dir):
             ),
         )
     )
+
+
+# C112's synthetic eval suite: three benchmark slices by id class.
+_C112_BENCHES = (("bench_a", 97), ("bench_b", 89), ("bench_c", 83))
+
+
+@query(
+    "q_c112_benchmark_contamination_matrix",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL   -- planted verbatim benchmark copies (one per slice)
+      SELECT doc_id + 2000000, source, text FROM documents
+      WHERE doc_id IN (0, 89, 83)
+    ), t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 4, 0) + 1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])
+             ))) AS s
+      FROM t
+    ), benches AS (
+      SELECT b.bench, b.m, sh.s
+      FROM (VALUES ('bench_a', 97), ('bench_b', 89), ('bench_c', 83))
+           AS b(bench, m)
+      JOIN sh ON sh.doc_id % b.m = 0 AND sh.doc_id < 2000000
+      GROUP BY b.bench, b.m, sh.s
+    ), per_doc AS (
+      SELECT b.bench, b.m, sh.doc_id, sh.source,
+             COUNT(*) AS n_sh, COUNT(bs.s) AS n_hit
+      FROM (VALUES ('bench_a', 97), ('bench_b', 89), ('bench_c', 83))
+           AS b(bench, m)
+      JOIN sh ON sh.doc_id % b.m <> 0 OR sh.doc_id >= 2000000
+      LEFT JOIN benches bs ON bs.bench = b.bench AND bs.s = sh.s
+      GROUP BY b.bench, b.m, sh.doc_id, sh.source
+    )
+    SELECT bench, source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE 2 * n_hit >= n_sh) AS BIGINT)
+             AS n_contaminated
+    FROM per_doc
+    GROUP BY bench, source
+    ORDER BY bench, source
+    """,
+)
+def q_c112_benchmark_contamination_matrix(spark, sf_dir):
+    """C112 (extension): contamination MATRIX across an eval SUITE —
+    C55 gates the corpus against ONE benchmark; a real launch checks
+    a suite (MMLU + GSM8K + HumanEval + ...), and the decision table
+    is per (benchmark, source): which feeds leak which evals. Three
+    id-class slices stand in for the suite; a verbatim copy of one
+    doc per slice is planted (offset ids) so every benchmark row has
+    a guaranteed positive. Contamination is C55's 5-gram overlap at
+    the 0.5 threshold, evaluated in cross-multiplied integers
+    (2·hits >= shingles — no float ratio, no tie flips).
+
+    The suite is ONE pass: the corpus shingle table builds once, each
+    benchmark's distinct-shingle set derives from it and broadcasts
+    (benchmarks are tiny by construction — eval sets are KB-scale
+    against a 100 TB corpus), and each benchmark's hit counts ride
+    the same per-doc aggregation. Adding a benchmark adds one
+    broadcast set, never a corpus re-scan — the reason this is an
+    operator and not a loop over C55.
+
+    Scale: the only corpus-sized exchange is the (doc, bench) hit
+    aggregation (map-side combined, keyed by doc_id — never a single
+    partition); candidate exclusion (a benchmark doc is not a
+    candidate against its own slice) is a predicate, not a join."""
+    from etl_spark_eks_spark.functions.text import (
+        ordered_token_hashes,
+        shingle_hashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = d.filter(F.col("doc_id").isin(0, 89, 83)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "source", "text"
+    )
+    corpus = d.unionByName(planted)
+    sh = (
+        widen(corpus)
+        .select(
+            "doc_id",
+            "source",
+            ordered_token_hashes(tokenize("text")).alias("th"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingle_hashes("th", 5))).alias(
+                "sh"
+            ),
+        )
+    )
+    out = None
+    for bench, m in _C112_BENCHES:
+        bset = (
+            sh.filter(
+                (F.col("doc_id") % m == 0) & (F.col("doc_id") < 2_000_000)
+            )
+            .select(F.col("sh").alias("bsh"))
+            .distinct()
+        )
+        cand = sh.filter(
+            (F.col("doc_id") % m != 0) | (F.col("doc_id") >= 2_000_000)
+        )
+        per_doc = (
+            cand.join(F.broadcast(bset), cand["sh"] == bset["bsh"], "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count("*").alias("n_sh"),
+                F.count("bsh").alias("n_hit"),
+            )
+        )
+        row = per_doc.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.count(
+                F.when(2 * F.col("n_hit") >= F.col("n_sh"), True)
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+        ).select(F.lit(bench).alias("bench"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bench", "source")

@@ -3122,3 +3122,73 @@ def q_c106_threshold_selection(spark, sf_dir):
         "threshold_decipct int, tp long, fp long, fn long, tn long, "
         "is_best_f1 boolean",
     ).orderBy("threshold_decipct")
+
+
+@query(
+    "q_c115_truncation_loss_audit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             t -> t <> '')) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE n > 128) AS BIGINT)
+             AS docs_cut_128,
+           CAST(COALESCE(SUM(n - 128) FILTER (WHERE n > 128), 0)
+                AS BIGINT) AS tokens_lost_128,
+           CAST(COUNT(*) FILTER (WHERE n > 256) AS BIGINT)
+             AS docs_cut_256,
+           CAST(COALESCE(SUM(n - 256) FILTER (WHERE n > 256), 0)
+                AS BIGINT) AS tokens_lost_256,
+           CAST(COUNT(*) FILTER (WHERE n > 512) AS BIGINT)
+             AS docs_cut_512,
+           CAST(COALESCE(SUM(n - 512) FILTER (WHERE n > 512), 0)
+                AS BIGINT) AS tokens_lost_512
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_c115_truncation_loss_audit(spark, sf_dir):
+    """C115 (extension): context-window truncation-loss audit — per
+    source, how many documents exceed each candidate sequence length
+    (128/256/512 at fixture scale; 2k/8k/32k in production) and how
+    many tokens a truncate-at-L loader would THROW AWAY. This is the
+    number that decides between truncation and C110's chunk packing:
+    truncation is simpler and keeps attention contiguous, but if one
+    source loses 40% of its tokens at the chosen L, its long-form
+    distribution silently vanishes from the model — the audit makes
+    that loss a read-off instead of a surprise. Reported per source
+    because length distributions differ by an order of magnitude
+    across feeds (code vs chat vs books), so a global number hides
+    exactly the source the decision is about.
+
+    One conditional-aggregate pass (the B159 FILTER discipline —
+    every ladder rung shares the single token-count projection; no
+    explode, no second scan), integer-exact throughout.
+
+    Scale: size(tokenize()) stays inside the scan projection; the
+    only shuffle is the |sources|-key rollup, map-side combined.
+    Adding a rung is one more FILTER pair, not a pass."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokenize("text"))
+    base = widen(d).select("source", n.alias("n"))
+    cols = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    ]
+    for lim in (128, 256, 512):
+        over = F.col("n") > lim
+        cols.append(
+            F.count(F.when(over, True)).cast("long").alias(f"docs_cut_{lim}")
+        )
+        cols.append(
+            F.coalesce(F.sum(F.when(over, F.col("n") - lim)), F.lit(0))
+            .cast("long")
+            .alias(f"tokens_lost_{lim}")
+        )
+    return base.groupBy("source").agg(*cols).orderBy("source")
