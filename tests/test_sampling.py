@@ -419,3 +419,35 @@ def test_c110_chunk_map_tiles_exactly(spark, sf_dir):
         assert total == spans[0]["n_doc_tokens"], (did, total)
         assert sum(r["is_doc_start"] for r in spans) == 1
         assert sum(r["is_doc_end"] for r in spans) == 1
+
+
+def test_c112_planted_copies_are_contaminated(spark, sf_dir):
+    """C112's planted verbatim benchmark copies must be counted
+    contaminated against their own benchmark, and every (bench,
+    source) cell must have candidates."""
+    rows = registry.QUERIES["q_c112_benchmark_contamination_matrix"](
+        spark, sf_dir
+    ).collect()
+    by_bench: dict[str, int] = {}
+    for r in rows:
+        assert r["n_candidates"] > 0
+        by_bench[r["bench"]] = by_bench.get(r["bench"], 0) + r[
+            "n_contaminated"
+        ]
+    # one verbatim copy planted per slice -> every benchmark detects >= 1
+    assert set(by_bench) == {"bench_a", "bench_b", "bench_c"}
+    assert all(v >= 1 for v in by_bench.values()), by_bench
+
+
+def test_c113_planted_clones_land_in_expected_bands(spark, sf_dir):
+    """C113's planted nested-set clones: verbatim copies must put mass
+    in band 10; the 3/4- and 1/2-truncations in bands 5-9 (a nested
+    truncation's Jaccard is |trunc|/|orig| in (0.4, 1.0)); and at
+    least three distinct bands must carry pairs."""
+    rows = registry.QUERIES["q_c113_threshold_sweep_curve"](
+        spark, sf_dir
+    ).collect()
+    bands = {r["band_tenths"]: r["n_pairs"] for r in rows}
+    assert bands.get(10, 0) >= 1, bands  # verbatim clones
+    assert sum(v for b, v in bands.items() if 5 <= b <= 9) >= 1, bands
+    assert len(bands) >= 3, bands
