@@ -1358,3 +1358,135 @@ if avro_available():
             .cast("long")
             .alias("total_cents"),
         )
+
+
+@query(
+    "q_b167_multi_insert_fanout",
+    oracle="""
+    SELECT 'hot' AS route, o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_totalprice > 250000
+    UNION ALL
+    SELECT 'urgent' AS route, o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice <= 250000
+    ORDER BY route, o_orderkey
+    """,
+)
+def q_b167_multi_insert_fanout(spark, sf_dir):
+    """B167: multi-INSERT fan-out (`FROM src INSERT ... INSERT ...`) —
+    the HiveQL one-scan-many-sinks statement: a single pass over the
+    source routes rows into multiple tables by predicate. The ETL
+    alternative is N independent INSERT statements = N scans of a
+    100 TB source; multi-insert is the text-SQL spelling of the
+    one-pass router (the DataFrame form needs foreachBatch or persist
+    + two writes — B72's machinery; here the parser does it).
+    Routes are disjoint by construction (price cut, then priority
+    among the rest) so the read-back union equals the relational
+    union exactly, row-for-row.
+
+    Scale: ONE scan feeds both inserts; each predicate applies
+    map-side; each sink is an independent parquet append. The plan
+    contains a single relation read (the point), two InsertInto
+    commands."""
+    tag = _tag(sf_dir)
+    t_hot, t_urg = f"b167_hot_{tag}", f"b167_urgent_{tag}"
+    for t in (t_hot, t_urg):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "b167_src"
+    )
+    # Explicit fresh LOCATIONs: DROP TABLE on an unregistered name
+    # leaves a stale warehouse dir behind (new session, old files) and
+    # CREATE then fails LOCATION_ALREADY_EXISTS; fresh_scratch wipes.
+    loc_hot = fresh_scratch("q_b167", tag, "hot")
+    loc_urg = fresh_scratch("q_b167", tag, "urgent")
+    spark.sql(
+        f"""CREATE TABLE {t_hot}
+            (o_orderkey BIGINT, o_orderpriority STRING, price DOUBLE)
+            USING parquet LOCATION '{loc_hot}'"""
+    )
+    spark.sql(
+        f"""CREATE TABLE {t_urg}
+            (o_orderkey BIGINT, o_orderpriority STRING, price DOUBLE)
+            USING parquet LOCATION '{loc_urg}'"""
+    )
+    spark.sql(
+        f"""
+        FROM b167_src
+        INSERT INTO {t_hot}
+          SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2)
+          WHERE o_totalprice > 250000
+        INSERT INTO {t_urg}
+          SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2)
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice <= 250000
+        """
+    )
+    hot = spark.table(t_hot).select(
+        F.lit("hot").alias("route"), "o_orderkey", "o_orderpriority",
+        F.col("price"),
+    )
+    urg = spark.table(t_urg).select(
+        F.lit("urgent").alias("route"), "o_orderkey", "o_orderpriority",
+        F.col("price"),
+    )
+    return hot.unionByName(urg).orderBy("route", "o_orderkey")
+
+
+@query(
+    "q_b168_recover_partitions",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS invisible_before_repair
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+)
+def q_b168_recover_partitions(spark, sf_dir):
+    """B168: MSCK REPAIR TABLE / partition recovery — the lake's
+    reconciliation primitive for EXTERNALLY-written partitions. A
+    metastore-backed partitioned table only sees partitions the
+    metastore KNOWS; files dropped into the directory layout by an
+    outside producer (another job, a backfill, a DistCp — exactly
+    the reference's crawler-discovers-landing-prefix story,
+    addons.tf's Glue crawler) are invisible until repair scans the
+    layout and registers what it finds. The query writes every
+    partition EXTERNALLY (path write, not INSERT), pins the
+    before-repair count == 0 as an oracle-TRUE boolean (the B19
+    self-verifying shape), runs MSCK, and returns per-partition
+    counts that must now equal the relational truth.
+
+    Scale: repair cost is a directory LISTING (one level per
+    partition column), metadata-only — no data read; at 100 TB the
+    alternative (re-crawling content) is why Glue crawlers and MSCK
+    exist. Partition pruning over the recovered table is pinned by
+    B61's test."""
+    tag = _tag(sf_dir)
+    tbl = f"b168_ext_{tag}"
+    loc = fresh_scratch("q_b168", tag, "extdir")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("prio")
+    )
+    o.write.partitionBy("prio").parquet(loc, mode="overwrite")
+    spark.sql(
+        f"""CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE)
+            USING parquet PARTITIONED BY (prio STRING)
+            LOCATION '{loc}'"""
+    )
+    before = spark.table(tbl).count()
+    spark.sql(f"MSCK REPAIR TABLE {tbl}")
+    return (
+        spark.table(tbl)
+        .groupBy("prio")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .select(
+            "prio",
+            "n_orders",
+            F.lit(bool(before == 0)).alias("invisible_before_repair"),
+        )
+        .orderBy("prio")
+    )

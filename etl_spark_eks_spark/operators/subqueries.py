@@ -229,3 +229,123 @@ def q_b161_correlated_scalar_subquery(spark, sf_dir):
         ORDER BY o.o_orderkey
         """
     )
+
+
+@query(
+    "q_b169_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders WHERE o_totalprice > 300000
+    )
+    SELECT 'not_in' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+    UNION ALL
+    SELECT 'not_exists' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+    ORDER BY method
+    """,
+)
+def q_b169_not_in_null_semantics(spark, sf_dir):
+    """B169: NOT IN vs NOT EXISTS under NULLs — the three-valued-logic
+    trap pinned as an operator. `x NOT IN (S)` is `x <> s1 AND x <>
+    s2 AND ...`; one NULL in S makes every conjunct UNKNOWN-at-best,
+    so the predicate NEVER passes and the query silently returns
+    ZERO rows — the classic exclusion-list bug (a single NULL in the
+    blocklist un-blocks nothing and empties the result instead).
+    `NOT EXISTS` with an equality correlate ignores NULL probes and
+    returns the intended complement. Both cohorts run in one
+    statement; the oracle is the literal same text — both engines
+    implement the same ANSI semantics, and PINNING the surprising
+    answer (n=0 for NOT IN) is the point: an engine that 'fixed' it
+    would be wrong.
+
+    Execution note: NOT IN plans as a NULL-AWARE anti join (Spark's
+    NAAJ — a broadcast variant exists precisely because the
+    null-check makes the general case expensive); NOT EXISTS is a
+    plain LeftAnti. Same report shape as B162's cohort counts.
+
+    Scale: the probe side is filtered-small and broadcast; the
+    customer scan is one pass. The operator's value is semantic
+    documentation, priced at one extra anti join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "b169_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "b169_orders"
+    )
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                      ELSE o_custkey END AS k
+          FROM b169_orders WHERE o_totalprice > 300000
+        )
+        SELECT 'not_in' AS method, COUNT(*) AS n_customers
+        FROM b169_customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+        UNION ALL
+        SELECT 'not_exists' AS method, COUNT(*) AS n_customers
+        FROM b169_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+        ORDER BY method
+        """
+    )
+
+
+@query(
+    "q_b170_lateral_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey)
+               AS rn
+      FROM customer
+    ),
+    segs AS (SELECT DISTINCT c_mktsegment FROM customer)
+    SELECT s.c_mktsegment, r.c_custkey, r.acctbal
+    FROM segs s JOIN ranked r
+      ON r.c_mktsegment = s.c_mktsegment AND r.rn <= 2
+    ORDER BY s.c_mktsegment, r.c_custkey
+    """,
+)
+def q_b170_lateral_topk_per_group(spark, sf_dir):
+    """B170: correlated LATERAL subquery with ORDER BY + LIMIT — the
+    top-k-per-group shape spelled the way migrating Postgres SQL
+    writes it (`FROM dims d, LATERAL (SELECT ... WHERE key = d.key
+    ORDER BY ... LIMIT k) t`), vs B27's window spelling. The ORACLE
+    is deliberately the ROW_NUMBER desugaring: the check is that the
+    lateral form means exactly the window form (per group: the same
+    k rows under the same total order — ties broken by c_custkey in
+    the LIMIT's sort so boundary ties can't diverge).
+
+    Execution note: Spark decorrelates the lateral into a
+    per-partition ranked join (DecorrelateLateralSubquery), not a
+    per-outer-row re-execution — the same decorrelation contract as
+    B161, extended to LIMIT. With k bounded, WindowGroupLimit
+    machinery keeps the per-group work k-sized.
+
+    Scale: |groups| outer rows each bind a k-row inner result; the
+    inner sort is per-group (keyed), never global."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "b170_customer"
+    )
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, t.c_custkey,
+               ROUND(t.c_acctbal, 2) AS acctbal
+        FROM (SELECT DISTINCT c_mktsegment FROM b170_customer) s,
+        LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM b170_customer i
+          WHERE i.c_mktsegment = s.c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        ORDER BY s.c_mktsegment, t.c_custkey
+        """
+    )

@@ -111,6 +111,7 @@ ALLOW_SINGLE_PART = {
     # two-phase COUNT/SUM shape, fine at any scale
     "q_a5_count", "q_b1_register_star", "q_b18_count_distinct",
     "q_b19_approx_cd", "q_b85_funnel_analysis",
+    "q_b169_not_in_null_semantics",  # two global COUNT folds (cohort counts)
     # 1-row stat/bound/budget/spine-seed tables feeding broadcasts
     # (each documented in its query's docstring)
     "q_b43_scalar_subquery", "q_b83_event_gap_detection",
