@@ -2195,3 +2195,200 @@ def q_c112_benchmark_contamination_matrix(spark, sf_dir):
         ).select(F.lit(bench).alias("bench"), "*")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("bench", "source")
+
+
+@query(
+    "q_c117_cluster_weighted_sample",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL   -- planted exact clones (C111's construction) so
+                  -- multi-size clusters exist and down-weighting bites
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 89 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 89 = 0
+      UNION ALL
+      SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 178 = 0
+    ), sized AS (
+      SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size,
+             {_bucket_sql("doc_id", 1000)} AS bucket
+      FROM corpus
+    )
+    SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM sized
+    WHERE bucket * cluster_size < 1000
+    ORDER BY doc_id
+    """,
+)
+def q_c117_cluster_weighted_sample(spark, sf_dir):
+    """C117 (extension): count-weighted SOFT dedup — keep each doc with
+    probability 1/cluster_size instead of C1's hard keep-one. The
+    policy several pipelines prefer over hard dedup: expectation one
+    representative per duplicate cluster, but WHICH copy survives is
+    hash-random rather than always-min-id, so surviving copies stay
+    exchangeable (no systematic bias toward the first crawl's
+    formatting) and the decision is per-doc local — no canonical
+    election, no join back. The keep rule is INTEGER-EXACT and
+    content-stable: permille(doc_id) · cluster_size < 1000 (the C22
+    portable bucket — rerun/engine/partition invariant), so the kept
+    set is a pure function of (doc_id, cluster_size).
+
+    C111's planted clones make size-3/4 clusters exist at fixture
+    scale; the oracle replicates the plant and the bucket arithmetic
+    exactly.
+
+    Scale: one md5 count per cluster (a window over the C1 shuffle
+    key — same exchange C1 pays; at 100 TB hash+id only, never text)
+    + a per-row filter. Compare C1 (hard, deterministic canonical),
+    C58 (quality-ranked canonical), this (stochastic-but-reproducible
+    down-weighting) — three policies, one shuffle shape."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d
+    for off, mod in ((2_000_000, 89), (3_000_000, 89), (4_000_000, 178)):
+        corpus = corpus.unionByName(
+            d.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            )
+        )
+    w = Window.partitionBy(F.md5("text"))
+    sized = widen(corpus).select(
+        "doc_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        hash_bucket(F.col("doc_id"), 1000).cast("long").alias("bucket"),
+    )
+    return (
+        sized.filter(
+            F.col("bucket") * F.col("cluster_size") < 1000
+        ).orderBy("doc_id")
+    )
+
+
+@query(
+    "q_c116_eval_proximity_report",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL   -- planted verbatim copies of two benchmark docs ->
+                  -- guaranteed full-overlap training neighbors
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id IN (0, 97)
+    ), t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 4, 0) + 1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])
+             ))) AS s
+      FROM t
+    ), bench_tot AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh
+      WHERE doc_id % 97 = 0 AND doc_id < 2000000 GROUP BY doc_id
+    ), hits AS (
+      SELECT b.doc_id AS bench_doc, c.doc_id AS cand_doc,
+             COUNT(*) AS shared
+      FROM sh b JOIN sh c ON b.s = c.s
+      WHERE b.doc_id % 97 = 0 AND b.doc_id < 2000000
+        AND (c.doc_id % 97 <> 0 OR c.doc_id >= 2000000)
+      GROUP BY b.doc_id, c.doc_id
+    ), best AS (
+      SELECT bench_doc, cand_doc, shared,
+             ROW_NUMBER() OVER (PARTITION BY bench_doc
+                                ORDER BY shared DESC, cand_doc) AS rn
+      FROM hits
+    )
+    SELECT bt.doc_id AS bench_doc,
+           CAST(bt.n_sh AS BIGINT) AS n_shingles,
+           CAST(b.cand_doc AS BIGINT) AS nearest_train_doc,
+           CAST(COALESCE(b.shared, 0) AS BIGINT) AS shared_shingles
+    FROM bench_tot bt
+    LEFT JOIN best b ON b.bench_doc = bt.doc_id AND b.rn = 1
+    ORDER BY bench_doc
+    """,
+)
+def q_c116_eval_proximity_report(spark, sf_dir):
+    """C116 (extension): eval-proximity report — C55 REVERSED. C55
+    asks per TRAINING doc "how much benchmark is in you" (the
+    removal gate); this asks per BENCHMARK item "what is your nearest
+    training neighbor and how close" — the report an evals team reads
+    before trusting a score: an eval item whose nearest-train
+    neighbor shares 80% of its shingles is measuring memorization no
+    matter what the decontam gate said (the gate thresholds per-doc
+    overlap; a SHORT eval item can be fully contained in a long
+    training doc that itself stays under 0.5). Argmax is pinned
+    deterministic (shared DESC, candidate id ASC); benchmark items
+    with NO sharing candidate stay in the report with NULLs — absence
+    of a neighbor is the evidence, exactly C82's zero-row rule.
+    Verbatim plants guarantee a full-overlap positive every run.
+
+    Shape: one corpus shingle table; the benchmark side is tiny so
+    its shingles BROADCAST into the corpus-side join (eval sets are
+    KB vs 100 TB); hit counts aggregate keyed by (bench, candidate)
+    — bench-bounded cardinality; the argmax window partitions by
+    bench item. The lexical sibling of C98's embedding argmax,
+    sharing its broadcast-the-small-side plan."""
+    from etl_spark_eks_spark.functions.text import (
+        ordered_token_hashes,
+        shingle_hashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id").isin(0, 97)).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    sh = (
+        widen(corpus)
+        .select(
+            "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingle_hashes("th", 5))).alias(
+                "s"
+            ),
+        )
+    )
+    is_bench = (F.col("doc_id") % 97 == 0) & (
+        F.col("doc_id") < 2_000_000
+    )
+    bench = sh.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "s"
+    )
+    cand = sh.filter(~is_bench).select(
+        F.col("doc_id").alias("cand_doc"), "s"
+    )
+    hits = (
+        cand.join(F.broadcast(bench), "s")
+        .groupBy("bench_doc", "cand_doc")
+        .agg(F.count("*").alias("shared"))
+    )
+    w = Window.partitionBy("bench_doc").orderBy(
+        F.col("shared").desc(), "cand_doc"
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench_tot = (
+        bench.groupBy("bench_doc")
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+    )
+    return (
+        bench_tot.join(best, "bench_doc", "left")
+        .select(
+            F.col("bench_doc"),
+            "n_shingles",
+            F.col("cand_doc").cast("long").alias("nearest_train_doc"),
+            F.coalesce(F.col("shared"), F.lit(0))
+            .cast("long")
+            .alias("shared_shingles"),
+        )
+        .orderBy("bench_doc")
+    )
