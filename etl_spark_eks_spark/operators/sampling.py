@@ -2029,9 +2029,10 @@ def q_c110_packed_chunk_map(spark, sf_dir):
     value-for-value.
 
     Scale: zero corpus shuffle beyond the prefix sum's broadcast-
-    offsets join; output is ~corpus-token-count/CHUNK + n_docs rows,
-    written partitioned by chunk_id range for the loader. Empty docs
-    contribute no tokens and no rows (filtered, documented)."""
+    offsets join; output is ~corpus-token-count/CHUNK + n_docs rows —
+    a consumer materializing it for a loader would repartitionByRange
+    on chunk_id (C35's layout discipline). Empty docs contribute no
+    tokens and no rows (filtered, documented)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(tokenize("text")).alias("n")
