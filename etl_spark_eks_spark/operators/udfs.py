@@ -629,3 +629,69 @@ def q_b154_arrow_python_udf(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_b171_pandas_on_spark",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o.o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o.o_orderkey) AS BIGINT) AS last_key
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    ORDER BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def q_b171_pandas_on_spark(spark, sf_dir):
+    """B171: the pandas-on-Spark API (`pyspark.pandas`) — the THIRD
+    user surface after DataFrame and SQL, and the one a
+    pandas-codebase migration arrives through: read_parquet →
+    boolean-mask filter → merge → groupby/agg → sort_values, spelled
+    exactly as pandas, planned by Catalyst. The operator's claim is
+    semantic identity: the ps chain must hash-match the relational
+    oracle — same filter, join, and grouping — proving the compat
+    layer is a FRONT-END (every step lowers to the same plan the
+    DataFrame API builds), not a reimplementation with pandas row
+    semantics.
+
+    Cost notes a migration must know, encoded here: ps attaches a
+    default index — `to_spark()` before returning drops it, and
+    index-free chains avoid the distributed-sequence zipWithIndex
+    pass; sort_values is declarative (lazy) like orderBy, nothing
+    like pandas' eager in-memory sort. Aggregates are
+    integer-exact (counts, key extremes) so the surface demo carries
+    a total hash match.
+
+    Scale: identical to the equivalent DataFrame plan — the filter
+    pushes to the scan, the merge is the same hash join, groupby the
+    same partial agg; the ONLY ps-specific hazard is the default
+    index (a corpus-wide sequence), avoided as above."""
+    import pyspark.pandas as ps
+
+    pso = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    psc = ps.read_parquet(f"{sf_dir}/customer.parquet")
+    big = pso[pso.o_totalprice > 100000]
+    joined = big.merge(
+        psc[["c_custkey", "c_mktsegment"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    out = (
+        joined.groupby(["c_mktsegment", "o_orderpriority"])
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            first_key=("o_orderkey", "min"),
+            last_key=("o_orderkey", "max"),
+        )
+        .reset_index()
+        .sort_values(["c_mktsegment", "o_orderpriority"])
+    )
+    return out.to_spark().select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.col("n_orders").cast("long"),
+        F.col("first_key").cast("long"),
+        F.col("last_key").cast("long"),
+    )
