@@ -1212,3 +1212,102 @@ def test_b157_tablesample_repeatable_is_deterministic(spark, sf_dir):
     n, p = len(full), 0.10
     mean, sigma = n * p, (n * p * (1 - p)) ** 0.5
     assert abs(len(a) - mean) <= 5 * sigma + 1, (len(a), mean, sigma)
+
+
+nullable_keys = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=8)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(outer=keys, probe=nullable_keys)
+@_settings
+def test_not_in_vs_not_exists_differential(spark, outer, probe):
+    """B169's semantics fuzzed: for ANY outer set and ANY probe set
+    (NULLs included), Spark's NOT IN and NOT EXISTS must each match
+    DuckDB's — and whenever the probe contains a NULL, NOT IN must
+    return the empty set (ANSI three-valued logic), while NOT EXISTS
+    returns the true complement."""
+    import duckdb
+    import pandas as pd
+
+    odf = pd.DataFrame({"k": pd.Series(outer, dtype="int64")})
+    pdf = pd.DataFrame({"p": pd.Series(probe, dtype="object")})
+    con = duckdb.connect()
+    con.register("o", odf)
+    con.register("p", pdf)
+    want_not_in = sorted(
+        r[0] for r in con.execute(
+            "SELECT k FROM o WHERE k NOT IN (SELECT p FROM p)"
+        ).fetchall()
+    )
+    want_not_exists = sorted(
+        r[0] for r in con.execute(
+            "SELECT k FROM o WHERE NOT EXISTS "
+            "(SELECT 1 FROM p WHERE p.p = o.k)"
+        ).fetchall()
+    )
+    con.close()
+
+    so = (
+        spark.createDataFrame([(int(x),) for x in outer], "k long")
+        if outer else spark.createDataFrame([], "k long")
+    )
+    sp = (
+        spark.createDataFrame(
+            [(None if x is None else int(x),) for x in probe], "p long"
+        )
+        if probe else spark.createDataFrame([], "p long")
+    )
+    so.createOrReplaceTempView("fuzz_o")
+    sp.createOrReplaceTempView("fuzz_p")
+    got_not_in = sorted(
+        r["k"] for r in spark.sql(
+            "SELECT k FROM fuzz_o WHERE k NOT IN (SELECT p FROM fuzz_p)"
+        ).collect()
+    )
+    got_not_exists = sorted(
+        r["k"] for r in spark.sql(
+            "SELECT k FROM fuzz_o WHERE NOT EXISTS "
+            "(SELECT 1 FROM fuzz_p WHERE fuzz_p.p = fuzz_o.k)"
+        ).collect()
+    )
+    assert got_not_in == want_not_in
+    assert got_not_exists == want_not_exists
+    if any(x is None for x in probe):
+        assert got_not_in == []  # the trap B169 pins
+
+
+@given(rows=win_rows)
+@_settings
+def test_lateral_limit_equals_window_topk(spark, rows):
+    """B170's equivalence fuzzed: per group, the correlated LATERAL
+    ORDER BY/LIMIT k result must equal the ROW_NUMBER <= k window
+    desugaring under the same total order, for arbitrary tie-heavy
+    inputs."""
+    df = (
+        spark.createDataFrame(rows, "g int, o int, v int")
+        if rows else spark.createDataFrame([], "g int, o int, v int")
+    )
+    df.createOrReplaceTempView("fuzz_t")
+    lateral = spark.sql(
+        """
+        SELECT s.g, t.o, t.v
+        FROM (SELECT DISTINCT g FROM fuzz_t) s,
+        LATERAL (SELECT o, v FROM fuzz_t i WHERE i.g = s.g
+                 ORDER BY o DESC, v DESC LIMIT 2) t
+        """
+    ).collect()
+    window = spark.sql(
+        """
+        SELECT g, o, v FROM (
+          SELECT g, o, v,
+                 ROW_NUMBER() OVER (PARTITION BY g
+                                    ORDER BY o DESC, v DESC) AS rn
+          FROM fuzz_t
+        ) WHERE rn <= 2
+        """
+    ).collect()
+    canon = lambda rs: sorted((r["g"], r["o"], r["v"]) for r in rs)
+    assert canon(lateral) == canon(window)

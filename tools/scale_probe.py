@@ -120,6 +120,19 @@ PROBE_QUERIES = (
     "q_c100_vocab_coverage_curve",
     "q_c101_source_divergence_matrix",
     "q_c102_substring_span_surgery",
+    # round-7 additions over documents/lineitem (q_b164-q_b166 join the
+    # symlinked orders/customer tables and q_b154/q_b167-q_b170 run on
+    # symlinked orders — absent per the measure-the-op rule; q_c113's
+    # blocked all-pairs is deliberately absent for the same reason as
+    # q_c2/q_c18: block population grows with the corpus BY CONTRACT,
+    # the documented demo path with C8 banding as the scale rung)
+    "q_c110_packed_chunk_map",
+    "q_c111_dup_cluster_histogram",
+    "q_c112_benchmark_contamination_matrix",
+    "q_c115_truncation_loss_audit",
+    "q_c116_eval_proximity_report",
+    "q_c117_cluster_weighted_sample",
+    "q_m17_byte_range_fetch_plan",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
