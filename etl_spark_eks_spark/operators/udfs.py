@@ -695,3 +695,46 @@ def q_b171_pandas_on_spark(spark, sf_dir):
         F.col("first_key").cast("long"),
         F.col("last_key").cast("long"),
     )
+
+
+@query(
+    "q_b172_udf_determinism_contract",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderkey % 7 AS BIGINT) AS shard
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def q_b172_udf_determinism_contract(spark, sf_dir):
+    """B172: the UDF DETERMINISM contract — `asNondeterministic()` and
+    what it buys/costs. Catalyst may push, reorder, collapse, and
+    RE-EXECUTE any expression it believes deterministic; a Python UDF
+    that secretly isn't (reads a clock, counts calls, samples)
+    silently breaks under exactly those rewrites — filters evaluated
+    before/after it change its input set, projection collapse changes
+    its call COUNT. Declaring it nondeterministic is the fence: the
+    optimizer stops moving expressions across it. The fence is
+    observable in the plan and PINNED in tests/test_plans.py: an
+    identical filter lands BELOW the Python eval for the default
+    declaration (pushed toward the scan) and stays ABOVE it for the
+    asNondeterministic twin.
+
+    This query runs the declared-NONDETERMINISTIC arm with a
+    value-deterministic function (id % 7), so the result is
+    oracle-checkable while the plan shows the fence — the B19
+    self-verifying trick applied to an optimizer contract.
+
+    Scale: the fence has a real price — an unpushed filter after an
+    expensive UDF means the UDF runs on ALL rows (here: every
+    orderkey, filtered to <500 only afterwards). Declare
+    nondeterminism only when true; when true, FILTER FIRST in a
+    subquery the optimizer cannot cross."""
+    nondet = F.udf(lambda x: x % 7, "long").asNondeterministic()
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", nondet("o_orderkey").alias("shard"))
+        .filter(F.col("o_orderkey") < 500)
+        .orderBy("o_orderkey")
+    )

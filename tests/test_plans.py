@@ -1072,3 +1072,29 @@ def test_tpch_composites_plan_shape(spark, sf_dir):
             "PushedFilters: [" in ln and "[]" not in ln
             for ln in plan.splitlines()
         ), (key, plan)
+
+
+def test_b172_determinism_fence_in_plan(spark, sf_dir):
+    """B172's plan contract: the same filter sits BELOW the Python
+    eval (pushed toward the scan) when the UDF is default-declared,
+    and stays ABOVE it when declared nondeterministic."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    det = F.udf(lambda x: x % 7, "long")
+    nondet = F.udf(lambda x: x % 7, "long").asNondeterministic()
+
+    def order(df):
+        plan = plan_of(df)
+        tree = plan.split("\n\n")[0]
+        f = tree.index("Filter")
+        p = tree.index("BatchEvalPython")
+        # formatted explain prints top-down: smaller index = higher node
+        return "filter_above" if f < p else "filter_below"
+
+    pipe = lambda udf: (
+        o.select("o_orderkey", udf("o_orderkey").alias("shard"))
+        .filter(F.col("o_orderkey") < 500)
+    )
+    assert order(pipe(det)) == "filter_below"
+    assert order(pipe(nondet)) == "filter_above"

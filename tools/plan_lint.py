@@ -66,6 +66,7 @@ ALLOW_PY_ROW = {
     "q_b55_udtf_explode", # UDTF row interface
     "q_b73_python_udtf",  # python UDTF row interface
     "q_b147_polymorphic_udtf",  # python UDTF row interface (the analyze()-time polymorphism is the operator)
+    "q_b172_udf_determinism_contract",  # the declared determinism-fence demo (docstring-owned)
 }
 ALLOW_SINGLE_PART = {
     # global-scalar audit folds: the whole output IS one (or a few)
