@@ -1490,3 +1490,101 @@ def q_b168_recover_partitions(spark, sf_dir):
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "q_b173_compression_codec_audit",
+    oracle="""
+    WITH codecs AS (
+      SELECT codec FROM (VALUES ('gzip'), ('snappy'),
+                                ('uncompressed'), ('zstd')) AS c(codec)
+    ), truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(('0x' || substr(md5(
+                    CAST(o_orderkey AS VARCHAR) || chr(31)
+                    || o_orderpriority || chr(31)
+                    || CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0))
+                            AS VARCHAR)), 1, 12))::BIGINT
+                  AS DECIMAL(38,0))) AS VARCHAR) AS digest
+      FROM orders
+    )
+    SELECT c.codec, t.n_rows, t.digest, TRUE AS bytes_reported
+    FROM codecs c CROSS JOIN truth t
+    ORDER BY c.codec
+    """,
+)
+def q_b173_compression_codec_audit(spark, sf_dir):
+    """B173: parquet compression-codec round-trip audit — the storage
+    knob every lake tunes (snappy default, zstd for cold data, gzip
+    for legacy interop, uncompressed for CPU-bound scratch) proven
+    CONTENT-NEUTRAL: the table is written once per codec and each
+    read-back must carry the identical row count AND the identical
+    order-independent content digest (B142's md5-prefix SUM — the
+    right equality primitive here precisely because the parquet BYTES
+    differ per codec while the content must not). The oracle computes
+    the digest once from the source table; every codec row must match
+    it — four independent write/read paths converging on one number.
+
+    bytes_reported pins that the on-disk footprint was measured
+    (sizes are environment/version-dependent, so the NUMBERS live in
+    the plan's narration, not the oracle-checked columns — a codec
+    ranking assertion would be flaky by contract, the B146 lesson
+    applied in reverse).
+
+    Scale: codec choice changes IO bytes and decode CPU, never plans
+    — same vectorized reader, same pushdown. At 100 TB the decision
+    is measured $/scan: zstd ~2x smaller than snappy at ~1.5x decode
+    cost; this operator is the harness that makes the measurement a
+    query."""
+    tag = _tag(sf_dir)
+    sep = F.lit("\x1f")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    row = F.concat(
+        F.col("o_orderkey").cast("string"), sep,
+        F.col("o_orderpriority"), sep,
+        F.col("cents").cast("string"),
+    )
+    digest = (
+        F.sum(
+            F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("string")
+        .alias("digest")
+    )
+    out = []
+    for codec in ("gzip", "snappy", "uncompressed", "zstd"):
+        path = scratch_path("q_b173", tag, codec)
+        fp = _fixture_fingerprint(sf_dir, "orders")
+        if not _staged(path, fp):
+            o.write.mode("overwrite").option(
+                "compression", codec
+            ).parquet(path)
+            _mark_staged(path, fp)
+        back = spark.read.parquet(path)
+        import os
+
+        n_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        out.append(
+            back.agg(
+                F.count("*").cast("long").alias("n_rows"), digest
+            ).select(
+                F.lit(codec).alias("codec"),
+                "n_rows",
+                "digest",
+                F.lit(bool(n_bytes > 0)).alias("bytes_reported"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("codec")

@@ -2635,3 +2635,83 @@ def q_c113_threshold_sweep_curve(spark, sf_dir):
     result = out.localCheckpoint(eager=True)
     sized.unpersist()
     return result
+
+
+@query(
+    "q_c118_lsh_parameter_plan",
+    oracle="""
+    WITH grid AS (
+      SELECT b.b, r.r FROM
+        (VALUES (4), (8), (16), (32)) AS b(b),
+        (VALUES (2), (4), (8)) AS r(r)
+      WHERE b.b * r.r <= 128
+    ),
+    js AS (SELECT j FROM (VALUES (0.5), (0.7), (0.8), (0.9)) AS t(j))
+    SELECT CAST(g.b AS BIGINT) AS bands,
+           CAST(g.r AS BIGINT) AS rows_per_band,
+           CAST(g.b * g.r AS BIGINT) AS signature_size,
+           js.j AS jaccard,
+           ROUND(1 - POW(1 - POW(js.j, g.r), g.b), 6) AS p_candidate,
+           ROUND(POW(1.0 / g.b, 1.0 / g.r), 6) AS j_threshold_50
+    FROM grid g CROSS JOIN js
+    ORDER BY bands, rows_per_band, jaccard
+    """,
+)
+def q_c118_lsh_parameter_plan(spark, sf_dir):
+    """C118 (extension): MinHash-LSH PARAMETER PLANNER — the design
+    table behind C8's (bands=16, rows) choice, materialized as a
+    query instead of a whiteboard: for every (b, r) config in the
+    grid and every Jaccard level, the candidate probability
+    1-(1-j^r)^b, plus each config's 50% threshold (1/b)^(1/r). This
+    is how the banding knobs are actually chosen — pick the cheapest
+    signature (b·r minhashes) whose curve clears the recall floor at
+    the dedup threshold while staying low at the noise level; the
+    S-curve STEEPNESS between those two j values is the whole game,
+    and reading it off a table beats re-deriving it per corpus.
+    C113's measured pair-similarity histogram is this table's
+    companion: one says where the corpus pairs ARE, this says what
+    each config would CATCH.
+
+    Corpus-free by design (pure closed-form over a parameter grid) —
+    the one operator in the dedup family whose cost is zero at any
+    corpus scale; POW is IEEE-identical cross-engine for these
+    magnitudes, ROUND 6 on both sides.
+
+    Scale: a k-row local relation; the VALUE is that downstream
+    config (C8's band count, C73's index width) can be joined
+    against it as data instead of hard-coded."""
+    grid = spark.createDataFrame(
+        [
+            (b, r)
+            for b in (4, 8, 16, 32)
+            for r in (2, 4, 8)
+            if b * r <= 128
+        ],
+        "b int, r int",
+    )
+    js = spark.createDataFrame(
+        [(0.5,), (0.7,), (0.8,), (0.9,)], "j double"
+    )
+    return (
+        grid.crossJoin(F.broadcast(js))
+        .coalesce(1)
+        .select(
+            F.col("b").cast("long").alias("bands"),
+            F.col("r").cast("long").alias("rows_per_band"),
+            (F.col("b") * F.col("r")).cast("long").alias(
+                "signature_size"
+            ),
+            F.col("j").alias("jaccard"),
+            F.round(
+                1
+                - F.pow(
+                    1 - F.pow(F.col("j"), F.col("r")), F.col("b")
+                ),
+                6,
+            ).alias("p_candidate"),
+            F.round(
+                F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6
+            ).alias("j_threshold_50"),
+        )
+        .orderBy("bands", "rows_per_band", "jaccard")
+    )

@@ -60,6 +60,7 @@ ALLOW_CARTESIAN = {
     # 1-row totals tables broadcast-cross-joined (C26's class)
     "q_c91_dsir_importance",
     "q_c92_perplexity_buckets",
+    "q_c118_lsh_parameter_plan",  # deliberate k x k parameter-grid cross (44 rows, corpus-free)
 }
 ALLOW_PY_ROW = {
     "q_b51_python_udf",   # the row-at-a-time surface demo the contract requires
@@ -113,6 +114,7 @@ ALLOW_SINGLE_PART = {
     "q_a5_count", "q_b1_register_star", "q_b18_count_distinct",
     "q_b19_approx_cd", "q_b85_funnel_analysis",
     "q_b169_not_in_null_semantics",  # two global COUNT folds (cohort counts)
+    "q_b173_compression_codec_audit",  # four 1-row digest folds (one per codec)
     # 1-row stat/bound/budget/spine-seed tables feeding broadcasts
     # (each documented in its query's docstring)
     "q_b43_scalar_subquery", "q_b83_event_gap_detection",
