@@ -1196,7 +1196,7 @@ def q_c64_containment_neardup(spark, sf_dir):
     return containment_pairs(alldocs, 0.8)
 
 
-def containment_pairs(alldocs, t_thresh: float = 0.8):
+def containment_pairs(alldocs, t_thresh: float = 0.8, materialize: bool = True):
     """Directed containment pairs (src, dst, containment>=t) over an
     (doc_id, text) frame — C64's asymmetric prefix-filter machinery,
     factored so compositions (C90's decision record) reuse the exact
@@ -1208,7 +1208,10 @@ def containment_pairs(alldocs, t_thresh: float = 0.8):
     pairs, not the corpus) are materialized via an eager
     localCheckpoint and the set cache is unpersisted before
     returning, so back-to-back callers in one session (q_c64 then
-    q_c90) don't stack two corpus-sized caches."""
+    q_c90) don't stack two corpus-sized caches.
+    ``materialize=False`` returns the LAZY plan with the persist
+    still held (caller must unpersist) — used by the plan test that
+    pins the three-consumer cache reuse."""
     th = widen(alldocs).select(
         "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
     )
@@ -1268,6 +1271,8 @@ def containment_pairs(alldocs, t_thresh: float = 0.8):
             (inter.cast("double") / F.col("n_src")).alias("containment"),
         )
     )
+    if not materialize:
+        return verified  # caller owns sets' unpersist (plan tests)
     out = verified.localCheckpoint(eager=True)
     sets.unpersist()
     return out

@@ -480,10 +480,23 @@ def test_containment_persists_signature_table(spark, sf_dir):
     """C64: probe, index, and both fetch-back sides must read the
     persisted shingle-set table (InMemoryTableScan), not re-run the
     tokenize+hash pipeline per consumer (the measured 6.5x q_c16
-    failure mode)."""
-    df = registry.QUERIES["q_c64_containment_neardup"](spark, sf_dir)
-    plan = plan_of(df, "simple")
+    failure mode). The query path materializes eagerly and unpersists
+    (r7 leak fix), so the lazy plan is inspected via
+    materialize=False; the query path's returned plan must be the
+    opaque checkpointed scan (proof the cache cannot leak past the
+    call)."""
+    from etl_spark_eks_spark.operators.dedup import containment_pairs
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lazy = containment_pairs(docs, 0.8, materialize=False)
+    plan = plan_of(lazy, "simple")
     assert plan.count("InMemoryTableScan") >= 3
+    spark.catalog.clearCache()  # release the test-held persist
+    df = registry.QUERIES["q_c64_containment_neardup"](spark, sf_dir)
+    assert "ExistingRDD" in plan_of(df, "simple")
 
 
 def test_cluster_canonicals_rerank_on_label_table_only(spark, sf_dir):
