@@ -63,8 +63,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_c106_threshold_selection", "q_c107_exact_apportionment",
     "q_c108_shuffle_uniformity_audit", "q_c109_source_diversity_sample",
     "q_m16_manifest_reconciliation",
-    # -- (2) oldest official greens (last row r1) — 33 rotation slots --
-    "q_a1_scan", "q_a2_add_ingest_ts", "q_a4_limit20", "q_a5_count",
+    # -- (2) oldest official greens (last row r1) — 33 rotation slots
+    #    (q_a1/q_a2 were re-verified in r5, so they queue in (3)) --
+    "q_a4_limit20", "q_a5_count",
     "q_a6_repartition_roundtrip", "q_a7_write_roundtrip",
     "q_a8_catalog_projection",
     "q_b1_register_star", "q_b2_json_extract", "q_b3_partitioned_write",
@@ -75,11 +76,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_b24_drop_duplicates", "q_b26_ranking", "q_b27_topn_per_group",
     "q_b28_lag_lead", "q_b29_running_sum", "q_b30_sliding_avg",
     "q_b31_ntile", "q_b32_sort_multi", "q_b33_topk", "q_b34_union",
-    "q_b35_intersect",
+    "q_b35_intersect", "q_b36_except", "q_b37_string_funcs",
     # -- (3) remaining r1-era greens, queue for round 8 --
-    "q_b36_except", "q_b37_string_funcs", "q_b38_regex",
+    "q_b38_regex",
     "q_b39_date_funcs", "q_b40_math_funcs", "q_b58_percentiles",
-    "q_b59_pivot",
+    "q_b59_pivot", "q_a1_scan", "q_a2_add_ingest_ts",
     # -- (4) r2-era greens, next-oldest evidence --
     "q_b17_pricing_summary", "q_b12_join_broadcast", "q_b13_join_theta",
     "q_b14_join_3way", "q_b19_approx_cd", "q_b20_having", "q_b21_rollup",
