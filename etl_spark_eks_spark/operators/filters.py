@@ -385,3 +385,68 @@ def q_b122_try_arithmetic(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_b174_ansi_mode_contract",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ansi',   'array_oob',       'ERROR:INVALID_ARRAY_INDEX'),
+      ('ansi',   'cast_bad_string', 'ERROR:CAST_INVALID_INPUT'),
+      ('ansi',   'div_zero',        'ERROR:DIVIDE_BY_ZERO'),
+      ('ansi',   'int_overflow',    'ERROR:ARITHMETIC_OVERFLOW'),
+      ('legacy', 'array_oob',       'NULL'),
+      ('legacy', 'cast_bad_string', 'NULL'),
+      ('legacy', 'div_zero',        'NULL'),
+      ('legacy', 'int_overflow',    '-2147483648')
+    ) AS t(mode, expr_name, outcome)
+    ORDER BY mode, expr_name
+    """,
+)
+def q_b174_ansi_mode_contract(spark, sf_dir):
+    """B174: the ANSI-mode CONTRACT pinned as data — what each
+    canonical hazard does under `spark.sql.ansi.enabled` true vs
+    false: division by zero, malformed string cast, 32-bit overflow,
+    out-of-bounds array index. ANSI mode errors loudly with a stable
+    error class; legacy mode returns NULL — except integer overflow,
+    which silently WRAPS to -2147483648 (the one legacy behavior that
+    corrupts data rather than nulling it, and the single strongest
+    argument for ANSI-on in a lake; B122's try_* functions are the
+    per-expression opt-back-in once ANSI is on). The outcomes are
+    collected by actually EVALUATING each expression under two cloned
+    sessions (q_b91's isolation rule — the base session's conf is
+    never touched) and pinned against a VALUES oracle: if an engine
+    upgrade changes any cell, the hash breaks and the migration note
+    updates consciously, not silently.
+
+    Scale: 8 driver-side constant evaluations; the operator's value
+    is the contract, not the compute. The four ERROR-level
+    SQLQueryContextLogger lines per run are the EXPECTED artifact of
+    evaluating the ANSI arm's failing expressions — caught, turned
+    into data, and hash-checked; a silent run would mean the
+    contract changed. The error-class names are
+    Spark's stable public error conditions (SQLSTATE-backed), not
+    message text."""
+    import re
+
+    exprs = {
+        "div_zero": "1 div 0",
+        "cast_bad_string": "CAST('12.7xyz' AS INT)",
+        "int_overflow": "CAST(2147483647 AS INT) + CAST(1 AS INT)",
+        "array_oob": "array(1,2)[5]",
+    }
+    rows = []
+    for mode, flag in (("ansi", "true"), ("legacy", "false")):
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.ansi.enabled", flag)
+        for name, ex in exprs.items():
+            try:
+                v = sess.sql(f"SELECT {ex} AS v").first()["v"]
+                out = "NULL" if v is None else str(v)
+            except Exception as e:  # noqa: BLE001 — the outcome IS the datum
+                m = re.search(r"\[([A-Z0-9_.]+)\]", str(e))
+                out = "ERROR:" + (m.group(1) if m else type(e).__name__)
+            rows.append((mode, name, out))
+    return spark.createDataFrame(
+        rows, "mode string, expr_name string, outcome string"
+    ).orderBy("mode", "expr_name")

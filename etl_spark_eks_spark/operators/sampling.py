@@ -2413,3 +2413,73 @@ def q_c116_eval_proximity_report(spark, sf_dir):
     )
     sh.unpersist()
     return report
+
+
+# C119: anonymized-id space — 2^24 slots over ~n docs makes a planted,
+# countable birthday-collision presence at fixture scale while staying
+# sparse (the production mask is 2^63; the audit shape is identical).
+_C119_MASK = (1 << 24) - 1
+
+
+@query(
+    "q_c119_id_anonymization_audit",
+    oracle=f"""
+    WITH mapped AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               & {_C119_MASK} AS anon_id
+      FROM documents
+    ), per_slot AS (
+      SELECT anon_id, COUNT(*) AS n FROM mapped GROUP BY anon_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_slots,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT)
+             AS n_collided_slots,
+           CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+             AS n_collided_docs,
+           CAST(MAX(n) AS BIGINT) AS max_slot_load
+    FROM per_slot
+    """,
+)
+def q_c119_id_anonymization_audit(spark, sf_dir):
+    """C119 (extension): ID anonymization with a COLLISION audit —
+    publishing a dataset (or sharing eval slices with a vendor) means
+    re-keying documents so original ids (crawl URLs, customer keys)
+    don't leak through join attacks; the deterministic hash-mask map
+    (the C22 portable md5, masked to the id-space width) is the
+    rerun-stable way to do it, and the audit is the part teams skip
+    and regret: two docs landing on one anon id silently MERGE
+    downstream (dedup verdicts, labels, and metrics cross-attach).
+    The report is the go/no-go: slot count, collided slots/docs, max
+    load — at the fixture's deliberately narrow 24-bit mask the
+    birthday bound makes collisions present and countable, so the
+    positive path runs every time; widening the mask to 2^63 is the
+    production setting of the SAME audit.
+
+    Integer-exact single-pass: one (anon_id) groupBy (map-side
+    combined), one conditional-aggregate fold (the B159 FILTER
+    discipline). Scale: the shuffle key is the 8-byte anon id and
+    nothing else moves; the fold output is 1 row."""
+    mapped = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % (1 << 32)  # conv is unsigned; align with DuckDB's ::BIGINT
+        ).bitwiseAND(_C119_MASK).alias("anon_id"),
+    )
+    per_slot = mapped.groupBy("anon_id").agg(F.count("*").alias("n"))
+    over = F.col("n") > 1
+    return per_slot.agg(
+        F.count("*").cast("long").alias("n_slots"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.when(over, True)).cast("long").alias("n_collided_slots"),
+        F.coalesce(F.sum(F.when(over, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_collided_docs"),
+        F.max("n").cast("long").alias("max_slot_load"),
+    )

@@ -3192,3 +3192,86 @@ def q_c115_truncation_loss_audit(spark, sf_dir):
             .alias(f"tokens_lost_{lim}")
         )
     return base.groupBy("source").agg(*cols).orderBy("source")
+
+
+@query(
+    "q_c121_score_rank_normalize",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_distinct(list_filter(
+                 string_split_regex(text, '\s+'), t -> t <> '')))
+               * 1000000
+               // len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS q_ppm
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'),
+                            t -> t <> '')) > 0
+    ), ranked AS (
+      SELECT doc_id, source, q_ppm,
+             RANK() OVER (PARTITION BY source ORDER BY q_ppm, doc_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(rk * 1000000 // n AS BIGINT) AS pctile_ppm
+    FROM ranked
+    """,
+)
+def q_c121_score_rank_normalize(spark, sf_dir):
+    """C121 (extension): per-source RANK NORMALIZATION of a quality
+    score — replace each doc's raw score by its within-source
+    percentile, so one global threshold means the same thing in every
+    feed. Raw score distributions differ per source by construction
+    (a code crawl's distinct-token ratio lives in a different range
+    than a chat log's), so thresholding raw scores with one number
+    silently filters sources at wildly different rates — the calib-
+    ration bug C99/C105 DETECT; this is the transform that REMOVES
+    it. Keeping "top 30% of each source" is one predicate on the
+    normalized column (pctile_ppm > 700000).
+
+    Integer-exact end-to-end: the raw score is quantized to ppm with
+    integer DIV (the C92 discipline — no float ratio crosses the
+    engine boundary), the percentile is rank·1e6 DIV n under a
+    TOTAL order (q_ppm, then doc_id — the tiebreak makes every rank
+    unique and rerun-stable), so every value hash-matches.
+
+    Scale: ONE keyed window per source (never a global sort — the
+    source key partitions it) over a projection-only scored table;
+    at 100 TB the window is the only exchange, on exactly the column
+    set (source, q_ppm, doc_id)."""
+    toks = tokenize("text")
+    d = load_table(spark, sf_dir, "documents")
+    scored = (
+        widen(d)
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n"),
+            F.size(F.array_distinct(toks)).alias("nd"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("nd * 1000000 div n").alias("q_ppm"),
+        )
+    )
+    w_rk = Window.partitionBy("source").orderBy("q_ppm", "doc_id")
+    w_n = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("q_ppm").cast("long").alias("q_ppm"),
+        F.expr(
+            "rank() over (partition by source order by q_ppm, doc_id)"
+            " * 1000000"
+        ).alias("__num"),
+        F.count("*").over(w_n).alias("__n"),
+    ).select(
+        "doc_id",
+        "source",
+        "q_ppm",
+        F.expr("__num div __n").cast("long").alias("pctile_ppm"),
+    )

@@ -74,6 +74,7 @@ ALLOW_SINGLE_PART = {
     # rows built from partial-aggregated counts — the single partition
     # holds the k-byte final fold, never corpus rows
     "q_c103_dup_rate_estimation",   # 1-row six-count conditional agg
+    "q_c119_id_anonymization_audit",  # 1-row collision-audit fold
     "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
     "q_b149_calendar_gap_fill",     # 1-row date-bounds fold feeding the spine
     "q_c105_quality_rate_confidence",  # 1-row corpus-rate fold broadcast back
