@@ -1846,3 +1846,137 @@ def q_m17_byte_range_fetch_plan(spark, sf_dir):
         )
         .orderBy("shard_id", "fetch_group")
     )
+
+
+@query(
+    "q_m18_paired_modality_dedup",
+    oracle=r"""
+    WITH suffixed AS (
+      -- payload: caption content + a per-doc suffix for docs in the
+      -- %7 class, so text-dup clones can carry DIFFERENT media
+      -- (re-render/transcode). VARCHAR here, bytes on the Spark
+      -- side: md5 of a UTF-8 string equals md5 of its encoded
+      -- bytes, and only the dup GROUPING matters.
+      SELECT doc_id, text,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN '|' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS pay
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, text, pay AS payload FROM suffixed
+      UNION ALL   -- text clones (media may differ via the suffix)
+      SELECT s.doc_id + 2000000, s.text,
+             s.text || CASE WHEN (s.doc_id + 2000000) % 7 = 0
+                            THEN '|' || CAST(s.doc_id + 2000000 AS VARCHAR)
+                            ELSE '' END
+      FROM suffixed s WHERE s.doc_id % 89 = 0
+      UNION ALL   -- caption variants: NEW text, the ORIGINAL payload
+      SELECT s.doc_id + 4000000, s.text || ' altcap', s.pay
+      FROM suffixed s WHERE s.doc_id % 97 = 0
+    ), keyed AS (
+      SELECT doc_id,
+             (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)))
+               AS text_dup,
+             (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(payload)))
+               AS media_dup
+      FROM corpus
+    )
+    SELECT CASE WHEN text_dup AND media_dup THEN 'drop_full_dup'
+                WHEN text_dup AND NOT media_dup THEN 'keep_media_variant'
+                WHEN NOT text_dup AND media_dup THEN 'review_caption_variant'
+                ELSE 'keep_unique' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM keyed
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_m18_paired_modality_dedup(spark, sf_dir):
+    """M18 (extension): PAIRED-modality dedup decisions — a multimodal
+    sample is a (caption, payload) PAIR, and deduping either side
+    alone is wrong in a different way: dropping on text-dup discards
+    distinct renders/transcodes of the same caption (real signal for
+    a vision tower); dropping on payload-dup discards re-captioned
+    images (real signal for the text tower). The decision is the
+    CROSS-classification: both dup -> drop, text-dup with distinct
+    media -> keep as media variant, media-dup with distinct text ->
+    route to caption review (usually scrape noise), neither -> keep.
+    Emitted as a verdict histogram with a deterministic example per
+    class. Fixture payloads derive from captions with a planted
+    per-doc suffix on one id class, C111-style text clones, AND
+    re-captioned variants (new text, original payload), so ALL FOUR
+    classes carry mass each run — invariant-tested (the C15
+    vacuous-test lesson); M4/M9 provide the real perceptual/chunk
+    hashes this decision consumes at production.
+
+    Integer/hash-exact: both dup flags are min-id window comparisons
+    over md5 keys (C1's rule per modality — no float similarity in
+    the exact tier).
+
+    Scale: two md5-keyed windows (the C1 exchange, once per
+    modality — at 100 TB both run on hash+id projections, payload
+    BYTES never shuffle: the md5 is computed in the scan projection)
+    + a 4-row rollup."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def suffixed_pay(text_col, id_col):
+        return F.concat(
+            text_col,
+            F.when(
+                id_col % 7 == 0,
+                F.concat(F.lit("|"), id_col.cast("string")),
+            ).otherwise(F.lit("")),
+        )
+
+    base = d.select(
+        "doc_id", "text",
+        suffixed_pay(F.col("text"), F.col("doc_id")).alias("pay"),
+    )
+    clones = base.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "text",
+        suffixed_pay(
+            F.col("text"), F.col("doc_id") + 2_000_000
+        ).alias("pay"),
+    )
+    variants = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" altcap")).alias("text"),
+        F.col("pay"),  # the ORIGINAL payload — a re-captioned sample
+    )
+    corpus = (
+        base.unionByName(clones)
+        .unionByName(variants)
+        .select(
+            "doc_id", "text", F.encode("pay", "UTF-8").alias("payload")
+        )
+    )
+    w_t = Window.partitionBy(F.md5("text"))
+    w_m = Window.partitionBy(F.md5("payload"))
+    keyed = corpus.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w_t)).alias("text_dup"),
+        (F.col("doc_id") != F.min("doc_id").over(w_m)).alias("media_dup"),
+    )
+    verdict = (
+        F.when(
+            F.col("text_dup") & F.col("media_dup"), F.lit("drop_full_dup")
+        )
+        .when(
+            F.col("text_dup") & ~F.col("media_dup"),
+            F.lit("keep_media_variant"),
+        )
+        .when(
+            ~F.col("text_dup") & F.col("media_dup"),
+            F.lit("review_caption_variant"),
+        )
+        .otherwise(F.lit("keep_unique"))
+    )
+    return (
+        keyed.groupBy(verdict.alias("verdict"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .orderBy("verdict")
+    )

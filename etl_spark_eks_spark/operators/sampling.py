@@ -2483,3 +2483,109 @@ def q_c119_id_anonymization_audit(spark, sf_dir):
         .alias("n_collided_docs"),
         F.max("n").cast("long").alias("max_slot_load"),
     )
+
+
+@query(
+    "q_c122_post_dedup_mix_report",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL  -- planted exact clones so dedup has real mass to drop
+      SELECT doc_id + 2000000, source, text FROM documents
+      WHERE doc_id % 89 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, source, text FROM documents
+      WHERE doc_id % 178 = 0
+    ), sized AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             t -> t <> '')) AS n_tok,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)))
+               AS is_keeper
+      FROM corpus
+    ), per_source AS (
+      SELECT source,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+             CAST(COALESCE(SUM(n_tok) FILTER (WHERE is_keeper), 0)
+                  AS BIGINT) AS tokens_after,
+             CAST(COUNT(*) FILTER (WHERE NOT is_keeper) AS BIGINT)
+               AS docs_dropped
+      FROM sized GROUP BY source
+    ), tot AS (
+      SELECT SUM(tokens_before) AS tb, SUM(tokens_after) AS ta
+      FROM per_source
+    )
+    SELECT p.source, p.tokens_before, p.tokens_after, p.docs_dropped,
+           CAST(p.tokens_before * 1000000 // t.tb AS BIGINT)
+             AS share_before_ppm,
+           CAST(p.tokens_after * 1000000 // t.ta AS BIGINT)
+             AS share_after_ppm
+    FROM per_source p, tot t
+    ORDER BY p.source
+    """,
+)
+def q_c122_post_dedup_mix_report(spark, sf_dir):
+    """C122 (extension): POST-DEDUP mixture report — what exact dedup
+    (C1's keep-min rule) does to each source's token budget AND to
+    the corpus mixture itself. Dedup is not mixture-neutral: the
+    spammiest source loses the most tokens, so the carefully-planned
+    C23/C84 proportions silently shift the moment dedup runs — this
+    report is what the data lead reads BEFORE re-solving the mix
+    (share_before vs share_after in exact ppm; a big gap on one
+    source = re-run the C84 waterfill on post-dedup counts). Planted
+    clones (C111's construction, biased by the id classes they hit)
+    give the drop real mass at fixture scale.
+
+    Integer-exact: keeper flag from the same md5 window C117 uses,
+    token sums and ppm shares via DIV — every column hash-matches.
+
+    Scale: ONE md5-keyed window (C1's exchange) + one |sources|
+    rollup + a 1-row total broadcast; the corpus is scanned once and
+    only (id, source, n_tok, md5) ever shuffles."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = d
+    for off, mod in ((2_000_000, 89), (3_000_000, 178)):
+        corpus = corpus.unionByName(
+            d.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + off).alias("doc_id"), "source", "text"
+            )
+        )
+    w = Window.partitionBy(F.md5("text"))
+    sized = widen(corpus).select(
+        "source",
+        F.size(tokenize("text")).alias("n_tok"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+    per_source = sized.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_keeper"), F.col("n_tok"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tokens_after"),
+        F.count(F.when(~F.col("is_keeper"), True))
+        .cast("long")
+        .alias("docs_dropped"),
+    )
+    tot = per_source.agg(
+        F.sum("tokens_before").alias("tb"),
+        F.sum("tokens_after").alias("ta"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens_before",
+            "tokens_after",
+            "docs_dropped",
+            F.expr("tokens_before * 1000000 div tb")
+            .cast("long")
+            .alias("share_before_ppm"),
+            F.expr("tokens_after * 1000000 div ta")
+            .cast("long")
+            .alias("share_after_ppm"),
+        )
+        .orderBy("source")
+    )

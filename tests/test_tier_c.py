@@ -1197,3 +1197,26 @@ def test_scene_cut_shots_unit_cases(spark):
     assert [s["avg_level"] for s in segs2] == [100.0, 200.0]
     # coverage partition: frame counts sum to the full-frame count
     assert sum(s["n_frames"] for s in segs2) == 5
+
+
+def test_m18_all_four_verdict_classes_carry_mass(spark, sf_dir):
+    """M18's planted construction must populate ALL FOUR cells of the
+    (text_dup x media_dup) matrix every run — an empty cell means the
+    plant regressed and the operator is vacuously passing (the C15
+    lesson)."""
+    from etl_spark_eks_spark import registry
+
+    registry.load_all()
+    rows = {
+        r["verdict"]: r["n_pairs"]
+        for r in registry.QUERIES["q_m18_paired_modality_dedup"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {
+        "drop_full_dup",
+        "keep_media_variant",
+        "keep_unique",
+        "review_caption_variant",
+    }, rows
+    assert all(v >= 1 for v in rows.values()), rows

@@ -60,6 +60,7 @@ ALLOW_CARTESIAN = {
     # 1-row totals tables broadcast-cross-joined (C26's class)
     "q_c91_dsir_importance",
     "q_c92_perplexity_buckets",
+    "q_c122_post_dedup_mix_report",  # 1-row before/after-total broadcast
     "q_c118_lsh_parameter_plan",  # deliberate k x k parameter-grid cross (44 rows, corpus-free)
 }
 ALLOW_PY_ROW = {
@@ -75,6 +76,7 @@ ALLOW_SINGLE_PART = {
     # holds the k-byte final fold, never corpus rows
     "q_c103_dup_rate_estimation",   # 1-row six-count conditional agg
     "q_c119_id_anonymization_audit",  # 1-row collision-audit fold
+    "q_c122_post_dedup_mix_report",   # 1-row mixture-total fold
     "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
     "q_b149_calendar_gap_fill",     # 1-row date-bounds fold feeding the spine
     "q_c105_quality_rate_confidence",  # 1-row corpus-rate fold broadcast back
