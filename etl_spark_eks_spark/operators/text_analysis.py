@@ -3235,7 +3235,11 @@ def q_c121_score_rank_normalize(spark, sf_dir):
     integer DIV (the C92 discipline — no float ratio crosses the
     engine boundary), the percentile is rank·1e6 DIV n under a
     TOTAL order (q_ppm, then doc_id — the tiebreak makes every rank
-    unique and rerun-stable), so every value hash-matches.
+    unique and rerun-stable), so every value hash-matches. The rank
+    is cast BIGINT before the 1e6 multiply: rank() returns INT and
+    any source past ~2,147 docs overflows under ANSI — caught by the
+    10x scale probe, the exact failure class the probe family exists
+    to surface before a cluster does.
 
     Scale: ONE keyed window per source (never a global sort — the
     source key partitions it) over a projection-only scored table;
@@ -3265,8 +3269,8 @@ def q_c121_score_rank_normalize(spark, sf_dir):
         "source",
         F.col("q_ppm").cast("long").alias("q_ppm"),
         F.expr(
-            "rank() over (partition by source order by q_ppm, doc_id)"
-            " * 1000000"
+            "cast(rank() over (partition by source"
+            " order by q_ppm, doc_id) as bigint) * 1000000"
         ).alias("__num"),
         F.count("*").over(w_n).alias("__n"),
     ).select(

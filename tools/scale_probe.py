@@ -133,6 +133,12 @@ PROBE_QUERIES = (
     "q_c116_eval_proximity_report",
     "q_c117_cluster_weighted_sample",
     "q_m17_byte_range_fetch_plan",
+    # late round-7 additions over documents (q_b171/q_b174 and the
+    # B-surfaces run on symlinked orders/customer or no table)
+    "q_c119_id_anonymization_audit",
+    "q_c121_score_rank_normalize",
+    "q_c122_post_dedup_mix_report",
+    "q_m18_paired_modality_dedup",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
