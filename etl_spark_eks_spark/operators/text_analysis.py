@@ -3259,7 +3259,10 @@ def q_c121_score_rank_normalize(spark, sf_dir):
         .select(
             "doc_id",
             "source",
-            F.expr("nd * 1000000 div n").alias("q_ppm"),
+            # nd is size() = INT: cast before the 1e6 multiply (the
+            # same ANSI-overflow class the 10x probe caught in the
+            # rank arm; a >2,147-distinct-token doc would trip this)
+            F.expr("cast(nd as bigint) * 1000000 div n").alias("q_ppm"),
         )
     )
     w_rk = Window.partitionBy("source").orderBy("q_ppm", "doc_id")
