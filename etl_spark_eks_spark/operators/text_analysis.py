@@ -2243,6 +2243,62 @@ def q_c92_perplexity_buckets(spark, sf_dir):
 _GOPHER_STOPWORDS = ("the", "a", "data", "value")
 
 
+def _gopher_fail_flags():
+    """The seven Gopher rule FAIL predicates as named Catalyst columns
+    over a (text) row — shared by q_c95 (per-lang fire counts) and
+    q_c123 (ablation: exclusive vs redundant kills). One tokenize/split
+    pass, array HOFs only, no UDF; see q_c95's docstring for the rule
+    definitions and scale argument."""
+    toks = tokenize("text")
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda ln: ln != F.lit("")
+    )
+    wc = F.size(toks)
+    mwl = (
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t).cast("bigint"),
+        ).cast("double")
+        / wc
+    )
+    sym = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ) + (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("• "),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.endswith("...") | ln.endswith("…"),
+        )
+    )
+    n_lines = F.size(lines)
+    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in _GOPHER_STOPWORDS
+    )
+    return {
+        "f_wc": (wc < 50) | (wc > 100000),
+        "f_mwl": (mwl < 3) | (mwl > 10),
+        "f_sym": sym / wc > 0.1,
+        "f_bullet": bullet_lines > 0.9 * n_lines,
+        "f_ellipsis": ellipsis_lines > 0.3 * n_lines,
+        "f_alpha": alpha_toks < 0.8 * wc,
+        "f_stop": n_stop < 2,
+    }
+
+
 @query(
     "q_c95_gopher_rules",
     oracle="""
@@ -2333,54 +2389,7 @@ def q_c95_gopher_rules(spark, sf_dir):
     has no text gate; this extends the C10/C49/C52/C54 quality ladder
     with the canonical named rule set (SURVEY §2 C-tier)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    lines = F.filter(
-        F.split(F.col("text"), "\n"), lambda ln: ln != F.lit("")
-    )
-    wc = F.size(toks)
-    mwl = (
-        F.aggregate(
-            toks,
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + F.length(t).cast("bigint"),
-        ).cast("double")
-        / wc
-    )
-    sym = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
-    ) + (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-    bullet_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: ln.startswith("- ")
-            | ln.startswith("* ")
-            | ln.startswith("• "),
-        )
-    )
-    ellipsis_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: ln.endswith("...") | ln.endswith("…"),
-        )
-    )
-    n_lines = F.size(lines)
-    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    n_stop = sum(
-        F.array_contains(toks, w).cast("int") for w in _GOPHER_STOPWORDS
-    )
-    fails = {
-        "f_wc": (wc < 50) | (wc > 100000),
-        "f_mwl": (mwl < 3) | (mwl > 10),
-        "f_sym": sym / wc > 0.1,
-        "f_bullet": bullet_lines > 0.9 * n_lines,
-        "f_ellipsis": ellipsis_lines > 0.3 * n_lines,
-        "f_alpha": alpha_toks < 0.8 * wc,
-        "f_stop": n_stop < 2,
-    }
+    fails = _gopher_fail_flags()
     m = widen(d).select(
         "lang", *[v.cast("int").alias(k) for k, v in fails.items()]
     )
@@ -3282,3 +3291,132 @@ def q_c121_score_rank_normalize(spark, sf_dir):
         "q_ppm",
         F.expr("__num div __n").cast("long").alias("pctile_ppm"),
     )
+
+
+@query(
+    "q_c123_gate_ablation_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> l <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS wc,
+        CAST(list_sum(list_transform(toks,
+             t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+          / len(toks) AS mwl,
+        (length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3
+          AS sym,
+        len(list_filter(lines,
+            l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+          AS bullet_lines,
+        len(list_filter(lines,
+            l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+        len(lines) AS n_lines,
+        len(list_filter(toks,
+            t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_toks,
+        CAST(list_contains(toks, 'the') AS INT)
+          + CAST(list_contains(toks, 'a') AS INT)
+          + CAST(list_contains(toks, 'data') AS INT)
+          + CAST(list_contains(toks, 'value') AS INT) AS n_stop
+      FROM d
+    ), r AS (
+      SELECT
+        CAST(wc < 50 OR wc > 100000 AS INT) AS f_wc,
+        CAST(mwl < 3 OR mwl > 10 AS INT) AS f_mwl,
+        CAST(sym / wc > 0.1 AS INT) AS f_sym,
+        CAST(bullet_lines > 0.9 * n_lines AS INT) AS f_bullet,
+        CAST(ellipsis_lines > 0.3 * n_lines AS INT) AS f_ellipsis,
+        CAST(alpha_toks < 0.8 * wc AS INT) AS f_alpha,
+        CAST(n_stop < 2 AS INT) AS f_stop
+      FROM m
+    ), t AS (
+      SELECT r.*, f_wc + f_mwl + f_sym + f_bullet + f_ellipsis
+                  + f_alpha + f_stop AS n_failed
+      FROM r
+    )
+    SELECT 'f_alpha' AS rule, CAST(SUM(f_alpha) AS BIGINT) AS n_fired,
+           CAST(COALESCE(SUM(f_alpha) FILTER (WHERE n_failed = 1), 0)
+                AS BIGINT) AS n_exclusive FROM t
+    UNION ALL SELECT 'f_bullet', CAST(SUM(f_bullet) AS BIGINT),
+           CAST(COALESCE(SUM(f_bullet) FILTER (WHERE n_failed = 1), 0)
+                AS BIGINT) FROM t
+    UNION ALL SELECT 'f_ellipsis', CAST(SUM(f_ellipsis) AS BIGINT),
+           CAST(COALESCE(SUM(f_ellipsis) FILTER (WHERE n_failed = 1), 0)
+                AS BIGINT) FROM t
+    UNION ALL SELECT 'f_mwl', CAST(SUM(f_mwl) AS BIGINT),
+           CAST(COALESCE(SUM(f_mwl) FILTER (WHERE n_failed = 1), 0)
+                AS BIGINT) FROM t
+    UNION ALL SELECT 'f_stop', CAST(SUM(f_stop) AS BIGINT),
+           CAST(COALESCE(SUM(f_stop) FILTER (WHERE n_failed = 1), 0)
+                AS BIGINT) FROM t
+    UNION ALL SELECT 'f_sym', CAST(SUM(f_sym) AS BIGINT),
+           CAST(COALESCE(SUM(f_sym) FILTER (WHERE n_failed = 1), 0)
+                AS BIGINT) FROM t
+    UNION ALL SELECT 'f_wc', CAST(SUM(f_wc) AS BIGINT),
+           CAST(COALESCE(SUM(f_wc) FILTER (WHERE n_failed = 1), 0)
+                AS BIGINT) FROM t
+    UNION ALL SELECT '__any__',
+           CAST(COUNT(*) FILTER (WHERE n_failed > 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n_failed = 1) AS BIGINT) FROM t
+    ORDER BY rule
+    """,
+)
+def q_c123_gate_ablation_report(spark, sf_dir):
+    """C123 (extension): quality-gate ABLATION — per Gopher rule, how
+    many documents it fires on (C95's number) and how many it kills
+    EXCLUSIVELY (docs failing that rule and no other). For an
+    OR-combined gate the exclusive count IS the rule's marginal
+    contribution: remove the rule and exactly those docs come back.
+    A rule whose fires are all shared with other rules is pure
+    redundancy (n_fired high, n_exclusive 0 — delete it and nothing
+    changes); a rule with high exclusive mass is load-bearing and
+    deserves its own threshold review. The '__any__' row gives the
+    gate's total kill and its single-rule fraction — the two numbers
+    that decide whether the gate needs seven rules or three. C95
+    reports WHERE the mass is; this reports WHAT EACH RULE BUYS —
+    the rule-set engineering view.
+
+    Shape: the SAME single scan and rule expressions as C95
+    (factored: _gopher_fail_flags — one source of truth for the rule
+    definitions, so the two reports can never drift), one global
+    conditional-aggregate fold (B159's FILTER discipline), reshaped
+    to 8 rows driver-side from the 1-row fold. Integer-exact.
+
+    Scale: identical to C95 — one streaming scan, one 16-column
+    map-side-combined fold; the reshape handles k bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    fails = _gopher_fail_flags()
+    names = sorted(fails)
+    m = widen(d).select(
+        *[v.cast("int").alias(k) for k, v in fails.items()]
+    )
+    n_failed = sum(F.col(k) for k in names)
+    aggs = []
+    for k in names:
+        aggs.append(F.sum(k).cast("long").alias(f"fired_{k}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(n_failed == 1, F.col(k))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"excl_{k}")
+        )
+    aggs.append(
+        F.count(F.when(n_failed > 0, True)).cast("long").alias("fired_any")
+    )
+    aggs.append(
+        F.count(F.when(n_failed == 1, True)).cast("long").alias("excl_any")
+    )
+    row = m.agg(*aggs).first()
+    out = [
+        (k, row[f"fired_{k}"], row[f"excl_{k}"]) for k in names
+    ] + [("__any__", row["fired_any"], row["excl_any"])]
+    return spark.createDataFrame(
+        out, "rule string, n_fired long, n_exclusive long"
+    ).orderBy("rule")
