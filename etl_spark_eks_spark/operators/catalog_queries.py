@@ -1588,3 +1588,63 @@ def q_b173_compression_codec_audit(spark, sf_dir):
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("codec")
+
+
+@query(
+    "q_b175_global_temp_view",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS visible_across_sessions,
+           TRUE AS local_view_isolated
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b175_global_temp_view(spark, sf_dir):
+    """B175: TEMP VIEW lifecycle — the two scopes and the boundary
+    between them, proven by construction: a regular TEMP VIEW lives
+    in ONE session's catalog (a cloned session must NOT see it — the
+    isolation every q_b91-style conf-cloning pattern silently relies
+    on), while a GLOBAL TEMP VIEW registers in the shared
+    `global_temp` database and IS visible to sibling sessions of the
+    same SparkContext (how a notebook gateway or a multi-session
+    driver shares a prepared frame without a metastore write). Both
+    facts are checked at run time and pinned as oracle-TRUE booleans
+    (the B19 self-verifying shape); the data columns come from
+    reading the global view FROM THE CLONED SESSION, so the hash
+    match itself certifies the cross-session read.
+
+    Scale: views are metadata — zero data cost at any scale; the
+    operative production distinction is lifetime (session vs
+    application) and the global_temp name prefix."""
+    tag = _tag(sf_dir)
+    gv, lv = f"b175_hot_{tag}", f"b175_local_{tag}"
+    hot = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    )
+    hot.createOrReplaceGlobalTempView(gv)
+    hot.createOrReplaceTempView(lv)
+    sess = spark.newSession()
+    try:
+        sess.table(lv)
+        local_isolated = False  # a clone saw a session-local view: bug
+    except Exception:
+        local_isolated = True
+    agg = (
+        sess.table(f"global_temp.{gv}")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    rows = agg.collect()  # materialize in the CLONED session
+    return (
+        spark.createDataFrame(rows, agg.schema)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.lit(bool(len(rows) > 0)).alias("visible_across_sessions"),
+            F.lit(bool(local_isolated)).alias("local_view_isolated"),
+        )
+        .orderBy("o_orderpriority")
+    )
