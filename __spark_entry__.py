@@ -46,9 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # — filling the remaining 33 cap slots so no key's official evidence
 # goes >3 rounds stale. The rest of the r1/r2-era backlog queues behind
 # for round 8's rotation.
-# ROUND-8 NOTE: every operator ADDED in round 7 (q_b154-q_b173
-# surfaces/composites, q_c110-q_c118 pipeline ops, q_m17 — all
-# oracle-green locally, 29 keys) has no official row yet and should
+# ROUND-8 NOTE: every operator ADDED in round 7 (q_b154-q_b175
+# surfaces/composites, q_c110-q_c123 pipeline ops, q_m17-q_m18 — all
+# oracle-green locally, 36 keys) has no official row yet and should
 # lead round 8's slots, followed by the remaining r1/r2-era rotation.
 # Every key remains present and runnable regardless of order;
 # tools/verify_driver.py checks all of them.
