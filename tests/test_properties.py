@@ -1311,3 +1311,166 @@ def test_lateral_limit_equals_window_topk(spark, rows):
     ).collect()
     canon = lambda rs: sorted((r["g"], r["o"], r["v"]) for r in rs)
     assert canon(lateral) == canon(window)
+
+
+tok_counts = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=0, max_size=25
+)
+
+
+@given(counts=tok_counts, chunk=st.sampled_from([4, 7, 16]))
+@_settings
+def test_chunk_map_matches_bruteforce(spark, counts, chunk):
+    """C110's span arithmetic fuzzed against a Python brute force: for
+    arbitrary doc token counts and chunk sizes, the (chunk, doc) span
+    table must equal walking the concatenated stream token by token."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, n) for i, n in enumerate(counts) if n > 0]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    # the operator's arithmetic, at parameterized chunk size
+    from etl_spark_eks_spark.operators.sampling import running_total_before
+
+    pos = running_total_before(df, "doc_id", "n").withColumnRenamed(
+        "__cum_before", "cb"
+    )
+    got = {
+        (r["chunk_id"], r["doc_id"]): (r["s"], r["e"])
+        for r in pos.select(
+            "doc_id", "n", "cb",
+            F.explode(
+                F.sequence(
+                    F.expr(f"cb div {chunk}"),
+                    F.expr(f"(cb + n - 1) div {chunk}"),
+                )
+            ).alias("chunk_id"),
+        ).select(
+            "chunk_id", "doc_id",
+            F.greatest(F.col("cb") - F.col("chunk_id") * chunk, F.lit(0))
+            .alias("s"),
+            F.least(
+                F.col("cb") + F.col("n") - F.col("chunk_id") * chunk,
+                F.lit(chunk),
+            ).alias("e"),
+        ).collect()
+    }
+    # brute force: walk the stream
+    want = {}
+    off = 0
+    for i, n in rows:
+        for t in range(n):
+            c, p = (off + t) // chunk, (off + t) % chunk
+            s, e = want.get((c, i), (p, p))
+            want[(c, i)] = (min(s, p), max(e, p + 1))
+        off += n
+    assert got == want
+
+
+@given(texts=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                      min_size=0, max_size=20))
+@_settings
+def test_cluster_weighted_sample_matches_hashlib(spark, texts):
+    """C117's keep rule fuzzed against hashlib: for arbitrary corpora
+    with duplicate texts, the kept set must be exactly
+    {doc : permille_md5(doc_id) * cluster_size < 1000}."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.operators.sampling import hash_bucket
+
+    if not texts:
+        return
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    w = Window.partitionBy(F.md5("text"))
+    got = {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id",
+            F.count("*").over(w).alias("sz"),
+            hash_bucket(F.col("doc_id"), 1000).alias("b"),
+        )
+        .filter(F.col("b") * F.col("sz") < 1000)
+        .collect()
+    }
+    sizes = Counter(texts)
+    want = set()
+    for i, t in enumerate(texts):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+        if b * sizes[t] < 1000:
+            want.add(i)
+    assert got == want
+
+
+@given(
+    members=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),   # shard
+                  st.integers(min_value=0, max_value=200), # offset
+                  st.integers(min_value=1, max_value=40)), # length
+        min_size=0, max_size=20,
+    ),
+    gap=st.sampled_from([0, 5, 25]),
+)
+@_settings
+def test_fetch_plan_islands_match_bruteforce(spark, members, gap):
+    """M17's gaps-and-islands (running-max end, not lag) fuzzed: for
+    arbitrary — including NESTED — byte ranges per shard, the fetch
+    groups must equal a sequential sweep merging ranges whose gap to
+    the running max end is <= gap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    uniq = {}
+    for s_, o, ln in members:  # one range per (shard, offset): mirror
+        uniq[(s_, o)] = ln     # tar members (offsets unique per shard)
+    rows = [(s_, o, o + ln) for (s_, o), ln in uniq.items()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "shard long, off long, end long")
+    w_prev = (
+        Window.partitionBy("shard").orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        F.col("off")
+        - F.coalesce(F.max("end").over(w_prev), F.col("off"))
+        > gap
+    ).cast("int")
+    w_grp = (
+        Window.partitionBy("shard").orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        (r["shard"], r["g"], r["lo"], r["hi"], r["n"])
+        for r in df.withColumn("brk", brk)
+        .withColumn("g", F.sum("brk").over(w_grp))
+        .groupBy("shard", "g")
+        .agg(F.min("off").alias("lo"), F.max("end").alias("hi"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    want = set()
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for s_, o, e in rows:
+        by_shard[s_].append((o, e))
+    for s_, rs in by_shard.items():
+        rs.sort()
+        g, lo, hi, n = 0, None, None, 0
+        for o, e in rs:
+            if lo is None:
+                lo, hi, n = o, e, 1
+            elif o - hi > gap:
+                want.add((s_, g, lo, hi, n))
+                g, lo, hi, n = g + 1, o, e, 1
+            else:
+                hi, n = max(hi, e), n + 1
+        want.add((s_, g, lo, hi, n))
+    assert got == want
