@@ -81,6 +81,24 @@ def main() -> int:
 
     register_views(spark, sf_dir)
 
+    # Warm the Python worker pool too (pandas-UDF and row-UDF worker
+    # types): with spark.python.worker.reuse the pool is per-executor
+    # state, so at cluster scale its spin-up is a once-per-executor
+    # cost like the JVM warmup above — but in a one-JVM bench an
+    # unwarmed (or evicted) pool lands inside the first pandas-UDF
+    # query's timed window (r7 official: c17/b97/c38 at 3-7x their
+    # mins; re-measured 1.2-1.7x in isolation, see BASELINE.md).
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    _warm = spark.range(64).repartition(32)
+    _pudf = F.pandas_udf(lambda s: s + 1, "long")
+    _rudf = F.udf(lambda x: x + 1, "long")
+    for col in (_pudf("id"), _rudf("id")):
+        _warm.select(col.alias("v")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     per_query: dict[str, float] = {}
     t_total0 = time.perf_counter()
