@@ -98,7 +98,7 @@ def q_b49_stream_dedup(spark, sf_dir):
 def q_b56_stateful_user_stats(spark, sf_dir):
     """B56 (extension): CUSTOM stateful streaming operator via
     applyInPandasWithState — per-user running (count, total) carried in
-    GroupState across real micro-batches (the input is replayed as 3
+    GroupState across real micro-batches (the input is replayed as 2
     files, one per trigger). Each batch emits the user's cumulative
     stats; the final emission per user equals the batch aggregate, which
     is the SQL oracle. This is the surface Spark offers for stateful
@@ -137,7 +137,13 @@ def q_b56_stateful_user_stats(spark, sf_dir):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    run_available_now(running, sink, ckpt)
+    # Python-state streams invert the state-partition tradeoff: each
+    # partition's groups flow SEQUENTIALLY through one Python worker's
+    # state channel, so here partitions buy parallel workers rather
+    # than costing empty commits (measured r8 at sf0.1: 2 -> 3.95 s,
+    # 4 -> 2.57 s, 8 -> 2.23 s, 16 -> 2.51 s). JVM-state streams keep
+    # the low default (run_available_now docstring).
+    run_available_now(running, sink, ckpt, state_partitions=8)
     # Last emission per user = totals over the whole stream.
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -262,8 +268,8 @@ def q_b74_stream_outer_join(spark, sf_dir):
     Spark a point of certainty: once the watermark passes view_ts + 30
     minutes, no future purchase can match, so the unmatched view is
     emitted with NULLs and its state evicted. The input is replayed as
-    3 micro-batches so the watermark genuinely advances mid-stream and
-    most NULL rows emit before the final batch; views still inside the
+    2 micro-batches so the watermark genuinely advances mid-stream and
+    horizon-passed NULL rows emit before the final batch; views still inside the
     horizon at end-of-stream are withheld (append semantics — the same
     containment contract as B48, asserted in tests/test_streaming.py:
     matched rows equal the batch inner join exactly; NULL rows are a
@@ -367,7 +373,7 @@ def q_b66_stream_static_join(spark, sf_dir):
 def q_b72_foreachbatch_upsert(spark, sf_dir):
     """B72 (extension): streaming keyed UPSERT via foreachBatch — the
     MERGE-into-a-keyed-table pattern parquet sinks cannot express
-    (append-only). The events table is replayed as 3 micro-batches;
+    (append-only). The events table is replayed as 2 micro-batches;
     each batch reduces to its newest row per user_id (max ts,
     event_id tie-break), merges with the standing keyed table, and
     atomically swaps the new snapshot in (write-to-temp + rename —
@@ -457,7 +463,7 @@ def q_b91_stream_complete_mode(spark, sf_dir):
     output-mode rung (B48 append withholds open windows, B72
     foreachBatch hand-rolls update; complete re-emits the whole
     aggregate each micro-batch, the mode a live dashboard sink
-    consumes). The events table replays over 3 micro-batches
+    consumes). The events table replays over 2 micro-batches
     (maxFilesPerTrigger=1) into an unwindowed per-type aggregate in a
     memory sink; after availableNow drains the input, the final table
     must equal the batch answer EXACTLY — which is why this streaming
@@ -682,7 +688,7 @@ def q_b110_stream_update_mode(spark, sf_dir):
     ONLY the rows whose state changed in this micro-batch: the
     changelog a downstream upsert sink consumes; B72 hand-rolls the
     same contract with foreachBatch+MERGE, this is the declarative
-    form). The events table replays over 3 micro-batches; the memory
+    form). The events table replays over 2 micro-batches; the memory
     sink accumulates each batch's changed rows, so the LAST emission
     per key — selected by the monotone n_events, exactly B56's
     read-back discipline — must equal the batch aggregate, which is
