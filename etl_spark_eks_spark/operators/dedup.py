@@ -17,7 +17,7 @@ Scale ladder (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etl_spark_eks_spark.catalog import load_table, widen
@@ -369,6 +369,52 @@ def q_c16_ngram_jaccard(spark, sf_dir):
     )
 
 
+# (bands, rows) per (recall_floor, at_jaccard) — memoized because the
+# planner table is corpus-free constant arithmetic: same inputs, same
+# winner, in every session. One 1-row collect per process, not per query.
+_LSH_CONFIG_MEMO: dict = {}
+
+
+def select_lsh_config(
+    spark: SparkSession,
+    recall_floor: float = 0.9999,
+    at_jaccard: float = 0.8,
+) -> tuple[int, int]:
+    """Pick (n_bands, rows_per_band) FROM C118's planner table: the
+    cheapest signature (minimal b·r minhashes; bands ascending breaks
+    ties) whose candidate probability 1-(1-j^r)^b clears
+    ``recall_floor`` at the dedup threshold ``at_jaccard``.
+
+    This is the selection rule C8's docstring narrates ("16/8 proved
+    too weak": (8,2) gives 0.999725 at J=0.8, under the 0.9999 floor;
+    (16,2) gives 1-7.9e-8 at half the signature cost of (32,2)) —
+    executed against the C118 design table as DATA instead of
+    hard-coding its conclusion (r7 verdict task 6). The collect is
+    1 row of parameter arithmetic, never corpus-sized."""
+    key = (recall_floor, at_jaccard)
+    if key not in _LSH_CONFIG_MEMO:
+        row = (
+            lsh_parameter_plan(spark)
+            .filter(
+                (F.col("jaccard") == at_jaccard)
+                & (F.col("p_candidate") >= recall_floor)
+            )
+            .orderBy("signature_size", "bands")
+            .select("bands", "rows_per_band")
+            .first()
+        )
+        if row is None:
+            raise ValueError(
+                f"no LSH config in the C118 grid reaches recall "
+                f"{recall_floor} at J={at_jaccard}"
+            )
+        _LSH_CONFIG_MEMO[key] = (
+            int(row["bands"]),
+            int(row["rows_per_band"]),
+        )
+    return _LSH_CONFIG_MEMO[key]
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -428,9 +474,20 @@ def minhash_lsh_candidates(
 def q_c8_minhash_bands(spark, sf_dir):
     """C8: MinHash-LSH candidate pairs (the 100 TB near-dup path).
     Correctness contract (tests/test_tier_c.py): candidates are a
-    superset of all pairs with true Jaccard >= 0.8."""
+    superset of all pairs with true Jaccard >= 0.8.
+
+    The banding config comes from C118's planner table via
+    select_lsh_config (r7 verdict task 6): the cheapest signature
+    clearing 0.9999 recall at J=0.8, which resolves to the same
+    (16 bands, 2 rows) = 32 hashes the operator always ran — now
+    sourced as data, so retuning the dedup threshold is a table
+    lookup, not a code change."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, "text", "doc_id")
+    n_bands, rows_per_band = select_lsh_config(spark)
+    return minhash_lsh_candidates(
+        d, "text", "doc_id", n_hashes=n_bands * rows_per_band,
+        n_bands=n_bands,
+    )
 
 
 def simhash_near_dedup(
@@ -1360,6 +1417,10 @@ def q_c73_signature_probe_neardup(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" zz9qq")).alias("text"),
         )
     )
+    # Index width from C118's planner table (same selection as C8:
+    # cheapest signature clearing 0.9999 recall at J=0.8 -> 16x2).
+    n_bands, rows_per_band = select_lsh_config(spark)
+    n_hashes = n_bands * rows_per_band
 
     def index(df):
         htoks = widen(df).select(
@@ -1368,7 +1429,7 @@ def q_c73_signature_probe_neardup(spark, sf_dir):
         sigs = htoks.select(
             "doc_id",
             "htoks",
-            minhash_band_hashes("htoks", 32, 16).alias("bands"),
+            minhash_band_hashes("htoks", n_hashes, n_bands).alias("bands"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         bands = sigs.select(
             "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
@@ -2868,8 +2929,14 @@ def q_c118_lsh_parameter_plan(spark, sf_dir):
     magnitudes, ROUND 6 on both sides.
 
     Scale: a k-row local relation; the VALUE is that downstream
-    config (C8's band count, C73's index width) can be joined
-    against it as data instead of hard-coded."""
+    config (C8's band count, C73's index width) is selected FROM this
+    table as data instead of hard-coded — select_lsh_config() runs
+    the pick, q_c8/q_c73 consume it."""
+    return lsh_parameter_plan(spark)
+
+
+def lsh_parameter_plan(spark: SparkSession) -> DataFrame:
+    """The C118 design table (shared with select_lsh_config)."""
     grid = spark.createDataFrame(
         [
             (b, r)

@@ -36,6 +36,18 @@ def exact_jaccard_pairs(spark, sf_dir, threshold: float):
     )
 
 
+def test_lsh_config_selected_from_c118_plan(spark):
+    """r7 verdict task 6: C8/C73's banding must come from C118's
+    planner table, and the selection rule (cheapest signature with
+    p_candidate >= 0.9999 at J=0.8) must resolve to the (16 bands,
+    2 rows) = 32-hash config the operators were measured and
+    contract-tested at. A grid or rule change that silently moves
+    the winner fails here before it can skew recall."""
+    from etl_spark_eks_spark.operators.dedup import select_lsh_config
+
+    assert select_lsh_config(spark) == (16, 2)
+
+
 def test_minhash_candidates_superset_of_near_dups(spark, sf_dir):
     """C8 contract: every pair with true Jaccard >= 0.85 must be an LSH
     candidate (32 hashes / 16 bands / 2 rows: P(miss at 0.85) ~
