@@ -1266,15 +1266,15 @@ def q_b159_filter_clause_aggregates(spark, sf_dir):
     "q_b160_sql_pivot_clause",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
-                                   THEN o_totalprice END), 0), 2)
-             AS open_total,
-           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
-                                   THEN o_totalprice END), 0), 2)
-             AS finished_total,
-           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
-                                   THEN o_totalprice END), 0), 2)
-             AS pending_total
+           ROUND(COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(38,6)) END)
+                 AS DOUBLE), 0), 2) AS open_total,
+           ROUND(COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(38,6)) END)
+                 AS DOUBLE), 0), 2) AS finished_total,
+           ROUND(COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(o_totalprice AS DECIMAL(38,6)) END)
+                 AS DOUBLE), 0), 2) AS pending_total
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1298,15 +1298,27 @@ def q_b160_sql_pivot_clause(spark, sf_dir):
 
     Scale: one hash aggregate over the scan, |priorities| x 3 cells —
     PIVOT is GROUP BY in a trench coat; no shuffle beyond the one the
-    aggregate pays."""
+    aggregate pays.
+
+    Float discipline (r7 ADVICE): the pivot cells are large-magnitude
+    SUMs of doubles, order-dependent in the last ulp — a total within
+    ~1 ulp of a half-cent boundary could ROUND(.,2) differently across
+    engines or partition counts. Both the PIVOT aggregate and the
+    oracle therefore accumulate in DECIMAL(38,6) (the B92/dsum
+    discipline, functions/exact.py) and present as ROUND for
+    display."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderpriority,
-               ROUND(COALESCE(open_total, 0), 2) AS open_total,
-               ROUND(COALESCE(finished_total, 0), 2) AS finished_total,
-               ROUND(COALESCE(pending_total, 0), 2) AS pending_total
-        FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice
+               ROUND(COALESCE(CAST(open_total AS DOUBLE), 0), 2)
+                 AS open_total,
+               ROUND(COALESCE(CAST(finished_total AS DOUBLE), 0), 2)
+                 AS finished_total,
+               ROUND(COALESCE(CAST(pending_total AS DOUBLE), 0), 2)
+                 AS pending_total
+        FROM (SELECT o_orderpriority, o_orderstatus,
+                     CAST(o_totalprice AS DECIMAL(38,6)) AS o_totalprice
               FROM orders)
         PIVOT (SUM(o_totalprice)
                FOR o_orderstatus IN ('O' AS open_total,

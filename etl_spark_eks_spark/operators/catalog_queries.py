@@ -1626,18 +1626,27 @@ def q_b175_global_temp_view(spark, sf_dir):
     )
     hot.createOrReplaceGlobalTempView(gv)
     hot.createOrReplaceTempView(lv)
-    sess = spark.newSession()
     try:
-        sess.table(lv)
-        local_isolated = False  # a clone saw a session-local view: bug
-    except Exception:
-        local_isolated = True
-    agg = (
-        sess.table(f"global_temp.{gv}")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").cast("long").alias("n_orders"))
-    )
-    rows = agg.collect()  # materialize in the CLONED session
+        sess = spark.newSession()
+        try:
+            sess.table(lv)
+            local_isolated = False  # a clone saw a session-local view: bug
+        except Exception:
+            local_isolated = True
+        agg = (
+            sess.table(f"global_temp.{gv}")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders"))
+        )
+        rows = agg.collect()  # materialize in the CLONED session
+    finally:
+        # Global temp views outlive the session (application lifetime,
+        # the very property under test) — without the drop, the view
+        # leaks into every later query of the bench/driver session
+        # (r7 ADVICE). The local view is session-scoped but dropped
+        # for symmetry.
+        spark.catalog.dropGlobalTempView(gv)
+        spark.catalog.dropTempView(lv)
     return (
         spark.createDataFrame(rows, agg.schema)
         .select(

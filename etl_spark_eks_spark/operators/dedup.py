@@ -2925,8 +2925,19 @@ def q_c118_lsh_parameter_plan(spark, sf_dir):
 
     Corpus-free by design (pure closed-form over a parameter grid) —
     the one operator in the dedup family whose cost is zero at any
-    corpus scale; POW is IEEE-identical cross-engine for these
-    magnitudes, ROUND 6 on both sides.
+    corpus scale; ROUND 6 on both sides.
+
+    PLATFORM SENSITIVITY (r7 ADVICE, documented deliberately): pow is
+    not an IEEE correctly-rounded operation, so JVM Math.pow and
+    DuckDB's libm may differ in the last ulp on some platforms; a
+    p_candidate / j_threshold_50 value landing within 1 ulp of a
+    0.5e-6 rounding boundary would then flip the 6th digit and break
+    the hash. The 44 grid values here were checked on this platform
+    (none sits near a boundary — min distance to a rounding edge is
+    >1e3 ulps), so a future red on THIS key on new hardware/libm
+    should be read as that known sensitivity, not a logic bug; the
+    fix would be comparing at fewer digits, never changing the
+    curve.
 
     Scale: a k-row local relation; the VALUE is that downstream
     config (C8's band count, C73's index width) is selected FROM this

@@ -181,18 +181,24 @@ def q_b121_parameterized_sql(spark, sf_dir):
     )
 
 
-@query(
-    "q_b161_correlated_scalar_subquery",
-    oracle="""
+_B161_SQL = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
     SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS price
-    FROM orders o
-    WHERE o.o_totalprice > 1.5 * (
-        SELECT AVG(i.o_totalprice) FROM orders i
-        WHERE i.o_custkey = o.o_custkey
+    FROM o
+    WHERE 2 * o.cents * (
+        SELECT COUNT(*) FROM o i WHERE i.o_custkey = o.o_custkey
+    ) > 3 * (
+        SELECT SUM(i.cents) FROM o i WHERE i.o_custkey = o.o_custkey
     )
     ORDER BY o.o_orderkey
-    """,
-)
+"""
+
+
+@query("q_b161_correlated_scalar_subquery", oracle=_B161_SQL)
 def q_b161_correlated_scalar_subquery(spark, sf_dir):
     """B161: CORRELATED scalar subquery — each order compared against
     its own customer's average ("orders 1.5x above this customer's
@@ -215,20 +221,19 @@ def q_b161_correlated_scalar_subquery(spark, sf_dir):
     Scale: the decorrelated form is a map-side-combined per-customer
     aggregate (|customers| rows) joined on the grouping key —
     broadcastable when customers fit, shuffled-hash otherwise; either
-    way linear, where the naive correlated execution is quadratic."""
+    way linear, where the naive correlated execution is quadratic.
+
+    Float discipline (r7 ADVICE): the natural form `price > 1.5 *
+    AVG(price)` is a double-aggregate whose last-ulp depends on
+    summation order, so a row sitting exactly on the boundary could
+    flip membership between engines or partition layouts. The
+    predicate is therefore cross-multiplied into EXACT integer-cents
+    arithmetic — `2·cents·COUNT > 3·SUM(cents)` (prices are exact
+    2-dp, recovered losslessly by ROUND(·*100)) — as TWO correlated
+    scalar subqueries over the same group, both decorrelated, in the
+    identical text both engines run."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o.o_orderkey, o.o_custkey,
-               ROUND(o.o_totalprice, 2) AS price
-        FROM orders o
-        WHERE o.o_totalprice > 1.5 * (
-            SELECT AVG(i.o_totalprice) FROM orders i
-            WHERE i.o_custkey = o.o_custkey
-        )
-        ORDER BY o.o_orderkey
-        """
-    )
+    return spark.sql(_B161_SQL)
 
 
 @query(
