@@ -1657,3 +1657,77 @@ def q_b175_global_temp_view(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_b178_plan_semantics_identity",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS reordered_plan_same,
+           TRUE AS hash_matches_same,
+           TRUE AS different_filter_detected
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_b178_plan_semantics_identity(spark, sf_dir):
+    """B178: `sameSemantics` / `semanticHash` — plan IDENTITY as an
+    API surface. A plan cache, a view deduplicator, or a
+    materialization layer (B117's cached-multi-action pattern) must
+    decide "is this query the one I already computed?" — and textual
+    equality is the wrong test: filter order, alias names, and
+    select-list order all vary without changing semantics. Spark
+    answers from the canonicalized plan: `df.sameSemantics(other)`
+    and the stable `df.semanticHash()`.
+
+    Proven by construction on three plans over orders: (a) the
+    aggregate REBUILT from scratch — fresh expression IDs throughout
+    and count(*) written as count(lit(1)) — is recognized:
+    sameSemantics TRUE, equal semanticHash (expression-id and
+    count-form normalization is precisely what textual comparison
+    cannot do); (b) the same shape with a different filter constant
+    -> sameSemantics FALSE (a cache that returned (a) for (b) would
+    be a wrong-results bug). The contract is deliberately
+    CONSERVATIVE: canonicalization normalizes ids and trivial forms
+    but not structural rewrites (a projection pushed below the
+    filter compares unequal) — for a cache that asymmetry is safe,
+    a false negative recomputes while a false positive corrupts.
+    The verdicts ride as oracle-TRUE booleans on the aggregate's
+    real rows (the B19 self-verifying shape — plan identity is
+    invisible to SQL).
+
+    Scale: canonicalization is a driver-side tree rewrite —
+    milliseconds on any plan, zero executor cost; it is the
+    O(1) alternative to recomputing a 100 TB aggregate whose
+    result already sits in cache."""
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.filter((F.col("o_totalprice") > 150000))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    # same semantics: the identical shape REBUILT (fresh expression
+    # ids; count(*) spelled count(lit(1)) — analysis normalizes both)
+    twin = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    other = (
+        o.filter((F.col("o_totalprice") > 160000))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    same = bool(base.sameSemantics(twin))
+    hash_same = base.semanticHash() == twin.semanticHash()
+    differs = not base.sameSemantics(other)
+    return base.select(
+        "o_orderpriority",
+        "n_orders",
+        F.lit(same).alias("reordered_plan_same"),
+        F.lit(hash_same).alias("hash_matches_same"),
+        F.lit(differs).alias("different_filter_detected"),
+    ).orderBy("o_orderpriority")

@@ -12,6 +12,8 @@ read-time optimization. This module is that decision as an operator.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_spark_eks_spark.catalog import load_table
 from etl_spark_eks_spark.registry import query
 from etl_spark_eks_spark.sources.parquet_io import fresh_scratch
@@ -275,4 +277,121 @@ def q_b146_output_file_sizing(spark, sf_dir):
                 "files_internally_sorted"
             ),
         )
+    )
+
+
+@query(
+    "q_b176_rebalance_hint",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT heat) AS BIGINT) AS n_keys,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS total_price,
+           TRUE AS hot_key_split,
+           TRUE AS no_file_exceeds_hot_key
+    FROM (SELECT l_extendedprice,
+                 CASE WHEN l_orderkey % 10 < 8 THEN 'hot'
+                      ELSE 'cold_' || CAST(l_orderkey % 10 AS VARCHAR)
+                 END AS heat
+          FROM lineitem)
+    """,
+)
+def q_b176_rebalance_hint(spark, sf_dir):
+    """B176: the AQE REBALANCE hint — the write-side answer to key
+    skew. `repartition(key)` on a skewed key writes one elephant file
+    per hot key (here a synthetic 80/20 key: 80% of lineitem lands on
+    'hot'); `df.hint("rebalance", key)` keeps the key clustering but
+    lets AQE SPLIT oversized partitions and COALESCE tiny ones to the
+    advisory size — bounded output files regardless of skew, without
+    choosing a partition count by hand (B146 bounds records per task;
+    this bounds the task sizes themselves). The advisory size is
+    derived from the measured row count so the split engages at every
+    fixture scale.
+
+    Self-verifying booleans (the B19 shape — SQL cannot see files):
+    (1) hot_key_split: the output has MORE files than distinct keys,
+    impossible under plain key-repartitioning, so the hot partition
+    genuinely split; (2) no_file_exceeds_hot_key: no single file
+    holds the whole hot key's rows. Content columns prove values
+    survived the round trip untouched.
+
+    Scale: REBALANCE is the production default for the final exchange
+    before a lake write — at 1000 executors a hand-tuned
+    repartition(N) is wrong the day the data grows; the advisory
+    target is a cluster-level constant. Reference analogue: the
+    s3a committer tuning (spark-operator-taxi.yaml:17-31) assumes
+    sanely-sized output objects; this is the operator that makes
+    them sane."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = fresh_scratch("q_b176", tag, "out")
+    # repartition(16) + localCheckpoint pins 16 MAP tasks under the
+    # rebalance shuffle. Both are fixture crutches a cluster does not
+    # need — but they are load-bearing here: (a) AQE's skew split
+    # assigns MAPPER RANGES to the split partitions, and the fixture
+    # scan is one task, below split granularity (a 100 TB scan has
+    # thousands of mappers); (b) the checkpoint is what keeps the
+    # repartition alive at all — CollapseRepartition folds a bare
+    # repartition into the adjacent rebalance exchange, and
+    # EliminateSorts strips a sortWithinPartitions blocker as
+    # redundant-before-shuffle (both observed; only a lineage cut
+    # survives the optimizer).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit("hot"))
+            .otherwise(
+                F.concat(F.lit("cold_"), (F.col("l_orderkey") % 10))
+            )
+            .alias("heat"),
+        )
+        .repartition(16)
+        .localCheckpoint(eager=True)
+    )
+    n = li.count()
+    hot_rows = li.filter(F.col("heat") == "hot").count()
+    # ~12 advisory-sized pieces of the whole dataset; ~40 B/row in
+    # shuffle format. max() keeps the floor sane at sf0.001.
+    advisory = max(16_384, n * 40 // 12)
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
+        # default 1 MiB floor would re-merge everything at fixture scale
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1024",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li.hint("rebalance", "heat").write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    rb = spark.read.parquet(out).select(
+        "l_extendedprice",
+        "heat",
+        F.col("_metadata.file_name").alias("fname"),
+    )
+    per_file = rb.groupBy("fname").agg(F.count("*").alias("recs"))
+    stats = per_file.agg(
+        F.count("*").alias("n_files"), F.max("recs").alias("max_recs")
+    ).first()
+    n_keys = 3  # 'hot', 'cold_8', 'cold_9'
+    return rb.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("heat").cast("long").alias("n_keys"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("total_price"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "total_price",
+        F.lit(bool(stats["n_files"] > n_keys)).alias("hot_key_split"),
+        F.lit(bool(stats["max_recs"] < hot_rows)).alias(
+            "no_file_exceeds_hot_key"
+        ),
     )

@@ -2589,3 +2589,85 @@ def q_c122_post_dedup_mix_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_b179_monotonic_id_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS ids_unique,
+           TRUE AS ids_encode_partition,
+           TRUE AS monotone_within_partition,
+           TRUE AS ids_not_dense
+    FROM documents
+    """,
+)
+def q_b179_monotonic_id_contract(spark, sf_dir):
+    """B179: `monotonically_increasing_id` — the surface AND its
+    sharp edges, pinned as a contract. The function is the tempting
+    first answer to "give every row an id" at 100 TB because it is
+    embarrassingly parallel (no shuffle, no window): 64-bit ids with
+    the PARTITION index in the upper 31 bits and a per-partition
+    counter below. The contract this operator proves by
+    construction, with the corpus spread over multiple partitions:
+    (1) ids are globally UNIQUE; (2) id >> 33 equals
+    spark_partition_id() — the documented bit layout, which is WHY
+    (3) ids are monotone only WITHIN a partition and (4) NOT dense
+    (max id >> row count whenever partition 1+ exists). (3)+(4) are
+    the production warnings: the ids change with partitioning, so
+    they are neither stable join keys across runs nor shard
+    addresses — the job C46's content-keyed two-phase prefix sum
+    exists to do correctly. Verdicts ride as oracle-TRUE booleans
+    (B19 shape: SQL cannot see partitioning).
+
+    Scale: the demonstrated function is the zero-shuffle path; the
+    audit aggregates are one pass. The repartition(8) +
+    localCheckpoint pins a multi-partition layout so the claims are
+    exercised, not vacuous, at every fixture scale."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    ids = d.select(
+        "doc_id",
+        F.monotonically_increasing_id().alias("mid"),
+        F.spark_partition_id().alias("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy("mid")
+    audit = (
+        ids.withColumn("prev", F.lag("mid").over(w))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("mid").alias("n_ids"),
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("mid"), 33) != F.col("pid"), 1
+                ).otherwise(0)
+            ).alias("bad_layout"),
+            F.sum(
+                F.when(F.col("prev") >= F.col("mid"), 1).otherwise(0)
+            ).alias("non_monotone"),
+            F.max("mid").alias("max_id"),
+        )
+        .first()
+    )
+    return (
+        ids.agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "n_docs",
+            F.lit(bool(audit["n_ids"] == audit["n_docs"])).alias(
+                "ids_unique"
+            ),
+            F.lit(bool(audit["bad_layout"] == 0)).alias(
+                "ids_encode_partition"
+            ),
+            F.lit(bool(audit["non_monotone"] == 0)).alias(
+                "monotone_within_partition"
+            ),
+            F.lit(bool(audit["max_id"] > audit["n_docs"])).alias(
+                "ids_not_dense"
+            ),
+        )
+    )

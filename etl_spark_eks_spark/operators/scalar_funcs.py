@@ -717,3 +717,83 @@ def q_b158_lateral_view_posexplode(spark, sf_dir):
         LATERAL VIEW OUTER posexplode(arr) AS pos, tok
         """
     )
+
+
+@query(
+    "q_b177_stack_inline_generators",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_open,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_finished,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'stack' AS surface, 'open' AS k,
+           CAST(n_open AS DOUBLE) AS v FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'stack', 'finished',
+           CAST(n_finished AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'inline', 'min_price', lo FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'inline', 'max_price', hi FROM agg
+    ORDER BY o_orderpriority, surface, k
+    """,
+)
+def q_b177_stack_inline_generators(spark, sf_dir):
+    """B177: the remaining SQL GENERATOR functions — ``stack(n, ...)``
+    (wide row -> n rows; the generator-form unpivot, vs B151's
+    UNPIVOT clause and B59's DataFrame pivot) and ``inline(array<
+    struct>)`` (array-of-struct -> rows x columns in one step, where
+    B158's posexplode emits the struct whole and needs a second
+    projection). Each is checked against its relational desugaring —
+    stack == UNION ALL of column pairs, inline == unnest of the
+    struct fields — the same definition-not-keyword oracle strategy
+    as B160's PIVOT (DuckDB has neither function; the semantics are
+    engine-free).
+
+    One per-priority aggregate feeds both cohorts, tagged by
+    `surface`, so the hash gate certifies the two generators against
+    the same 5 input rows.
+
+    Scale: generators run inside WholeStageCodegen on the aggregate's
+    5-row output — zero shuffle beyond the aggregate's own; at any
+    scale stack/inline cost is output-row construction, the floor."""
+    from etl_spark_eks_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH agg AS (
+          SELECT o_orderpriority,
+                 SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                   AS n_open,
+                 SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS n_finished,
+                 CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+                 CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+          FROM orders GROUP BY o_orderpriority
+        ), stacked AS (
+          SELECT o_orderpriority, 'stack' AS surface, k, v
+          FROM agg
+          LATERAL VIEW stack(2, 'open', CAST(n_open AS DOUBLE),
+                                'finished', CAST(n_finished AS DOUBLE))
+            AS k, v
+        ), inlined AS (
+          SELECT o_orderpriority, 'inline' AS surface, k, v
+          FROM agg
+          LATERAL VIEW inline(array(
+                 named_struct('k', 'min_price', 'v', lo),
+                 named_struct('k', 'max_price', 'v', hi)))
+            AS k, v
+        )
+        SELECT o_orderpriority, surface, k, v FROM stacked
+        UNION ALL
+        SELECT o_orderpriority, surface, k, v FROM inlined
+        ORDER BY o_orderpriority, surface, k
+        """
+    )
