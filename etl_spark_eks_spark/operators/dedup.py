@@ -2983,3 +2983,133 @@ def lsh_parameter_plan(spark: SparkSession) -> DataFrame:
         )
         .orderBy("bands", "rows_per_band", "jaccard")
     )
+
+
+@query(
+    "q_c126_url_canonical_dedup",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+             || CASE WHEN doc_id % 5 = 0 THEN 's' ELSE '' END
+             || '://' ||
+             CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                  ELSE source END
+             || '.Example.COM/' || lang || '/item/'
+             || CAST(doc_id % 7 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+             || CASE doc_id % 3
+                  WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+                  WHEN 1 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+                  ELSE '?id=' || CAST(doc_id % 3 AS VARCHAR)
+                END AS url,
+             source, lang
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, source, lang,
+             'https://' || lower(source) || '.example.com/' || lang
+             || '/item/' || CAST(doc_id % 7 AS VARCHAR)
+             || '?id=' || CAST(doc_id % 3 AS VARCHAR) AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM canon
+    GROUP BY curl
+    HAVING COUNT(*) > 1
+    ORDER BY canonical_url
+    """,
+)
+def q_c126_url_canonical_dedup(spark, sf_dir):
+    """C126 (extension): URL CANONICALIZATION dedup — the crawl-side
+    dedup rung BEFORE any content hashing (C1) runs: the same page
+    arrives under scheme-case variants, http/https, host-case
+    variants, trailing slashes, and tracking parameters, and a
+    canonical-URL groupBy removes refetches for the cost of one
+    narrow shuffle on a short string — no text is ever read. The
+    canonicalizer: lowercase scheme+host, force https, strip a
+    trailing path slash, drop utm_* tracking params, keep
+    content-bearing params (id), rebuilt in canonical key order.
+    Spark side does it with the real URL toolkit (parse_url for
+    HOST/PATH + regexp for the query surgery); the oracle derives
+    the canonical form INDEPENDENTLY from the same (source, lang,
+    doc_id) synthesis (DuckDB has no URL parser — the B129
+    construct-then-parse-back strategy), so agreement certifies the
+    parser-based pipeline against the ground-truth construction.
+
+    Fixture documents carry no URLs, so messy ones are SYNTHESIZED
+    deterministically with the variant axes above; the canonical key
+    space is (source, lang, doc_id%7, doc_id%3) — 21 residue combos
+    under each ~5-25-doc (source, lang) bucket — so birthday
+    collisions give the positive path (HAVING n_docs > 1) real mass
+    (16 duplicate groups at sf0.01) while most URLs stay unique.
+
+    Scale: per-row codegen string work + one groupBy on the
+    canonical key (shorter than any content hash pipeline); at
+    crawl scale this is the operator that runs on the URL frontier
+    BEFORE fetch — the cheapest dedup in the whole stack because it
+    deletes the network request itself."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("http")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("s")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/item/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("?id="), (F.col("doc_id") % 3).cast("string")
+            )
+        ),
+    )
+    raw = d.select("doc_id", "source", "lang", url.alias("url"))
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url(F.col("url"), F.lit("PATH")), r"/$", ""
+    )
+    # query surgery: keep only content-bearing keys (id), canonical order
+    id_val = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id"))
+    curl = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(
+            id_val.isNotNull(), F.concat(F.lit("?id="), id_val)
+        ).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", "source", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )

@@ -1980,3 +1980,113 @@ def q_m18_paired_modality_dedup(spark, sf_dir):
         )
         .orderBy("verdict")
     )
+
+
+@query(
+    "q_m19_modality_interleave_schedule",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN n % 4 IN (0, 1) THEN 'image'
+                  WHEN n % 4 = 2 THEN 'audio' ELSE 'video' END AS modality
+      FROM payloads
+    ), pos AS (
+      SELECT doc_id, modality,
+             ROW_NUMBER() OVER (PARTITION BY modality ORDER BY doc_id)
+               - 1 AS mod_pos
+      FROM m
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY mod_pos, modality) - 1 AS BIGINT) AS step,
+           doc_id, modality, CAST(mod_pos AS BIGINT) AS mod_pos
+    FROM pos
+    ORDER BY step
+    """,
+)
+def q_m19_modality_interleave_schedule(spark, sf_dir):
+    """M19 (extension): MODALITY-INTERLEAVED training schedule — a
+    deterministic global training order that round-robins the
+    modalities (audio/image/video, from the stub media metadata)
+    cycle by cycle: step k of each cycle serves each surviving
+    modality once, in modality-name order, until the smaller
+    modalities exhaust and the schedule drains the rest. This is
+    C70's curriculum-interleave need at the MODALITY level — a
+    multimodal run starves (and its gradient mix drifts) if a shard
+    boundary delivers an hour of video and no text; the schedule
+    pins the mix at data-prep time, the M6 manifest consumes it.
+
+    The scale point is HOW the step number is computed: NOT with the
+    oracle's global ROW_NUMBER (a single-task sort at any cluster
+    size) but in CLOSED FORM — step(doc) = number of (mod_pos',
+    modality') pairs ordering before (p, r) = sum over modalities m
+    of min(p, count_m) + [rank_m < r AND count_m > p] — from (a)
+    per-modality positions via the shared two-phase prefix sum
+    (running_total_before, C24/C46's primitive; weight 1, keyed by
+    modality) and (b) a 1-row broadcast fold of the 3 modality
+    counts, evaluated per row with a higher-order aggregate. Zero
+    global windows, zero corpus-sized single partitions; the oracle
+    recomputes the same order the slow way and the hash certifies
+    the closed form.
+
+    plan-lint allowlist (cartesian): the 1-row modality-counts fold
+    broadcast-cross-joined onto the corpus (C26's class).
+    plan-lint allowlist (single_part): that fold's final 3-row
+    aggregate, plus the prefix-sum offset window over id-range
+    buckets (C24's class)."""
+    from etl_spark_eks_spark.operators.sampling import (
+        running_total_before,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.octet_length(F.encode("text", "UTF-8"))
+    m = d.select(
+        "doc_id",
+        F.when(n % 4 <= 1, F.lit("image"))
+        .when(n % 4 == 2, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+    ).withColumn("w", F.lit(1).cast("long"))
+    pos = running_total_before(
+        m, "doc_id", "w", 256, partition_cols=("modality",)
+    ).withColumnRenamed("__cum_before", "mod_pos")
+    counts = m.groupBy("modality").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    fold = counts.agg(
+        F.collect_list(F.struct("modality", "c")).alias("cs")
+    )
+    rank = (
+        F.when(F.col("modality") == "audio", 0)
+        .when(F.col("modality") == "image", 1)
+        .otherwise(2)
+    )
+
+    def _rank_of(s):
+        return (
+            F.when(s["modality"] == "audio", 0)
+            .when(s["modality"] == "image", 1)
+            .otherwise(2)
+        )
+
+    p = F.col("mod_pos")
+    step = F.aggregate(
+        "cs",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.least(p, s["c"])
+        + F.when((_rank_of(s) < rank) & (s["c"] > p), 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    return (
+        pos.crossJoin(F.broadcast(fold))
+        .select(
+            step.alias("step"),
+            "doc_id",
+            "modality",
+            F.col("mod_pos").cast("long").alias("mod_pos"),
+        )
+        .orderBy("step")
+    )

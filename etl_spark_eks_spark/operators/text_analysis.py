@@ -3420,3 +3420,185 @@ def q_c123_gate_ablation_report(spark, sf_dir):
     return spark.createDataFrame(
         out, "rule string, n_fired long, n_exclusive long"
     ).orderBy("rule")
+
+
+_C124_BOILER = (
+    "data pipeline tokens flow through the spark engine every day again "
+)
+
+
+@query(
+    "q_c124_heavy_hitters_sketch",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL   -- planted boilerplate: the corpus's natural bigram
+                  -- distribution is near-uniform (max share ~0.18%),
+                  -- so heavy hitters are planted to give the positive
+                  -- path mass (every 41st doc contributes the fixed
+                  -- sentence repeated 30x)
+      SELECT repeat('{_C124_BOILER}', 30) FROM documents
+      WHERE doc_id % 41 = 0
+    ), t AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM corpus
+    ), p AS (
+      SELECT toks[CAST(r.i AS INTEGER)] || ' ' ||
+             toks[CAST(r.i AS INTEGER) + 1] AS bigram
+      FROM t, UNNEST(range(1, len(toks))) AS r(i)
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p)
+    SELECT p.bigram, CAST(COUNT(*) AS BIGINT) AS freq, tot.n AS n_stream
+    FROM p, tot
+    GROUP BY p.bigram, tot.n
+    HAVING COUNT(*) * 500 > tot.n
+    ORDER BY freq DESC, bigram
+    """,
+)
+def q_c124_heavy_hitters_sketch(spark, sf_dir):
+    """C124 (extension): HEAVY HITTERS over the corpus bigram stream —
+    every bigram above 1/500 of the stream, found WITHOUT a
+    full-vocabulary shuffle: a per-partition Misra-Gries sketch
+    (599 counters, weighted batch updates) nominates candidates, and
+    only the nominated keys are exactly recounted. This is the
+    two-pass sketch-then-verify pattern (C8's shape, applied to
+    frequency instead of similarity): at 100 TB the bigram vocabulary
+    is billions of keys and the groupBy-everything C38 pays for all
+    of them, while MG's candidate set is bounded by counters x
+    partitions regardless of vocabulary — and the exact recount makes
+    the final answer independent of every sketch internal.
+
+    Recall is EXACTLY 1 by the MG bound: an item decremented only
+    when m+1 = 600 counters drop together, so total decrement per
+    item <= n_p/600 < n_p/500; any bigram with global freq > n/500
+    exceeds n_p/500 in some partition (pigeonhole) and survives
+    there. The threshold is the integer cross-multiplication
+    freq*500 > n (no float share is ever compared).
+
+    The fixture's natural bigram distribution is near-uniform (916
+    types, max share ~0.18% — nothing qualifies), so heavy hitters
+    are PLANTED (every 41st doc contributes a fixed 11-token
+    boilerplate sentence repeated 30x — the C111/C113 construction,
+    identical on both engines): ~11 planted bigrams clear the
+    threshold, 900+ natural types exercise the negative path.
+
+    Scale: pass 1 is mapInPandas (Arrow-batched, value_counts per
+    batch folded into the weighted sketch — no per-row Python); the
+    candidate set broadcasts; pass 2's groupBy touches only
+    candidate-matched rows. No stage is vocabulary-sized."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = widen(d).select("text").unionByName(
+        d.filter(F.col("doc_id") % 41 == 0).select(
+            F.expr(f"repeat('{_C124_BOILER}', 30)").alias("text")
+        )
+    )
+    toks = corpus.select(tokenize("text").alias("t"))
+    n_t = F.size("t")
+    bigrams = toks.filter(n_t >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_t - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+
+    def mg_sketch(batches):
+        m = 599
+        d: dict[str, int] = {}
+        for pdf in batches:
+            for key, w in pdf["bigram"].value_counts().items():
+                w = int(w)
+                if key in d:
+                    d[key] += w
+                elif len(d) < m:
+                    d[key] = w
+                else:
+                    d[key] = w
+                    mn = min(d.values())
+                    d = {k: v - mn for k, v in d.items() if v > mn}
+        yield pd.DataFrame({"bigram": list(d.keys())})
+
+    cands = bigrams.mapInPandas(mg_sketch, "bigram string").distinct()
+    n = bigrams.count()
+    return (
+        bigrams.join(F.broadcast(cands), "bigram")
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("freq") * 500 > F.lit(n))
+        .select("bigram", "freq", F.lit(n).cast("long").alias("n_stream"))
+        .orderBy(F.desc("freq"), "bigram")
+    )
+
+
+@query(
+    "q_c125_token_entropy_profile",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY doc_id, lang, tok
+    )
+    SELECT doc_id, lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(log2(CAST(SUM(cnt) AS DOUBLE))
+                 - SUM(cnt * log2(CAST(cnt AS DOUBLE)))
+                   / CAST(SUM(cnt) AS DOUBLE), 6) AS entropy_bits
+    FROM c
+    GROUP BY doc_id, lang
+    ORDER BY doc_id
+    """,
+)
+def q_c125_token_entropy_profile(spark, sf_dir):
+    """C125 (extension): per-document TOKEN ENTROPY — the
+    information-theoretic quality signal the ratio heuristics (C10
+    length/punct ratios, C28 repetition, C95 Gopher rules) cannot
+    see: H = -Σ p·log2 p over the doc's token distribution, computed
+    as log2(n) - Σ cnt·log2(cnt)/n from integer counts. Machine-
+    generated spam with a healthy length and stopword ratio still
+    shows as a LOW-entropy outlier (few tokens carrying most mass);
+    the downstream gate thresholds this column per lang (the C106
+    operating-point machinery chooses where).
+
+    Float discipline: entropy values are O(log2 vocab) ~ 5 — the
+    small-magnitude regime where the registry's ROUND(x, 6) AVG rule
+    applies (1-ulp summation noise ~1e-15, six orders below the
+    rounding quantum). Every doc is emitted ordered by doc_id — no
+    rank or threshold boundary a last-ulp difference could flip.
+
+    Scale: explode -> two map-side-combined aggregations, both
+    keyed by doc_id (the second strictly shrinking); no window, no
+    join — corpus size enters one narrow (doc_id, tok) shuffle, the
+    same shape C1 already pays. At 100 TB this is the cheapest
+    whole-corpus information audit that exists."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        widen(d)
+        .select("doc_id", "lang", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt").cast("double")
+    return (
+        counts.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(
+                F.log2(n)
+                - F.sum(F.col("cnt") * F.log2(F.col("cnt").cast("double")))
+                / n,
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

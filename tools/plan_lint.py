@@ -62,6 +62,7 @@ ALLOW_CARTESIAN = {
     "q_c92_perplexity_buckets",
     "q_c122_post_dedup_mix_report",  # 1-row before/after-total broadcast
     "q_c118_lsh_parameter_plan",  # deliberate k x k parameter-grid cross (44 rows, corpus-free)
+    "q_m19_modality_interleave_schedule",  # 1-row modality-counts fold broadcast (C26's class; docstring-owned)
 }
 ALLOW_PY_ROW = {
     "q_b51_python_udf",   # the row-at-a-time surface demo the contract requires
@@ -78,6 +79,9 @@ ALLOW_SINGLE_PART = {
     "q_c119_id_anonymization_audit",  # 1-row collision-audit fold
     "q_c122_post_dedup_mix_report",   # 1-row mixture-total fold
     "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
+    "q_b176_rebalance_hint",        # 1-row content/audit fold + per-file stats agg (B146's class)
+    "q_b179_monotonic_id_contract", # 1-row id-audit fold of partial-aggregated counts (B19's class)
+    "q_m19_modality_interleave_schedule",  # 3-row modality-counts fold + the shared prefix-sum offset window (C24's class)
     "q_b149_calendar_gap_fill",     # 1-row date-bounds fold feeding the spine
     "q_c105_quality_rate_confidence",  # 1-row corpus-rate fold broadcast back
     "q_c107_exact_apportionment",   # remainder-rank window over the |strata| (20-row) quota table
