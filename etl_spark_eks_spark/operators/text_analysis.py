@@ -3422,6 +3422,31 @@ def q_c123_gate_ablation_report(spark, sf_dir):
     ).orderBy("rule")
 
 
+def misra_gries_candidates(series_iter, m: int) -> list[str]:
+    """Weighted Misra-Gries fold over an iterator of pandas Series.
+
+    Maintains <= m counters; inserting a key at weight w when full
+    subtracts the new minimum from every counter and drops zeros —
+    each such event consumes >= (m+1) x min of inserted weight, so any
+    key's total decrement is <= n/(m+1) and every key with frequency
+    > n/(m+1) survives (the recall-1 bound C124 relies on).
+    Property-tested against the exact counts in
+    tests/test_properties.py::test_misra_gries_recall_bound."""
+    d: dict[str, int] = {}
+    for series in series_iter:
+        for key, w in series.value_counts().items():
+            w = int(w)
+            if key in d:
+                d[key] += w
+            elif len(d) < m:
+                d[key] = w
+            else:
+                d[key] = w
+                mn = min(d.values())
+                d = {k: v - mn for k, v in d.items() if v > mn}
+    return list(d.keys())
+
+
 _C124_BOILER = (
     "data pipeline tokens flow through the spark engine every day again "
 )
@@ -3508,20 +3533,10 @@ def q_c124_heavy_hitters_sketch(spark, sf_dir):
     )
 
     def mg_sketch(batches):
-        m = 599
-        d: dict[str, int] = {}
-        for pdf in batches:
-            for key, w in pdf["bigram"].value_counts().items():
-                w = int(w)
-                if key in d:
-                    d[key] += w
-                elif len(d) < m:
-                    d[key] = w
-                else:
-                    d[key] = w
-                    mn = min(d.values())
-                    d = {k: v - mn for k, v in d.items() if v > mn}
-        yield pd.DataFrame({"bigram": list(d.keys())})
+        keys = misra_gries_candidates(
+            (pdf["bigram"] for pdf in batches), m=599
+        )
+        yield pd.DataFrame({"bigram": keys})
 
     cands = bigrams.mapInPandas(mg_sketch, "bigram string").distinct()
     n = bigrams.count()

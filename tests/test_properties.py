@@ -1474,3 +1474,50 @@ def test_fetch_plan_islands_match_bruteforce(spark, members, gap):
                 hi, n = max(hi, e), n + 1
         want.add((s_, g, lo, hi, n))
     assert got == want
+
+
+def test_misra_gries_recall_bound():
+    """C124's sketch contract: for ANY stream split into partitions and
+    batches, the union of per-partition Misra-Gries candidate sets
+    contains every key with global frequency > n/(m+1) — the recall-1
+    bound that lets the exact recount produce the oracle answer. Runs
+    adversarial-ish Zipf streams at several m values and split shapes."""
+    import random
+
+    import pandas as pd
+
+    from etl_spark_eks_spark.operators.text_analysis import (
+        misra_gries_candidates,
+    )
+
+    rng = random.Random(42)
+    for m in (5, 20, 99):
+        for n_parts in (1, 3, 8):
+            # Zipf-ish stream with a few planted heavies
+            stream = []
+            for i in range(4000):
+                r = rng.random()
+                if r < 0.25:
+                    stream.append("heavy_a")
+                elif r < 0.4:
+                    stream.append("heavy_b")
+                else:
+                    stream.append(f"tail_{rng.randrange(500)}")
+            rng.shuffle(stream)
+            n = len(stream)
+            exact: dict[str, int] = {}
+            for x in stream:
+                exact[x] = exact.get(x, 0) + 1
+            # partition round-robin, two batches per partition
+            cands: set[str] = set()
+            for p in range(n_parts):
+                part = stream[p::n_parts]
+                half = len(part) // 2
+                batches = (
+                    pd.Series(part[:half]),
+                    pd.Series(part[half:]),
+                )
+                cands |= set(misra_gries_candidates(iter(batches), m=m))
+            must_catch = {k for k, f in exact.items() if f * (m + 1) > n}
+            missed = must_catch - cands
+            assert not missed, (m, n_parts, missed)
