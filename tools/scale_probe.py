@@ -139,6 +139,15 @@ PROBE_QUERIES = (
     "q_c121_score_rank_normalize",
     "q_c122_post_dedup_mix_report",
     "q_m18_paired_modality_dedup",
+    # round-8 additions over documents (q_b176-q_b179 run on the
+    # symlinked lineitem/orders tables or are metadata-only — absent
+    # per the measure-the-op rule; q_c113's registered bitmask path is
+    # vocab-gated and the replicas' namespaced vocab (31 x mult) would
+    # measure the gate, not the op — see SCALE.md round 8)
+    "q_c124_heavy_hitters_sketch",
+    "q_c125_token_entropy_profile",
+    "q_c126_url_canonical_dedup",
+    "q_m19_modality_interleave_schedule",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
