@@ -2947,41 +2947,30 @@ def q_c118_lsh_parameter_plan(spark, sf_dir):
 
 
 def lsh_parameter_plan(spark: SparkSession) -> DataFrame:
-    """The C118 design table (shared with select_lsh_config)."""
-    grid = spark.createDataFrame(
-        [
-            (b, r)
-            for b in (4, 8, 16, 32)
-            for r in (2, 4, 8)
-            if b * r <= 128
-        ],
-        "b int, r int",
-    )
-    js = spark.createDataFrame(
-        [(0.5,), (0.7,), (0.8,), (0.9,)], "j double"
-    )
-    return (
-        grid.crossJoin(F.broadcast(js))
-        .coalesce(1)
-        .select(
-            F.col("b").cast("long").alias("bands"),
-            F.col("r").cast("long").alias("rows_per_band"),
-            (F.col("b") * F.col("r")).cast("long").alias(
-                "signature_size"
-            ),
-            F.col("j").alias("jaccard"),
-            F.round(
-                1
-                - F.pow(
-                    1 - F.pow(F.col("j"), F.col("r")), F.col("b")
-                ),
-                6,
-            ).alias("p_candidate"),
-            F.round(
-                F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6
-            ).alias("j_threshold_50"),
-        )
-        .orderBy("bands", "rows_per_band", "jaccard")
+    """The C118 design table (shared with select_lsh_config).
+
+    Built from SQL VALUES, not spark.createDataFrame(list): PySpark's
+    createDataFrame routes local rows through a pickled Python RDD, so
+    every execution of the "zero-cost" parameter grid was scheduling
+    Python workers to deserialize 12 rows — measured 5.4 s warm for
+    44 output rows (r8; the whole query is two such scans). VALUES is
+    a JVM LocalRelation: constant-folded at plan time, no Python, no
+    scan — the cost profile the docstring always claimed."""
+    return spark.sql(
+        """
+        SELECT CAST(b AS BIGINT) AS bands,
+               CAST(r AS BIGINT) AS rows_per_band,
+               CAST(b * r AS BIGINT) AS signature_size,
+               j AS jaccard,
+               ROUND(1 - POWER(1 - POWER(j, CAST(r AS DOUBLE)),
+                               CAST(b AS DOUBLE)), 6) AS p_candidate,
+               ROUND(POWER(1.0 / b, 1.0 / r), 6) AS j_threshold_50
+        FROM (VALUES (4), (8), (16), (32)) AS gb(b)
+        CROSS JOIN (VALUES (2), (4), (8)) AS gr(r)
+        CROSS JOIN (VALUES (0.5D), (0.7D), (0.8D), (0.9D)) AS gj(j)
+        WHERE b * r <= 128
+        ORDER BY bands, rows_per_band, jaccard
+        """
     )
 
 
