@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table
 from etl_spark_eks_spark.functions.exact import dsum
+from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 
 
@@ -1019,8 +1020,9 @@ def _b140_skewed_frames(spark, sf_dir):
         r.skew_key
         for r in fact.select("skew_key").distinct().collect()
     )
-    dim = sess.createDataFrame(
-        [(k, abs(k) % 5) for k in keys], "skew_key bigint, grp bigint"
+    dim = values_df(
+        sess, [(k, abs(k) % 5) for k in keys],
+        "skew_key bigint, grp bigint",
     )
     out = (
         fact.join(dim, "skew_key")

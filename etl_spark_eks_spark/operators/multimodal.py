@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.text import tokenize
+from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 
 DECODED_SCHEMA = (
@@ -1202,7 +1203,8 @@ def q_m13_aspect_bucket(spark, sf_dir):
         expr = cond if expr is None else expr.when(k == mk, F.lit(i))
     # first-match .when chain == the oracle's CASE tiebreak
     keyed = img.select("doc_id", "width", "height", expr.alias("idx"))
-    dims = spark.createDataFrame(
+    dims = values_df(
+        spark,
         [(i, bw, bh) for i, (bw, bh) in enumerate(_AR_LADDER)],
         "idx int, bucket_w int, bucket_h int",
     )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.exact import dsum, dsum_sql
 from etl_spark_eks_spark.functions.text import shingles, tokenize
+from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 
 # Keep-rate buckets are permille (0-999) carved from the top 32 bits of
@@ -118,7 +119,7 @@ def q_c23_domain_mix(spark, sf_dir):
     corpus. Unmatched domains default to keep-all rather than silently
     dropping data."""
     d = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(_MIX_RATES, ["lang", "keep_permille"])
+    rates = values_df(spark, _MIX_RATES, "lang string, keep_permille bigint")
     b = hash_bucket("doc_id")
     return (
         d.join(F.broadcast(rates), "lang", "left")
@@ -1140,8 +1141,8 @@ def q_c70_interleave_curriculum(spark, sf_dir):
     (C35's sorted layout), so the global order materializes only as
     a range-partitioned write, never a single-task sort."""
     d = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        list(_INTERLEAVE_WEIGHTS), ["source", "wt"]
+    rates = values_df(
+        spark, list(_INTERLEAVE_WEIGHTS), "source string, wt double"
     )
     w = Window.partitionBy("source").orderBy("doc_id")
     return (

@@ -21,6 +21,7 @@ from etl_spark_eks_spark.functions.text import (
     token_stats,
     tokenize,
 )
+from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 
 
@@ -1931,9 +1932,7 @@ def q_c82_blocklist_phrases(spark, sf_dir):
             F.count("*").alias("n_hits"),
         )
     )
-    dim = spark.createDataFrame(
-        [(p,) for p in _BLOCKLIST], "phrase string"
-    )
+    dim = values_df(spark, [(p,) for p in _BLOCKLIST], "phrase string")
     return (
         dim.join(F.broadcast(hits), dim.phrase == hits.gram, "left")
         .select(
