@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import TABLES, load_table, register_views
 from etl_spark_eks_spark.functions.exact import dsum
+from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 from etl_spark_eks_spark.sources.parquet_io import scratch_path, write_parquet
 
@@ -447,6 +448,6 @@ def q_b174_ansi_mode_contract(spark, sf_dir):
                 m = re.search(r"\[([A-Z0-9_.]+)\]", str(e))
                 out = "ERROR:" + (m.group(1) if m else type(e).__name__)
             rows.append((mode, name, out))
-    return spark.createDataFrame(
-        rows, "mode string, expr_name string, outcome string"
+    return values_df(
+        spark, rows, "mode string, expr_name string, outcome string"
     ).orderBy("mode", "expr_name")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 from etl_spark_eks_spark.sources.parquet_io import fresh_scratch
 from etl_spark_eks_spark.streaming.stream_ops import (
@@ -798,8 +799,8 @@ def q_b118_stream_progress_metrics(spark, sf_dir):
             p for p in q.recentProgress if int(p["numInputRows"]) > 0
         )
     ]
-    return spark.createDataFrame(
-        rows, "batch_idx bigint, num_input_rows bigint"
+    return values_df(
+        spark, rows, "batch_idx bigint, num_input_rows bigint"
     )
 
 

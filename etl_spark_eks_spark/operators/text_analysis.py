@@ -2072,8 +2072,9 @@ def q_c87_bpe_merge_rounds(spark, sf_dir):
                 F.lit(f" {top['s1']}{top['s2']} "),
             ),
         )
-    return spark.createDataFrame(
-        rules, "round int, left_sym string, right_sym string, pair_count long"
+    return values_df(
+        spark, rules,
+        "round int, left_sym string, right_sym string, pair_count long",
     ).orderBy("round")
 
 
@@ -2759,8 +2760,8 @@ def q_c101_source_divergence_matrix(spark, sf_dir):
             v = va + vb - inter.get((a, b), 0)
             pair_rows.append((a, b, na_tot, nb_tot, v))
     pairs = F.broadcast(
-        spark.createDataFrame(
-            pair_rows,
+        values_df(
+            spark, pair_rows,
             "src_a string, src_b string, na_tot long, nb_tot long, v long",
         )
     )
@@ -3125,8 +3126,8 @@ def q_c106_threshold_selection(spark, sf_dir):
         for r in cm
         for (t, tp, fp, fn, tn) in [r]
     ]
-    return spark.createDataFrame(
-        rows,
+    return values_df(
+        spark, rows,
         "threshold_decipct int, tp long, fp long, fn long, tn long, "
         "is_best_f1 boolean",
     ).orderBy("threshold_decipct")
@@ -3416,8 +3417,8 @@ def q_c123_gate_ablation_report(spark, sf_dir):
     out = [
         (k, row[f"fired_{k}"], row[f"excl_{k}"]) for k in names
     ] + [("__any__", row["fired_any"], row["excl_any"])]
-    return spark.createDataFrame(
-        out, "rule string, n_fired long, n_exclusive long"
+    return values_df(
+        spark, out, "rule string, n_fired long, n_exclusive long"
     ).orderBy("rule")
 
 
