@@ -1445,3 +1445,111 @@ def q_c98_semantic_decontam(spark, sf_dir):
         .select("doc_id", "source", "nearest_eval_id", "eval_sim")
         .orderBy("doc_id")
     )
+
+
+@query("q_c127_semdedup")  # rows-only: k-means assignment is
+# init/iteration-specific, not SQL-expressible (C30's contract)
+def q_c127_semdedup(spark, sf_dir):
+    """C127 (extension): SemDeDup — SEMANTIC near-duplicate removal
+    over the embedding corpus (Abbas et al. 2023, arXiv:2303.09540):
+    paraphrases, translations, and re-renders that share no tokens
+    (invisible to C1/C2/C8's lexical machinery) sit at high cosine in
+    embedding space. The pipeline: (1) k-means clusters the corpus
+    (C30's Lloyd helper — the clustering IS the blocking: pairs are
+    only ever scored WITHIN a cluster); (2) within each cluster, the
+    cosine >= 0.95 graph's connected components (C18's contraction
+    machinery, reused verbatim on embedding edges) define duplicate
+    groups; (3) the min-vec_id representative of each component is
+    kept, the rest dropped. One row per doc with its verdict.
+
+    The fixture's embeddings are unit-norm with max natural pair
+    cosine 0.51 — far under the 0.95 threshold — so semantic clones
+    are PLANTED (every 25th vector re-emitted at +1,000,000 with a
+    +0.05 bump on dimension 0: cosine ~0.9988 to its source, the
+    C111/C113 fabricate-then-audit construction). Invariants
+    (tests/test_tier_c.py): verdicts partition the corpus, every
+    representative keeps itself, planted clones collapse onto their
+    sources, natural docs survive, rerun-deterministic.
+
+    Scale: this is the SemDeDup paper's own scaling argument made
+    literal — k grows with the corpus so the expected cluster size
+    stays bounded (fixture: k=8 over ~520 docs), and the quadratic
+    pair stage runs per cluster, never per corpus; the component
+    fold touches only edge-connected docs (planted pairs), and the
+    final verdict join is corpus x (tiny components table). At
+    100 TB: k ~ n/target_cluster_size keeps every stage linear-ish;
+    cluster assignment is one vectorized pandas-UDF pass with a
+    k x dim closure matrix."""
+    from etl_spark_eks_spark.operators.dedup import connected_components
+
+    TAU = 0.95
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    # iters=2: the clustering is BLOCKING here, not a deliverable — a
+    # near-identical pair shares its argmin centroid at every
+    # iteration (they move together), so duplicate components are
+    # never split by the iteration count; extra rounds only reshuffle
+    # which cell scores the far-apart (sub-threshold) pairs. (C30
+    # keeps 3 iterations because there the assignment itself is the
+    # output.)
+    assigned = kmeans_lloyd(corpus, k=8, iters=2)
+    vecs = corpus.join(assigned, "vec_id").persist()
+
+    # Per-cluster pair scoring as ONE numpy gram matrix per cluster
+    # (applyInPandas): the array-expression cosine runs interpreted
+    # (higher-order functions have no codegen) and cost 8.8 s on the
+    # fixture's 3.4M within-cluster pairs; the matmul form is the
+    # SemDeDup paper's own kernel and is batch-bounded by the cluster
+    # size the k policy already controls.
+    def cluster_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= TAU
+        lo = np.minimum(ids[iu[hit]], ids[ju[hit]])
+        hi = np.maximum(ids[iu[hit]], ids[ju[hit]])
+        return pd.DataFrame({"src": lo, "dst": hi})
+
+    # localCheckpoint: connected_components is an iterative consumer —
+    # uncached, every contraction round would recompute the whole
+    # kmeans+pair subtree (measured 9.6 s CC on 79 edges before the
+    # pin; ~1 s after).
+    edges = (
+        vecs.groupBy("cluster")
+        .applyInPandas(cluster_edges, "src long, dst long")
+        .localCheckpoint(eager=True)
+    )
+    comps = connected_components(edges, "src", "dst")
+    out = (
+        vecs.join(
+            comps.withColumnRenamed("node", "vec_id").withColumnRenamed(
+                "label", "rep"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("rep", "vec_id").cast("long").alias("rep_id"),
+        )
+        .withColumn("is_kept", F.col("rep_id") == F.col("vec_id"))
+        .orderBy("vec_id")
+    )
+    result = out.localCheckpoint(eager=True)
+    vecs.unpersist()
+    return result

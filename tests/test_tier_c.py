@@ -1232,3 +1232,38 @@ def test_m18_all_four_verdict_classes_carry_mass(spark, sf_dir):
         "review_caption_variant",
     }, rows
     assert all(v >= 1 for v in rows.values()), rows
+
+
+def test_semdedup_verdicts_partition_and_catch_plants(spark, sf_dir):
+    """C127 invariants: verdicts cover the planted corpus exactly once;
+    every representative keeps itself; every planted clone (+1e6 id,
+    cosine ~0.9988 to its source) collapses onto its source's
+    component; untouched natural docs (max natural pair cosine 0.51)
+    are all kept; rerun is deterministic."""
+    rows = registry.QUERIES["q_c127_semdedup"](spark, sf_dir).collect()
+    again = registry.QUERIES["q_c127_semdedup"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    by_id = {r["vec_id"]: r for r in rows}
+    n_orig = sum(1 for v in by_id if v < 1_000_000)
+    assert len(by_id) == n_orig + sum(
+        1 for v in by_id if v >= 1_000_000
+    )
+    for r in rows:
+        # representative keeps itself and is a real row
+        rep = by_id[r["rep_id"]]
+        assert rep["is_kept"] and rep["rep_id"] == rep["vec_id"]
+        assert r["is_kept"] == (r["vec_id"] == r["rep_id"])
+    for r in rows:
+        if r["vec_id"] >= 1_000_000:
+            src = r["vec_id"] - 1_000_000
+            # clone and source share one component: same rep
+            assert r["rep_id"] == by_id[src]["rep_id"], r
+            # and exactly one of the pair survives
+            assert not (r["is_kept"] and by_id[src]["is_kept"]) or (
+                r["rep_id"] != by_id[src]["rep_id"]
+            )
+    naturals = [r for r in rows if r["vec_id"] < 1_000_000]
+    dropped_naturals = [r for r in naturals if not r["is_kept"]]
+    # min-id representative policy: the source (smaller id) survives,
+    # so no natural doc is ever dropped on this fixture
+    assert not dropped_naturals, dropped_naturals[:3]
