@@ -100,6 +100,28 @@ def jaccard_near_dedup(
     ceil() subtracts 1e-9 so fp can only lengthen the prefix (superset
     of candidates), never shorten it (false negatives).
 
+    ``strategy="adaptive"`` — **the C113 playbook** (round-8 verdict:
+    the fix that took that key 26.7 s -> 4.8 s): measure one 1-row
+    statistic — the max per-block vocabulary bit index — and pick the
+    exact path it licenses. Vocabulary fits 64 bits (this fixture: 31
+    tokens/lang) -> BITMASK-SET pairs: each doc folds to one 64-bit
+    integer, i = bit_count(a & b), and the pairwise stage is a
+    broadcast hash join whose per-pair verify is two integer
+    instructions instead of an array intersection. Otherwise -> the
+    exact prefix filter below, which is what an open-vocabulary corpus
+    at 100 TB takes (selective there by Zipf). Both branches have
+    recall EXACTLY 1 — C8's MinHash banding can NOT serve as the
+    candidate source for an oracle-hash-matched operator (recall < 1
+    at any finite (bands, rows); C118's planner quantifies the miss
+    rate), and on this 31-bit token space banding is also *less*
+    selective than the length gate: a 4-5-bit band chunk of a
+    23-of-31-bit mask collides for ~20% of random doc pairs, which is
+    MORE candidate pairs than the blocked length-band join admits.
+    The adaptive gate is the scale story, not a fixture hack: tiny
+    closed vocabularies (enum-like fields, language codes, byte
+    alphabets) are exactly when masks win, and wide vocabularies are
+    exactly when prefixes prune.
+
     ``strategy="allpairs"`` — **triangle bucket join**: every doc gets
     a stable hash bucket i in [0, B); the left side fans out to
     {(i, j) : j >= i}, the right to {(i, j) : i <= j}, so each
@@ -170,6 +192,13 @@ def jaccard_near_dedup(
         return _allpairs_triangle_join(
             toks, block_cols, threshold, length_band, n_buckets
         )
+    if strategy == "adaptive":
+        masked = _block_bitmask_table(toks, block_cols)
+        if masked is not None:
+            return _bitmask_exact_pairs(
+                masked, block_cols, threshold, length_band
+            )
+        strategy = "prefix"
     if strategy != "prefix":
         raise ValueError(f"unknown strategy: {strategy!r}")
 
@@ -294,6 +323,106 @@ def _allpairs_triangle_join(
         F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_1"),
         F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_2"),
         (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def _block_bitmask_table(toks: DataFrame, block_cols: list[str]):
+    """Fold each doc's hashed token set into ONE 64-bit mask, or None
+    when any block's vocabulary exceeds 64 distinct tokens.
+
+    The C113 playbook, generalized for ``jaccard_near_dedup``: a
+    per-block vocabulary table assigns each token a rarest-first bit
+    index (``row_number`` over (df, tok) — a window over the VOCAB
+    table, |blocks|·|vocab| rows, never the corpus); the gate reads
+    ``max(bit)`` as a 1-row statistic BEFORE any mask is built, since
+    ``shiftleft`` wraps silently at >= 64. ``None`` (vocabulary too
+    wide, or an empty corpus — max() is NULL) tells the caller to fall
+    back to the exact prefix filter, which is the path a real
+    open-vocabulary corpus takes at scale."""
+    tok = toks.select(
+        "doc_id", *block_cols, F.explode("toks").alias("tok")
+    )
+    bit_tbl = (
+        tok.groupBy(*block_cols, "tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "bit",
+            F.row_number().over(
+                Window.partitionBy(*block_cols).orderBy("df", "tok")
+            )
+            - 1,
+        )
+        .select(*block_cols, "tok", "bit")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Persist the fold: the probe side AND the broadcast build both
+    # read it (without the persist each re-runs explode + join +
+    # groupBy — measured as the whole gap vs the allpairs rolling min).
+    # Materialize EAGERLY at the session's full shuffle width: lazy
+    # materialization happens inside whatever regime the consumer runs
+    # (connected_components pins its loop to few partitions, which
+    # would pin the cached probe side — and with it the pair join's
+    # parallelism — to the loop width; measured 2.7 s -> 1.4 s on the
+    # q_c18 sym stage at sf0.1). The `least(bit, 63)` cap makes mask
+    # construction SAFE to run before the vocabulary-width gate is
+    # read (shiftleft wraps silently at >= 64): in the fit case it is
+    # a no-op, in the wide-vocab case the garbage masks are discarded
+    # unread below — one wasted small job on the rare fallback buys
+    # one fewer job barrier on the common path, and the gate itself
+    # becomes a cache-read agg instead of a full pipeline run.
+    masked = (
+        tok.join(F.broadcast(bit_tbl), [*block_cols, "tok"])
+        .groupBy("doc_id", *block_cols)
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, least(bit, 63))")
+            ).alias("mask")
+        )
+        .withColumn("n_toks", F.bit_count("mask").cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    masked.count()
+    vmax = bit_tbl.agg(F.max("bit").alias("m")).first()["m"]
+    if vmax is None or vmax >= 64:
+        masked.unpersist()
+        bit_tbl.unpersist()
+        return None
+    return masked
+
+
+def _bitmask_exact_pairs(
+    masked: DataFrame,
+    block_cols: list[str],
+    threshold: float,
+    length_band: float,
+) -> DataFrame:
+    """Exact Jaccard >= ``threshold`` pairs when every doc's set is one
+    64-bit mask: i = bit_count(mask_a & mask_b), u = n_a + n_b - i —
+    the per-pair verify drops from an array intersection to two
+    integer instructions inside whole-stage codegen, and the probe
+    side is a doc-count-sized broadcast (one row per doc, 8-byte
+    mask), so NO shuffle reaches the pair stage. Same multiplied-form
+    threshold predicate as the prefix branch (inclusive-only fp
+    slack), so the pair set is bit-identical to allpairs/prefix."""
+    a, b = masked.alias("a"), F.broadcast(masked.alias("b"))
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        F.abs(F.col("a.n_toks") - F.col("b.n_toks"))
+        <= length_band * F.greatest(F.col("a.n_toks"), F.col("b.n_toks"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    i = F.bit_count(
+        F.col("a.mask").bitwiseAND(F.col("b.mask"))
+    ).cast("long")
+    s = (F.col("a.n_toks") + F.col("b.n_toks")).cast("long")
+    bound = i.cast("double") * (1.0 + threshold) >= (
+        threshold * s.cast("double") - 1e-6
+    )
+    u = s - i
+    return a.join(b, cond & bound).select(
+        F.col("a.doc_id").alias("doc_id_1"),
+        F.col("b.doc_id").alias("doc_id_2"),
+        (i.cast("double") / u).alias("jaccard"),
     )
 
 
@@ -584,13 +713,36 @@ def connected_components(
     — same per-round plan shape, documented trade, not needed for
     dedup clumps.
 
-    Every per-round table is ``localCheckpoint``-ed: without lineage
-    truncation the logical plan EMBEDS the previous round's plan
-    several times — exponential tree growth that OOMs the driver just
-    *printing* the plan by round ~8. Checkpointing replaces the plan
-    with the materialized RDD, keeping every round's plan O(1). On a
-    real cluster use reliable ``checkpoint()`` (survives executor
-    loss; localCheckpoint trades that for speed).
+    ROUND 0 IS FUSED INTO THE EDGE SCAN: on dedup graphs the input
+    pair list is the only big table (758k rows at sf0.1 vs 5k nodes),
+    and a symmetric copy of it is pure waste — the first min-label
+    pass only ever moves a node to a SMALLER neighbor, so
+    ``min(lo) GROUP BY hi`` over the lo<hi-normalized pair list *is*
+    round 0, map-side-combined down to <= node-count rows in the same
+    stage that evaluates the pair predicate. The round-0 move table is
+    then pointer-doubled twice (v -> m(m(m(v))) — label chains of
+    depth <= 4 collapse before the loop ever starts, two broadcast
+    joins over a <= node-count table) and the contracted bridge graph
+    is built by remapping the pair list through it. The loop below
+    never sees the pair-scale table: it starts on the contracted
+    bridges (~2k rows at sf0.1) where every round is one job.
+
+    The per-round ``moves`` and ``g`` tables are persisted/
+    ``localCheckpoint``-ed: without lineage truncation the logical
+    plan EMBEDS the previous round's plan several times — exponential
+    tree growth that OOMs the driver just *printing* the plan by round
+    ~8 (``assign`` is exempt: its chain over persisted moves grows
+    linearly, so it resolves lazily in the consumer's single job,
+    costing zero per-round materialization jobs). ``g`` checkpoints
+    non-eagerly — its materialization rides along in the next round's
+    ``moves.count()`` job, one barrier per round. On a real cluster
+    use reliable ``checkpoint()`` (survives executor loss;
+    localCheckpoint trades that for speed).
+
+    The input ``edges`` plan executes up to THREE times (round-0 agg,
+    bridge remap, node universe); callers whose pair plan is expensive
+    should persist or localCheckpoint it first (q_c18/q_c58/q_c127
+    do).
 
     ``loop_partitions`` pins the shuffle width for the loop's many
     small jobs (restored after): every round pays per-partition
@@ -604,41 +756,110 @@ def connected_components(
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     try:
-        sym = (
-            edges.select(
-                F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
-            )
-            .union(
-                edges.select(
-                    F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")
-                )
-            )
-            .localCheckpoint(eager=True)
-        )
+        # lo < hi normalization: a projection, never a materialized
+        # symmetric copy. Accidental self-loops dropped here.
+        e = edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        ).filter(F.col("lo") != F.col("hi"))
         # assign: ORIGINAL node -> current label (a label is always a
-        # node id in the same component, only ever decreasing).
+        # node id in the same component, only ever decreasing). Built
+        # LAZILY: each round appends one broadcast-join remap to the
+        # chain; with every `moves` table persisted the composed plan
+        # grows linearly with rounds, so the whole label resolution
+        # runs as one job inside the consumer's action.
         assign = (
-            sym.select("node")
+            edges.select(
+                F.explode(
+                    F.array(F.col(src_col), F.col(dst_col))
+                ).alias("node")
+            )
             .distinct()
             .withColumn("label", F.col("node"))
-            .localCheckpoint(eager=True)
         )
+        # FUSED ROUND 0 (see docstring): one map-side-combined agg
+        # over the pair list. m < node by construction (lo < hi).
+        moves = (
+            e.groupBy(F.col("hi").alias("node"))
+            .agg(F.min("lo").alias("m"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_moves = moves.count()
+        if n_moves == 0:
+            return assign
+        if n_moves <= 4_000_000:
+            # Pointer doubling: compose the move table with itself
+            # (twice) so chains v -> a -> b -> c collapse to direct
+            # pointers before the contraction — broadcast joins over a
+            # <= node-count table, fused into the consumers' jobs.
+            for _ in range(2):
+                x, y = moves.alias("x"), F.broadcast(moves.alias("y"))
+                moves = x.join(
+                    y, F.col("x.m") == F.col("y.node"), "left"
+                ).select(
+                    F.col("x.node").alias("node"),
+                    F.coalesce("y.m", "x.m").alias("m"),
+                )
+            bmoves = F.broadcast(moves)
+        else:
+            # Node-scale move table: a forced broadcast is an executor
+            # OOM, not a speedup — skip doubling, let AQE pick sides.
+            bmoves = moves
+        assign = assign.join(
+            bmoves.withColumnRenamed("node", "label"), "label", "left"
+        ).select("node", F.coalesce("m", "label").alias("label"))
         # g: symmetric edge list of the CONTRACTED graph, whose nodes
         # are current labels. Invariant: (a, b) in g => components of
         # a and b are connected in the input graph, and every input
         # edge is represented by some g path — so CC(g) composed with
-        # assign is CC(input).
-        g = sym
+        # assign is CC(input). Built by remapping the pair list
+        # through the round-0 moves, dropping self-loops BEFORE the
+        # symmetrizing explode + distinct so the dedup shuffle only
+        # carries surviving bridges.
+        g = (
+            e.join(bmoves.withColumnRenamed("node", "lo"), "lo", "left")
+            .select(F.coalesce("m", "lo").alias("a"), "hi")
+            .join(
+                bmoves.select(
+                    F.col("node").alias("hi"), F.col("m").alias("m2")
+                ),
+                "hi",
+                "left",
+            )
+            .select("a", F.coalesce("m2", "hi").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("node"), F.col("b").alias("nbr")
+                        ),
+                        F.struct(
+                            F.col("b").alias("node"), F.col("a").alias("nbr")
+                        ),
+                    )
+                ).alias("s")
+            )
+            .select("s.node", "s.nbr")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         for _ in range(max_iter):
             # Min-label pass on the contracted graph. `moves` holds
             # only label-nodes that improve; if none can, assign is
             # the component-min fixpoint. (Nonempty g guarantees
             # nonempty moves: the larger endpoint of any edge moves.)
+            # persist + count = ONE job that materializes the round's
+            # moves AND (via g's deferred checkpoint below) the
+            # previous round's contraction — the loop pays one job
+            # barrier per round, not three. moves needs no lineage
+            # truncation of its own: its plan is one groupBy over the
+            # checkpointed g.
             moves = (
                 g.groupBy("node")
                 .agg(F.min("nbr").alias("m"))
                 .filter(F.col("m") < F.col("node"))
-                .localCheckpoint(eager=True)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             n_moves = moves.count()
             if n_moves == 0:
@@ -649,13 +870,9 @@ def connected_components(
             # a forced hint there is an executor OOM, not a speedup;
             # past the bound we let AQE pick the join side.
             bmoves = F.broadcast(moves) if n_moves <= 4_000_000 else moves
-            assign = (
-                assign.join(
-                    moves.withColumnRenamed("node", "label"), "label", "left"
-                )
-                .select("node", F.coalesce("m", "label").alias("label"))
-                .localCheckpoint(eager=True)
-            )
+            assign = assign.join(
+                bmoves.withColumnRenamed("node", "label"), "label", "left"
+            ).select("node", F.coalesce("m", "label").alias("label"))
             # Contract: remap both endpoints through the moves
             # (size-gated broadcast above — no shuffle when it fits),
             # drop self-loops BEFORE distinct so the dedup shuffle
@@ -673,7 +890,11 @@ def connected_components(
                 .select("node", F.coalesce("m2", "nbr").alias("nbr"))
                 .filter(F.col("node") != F.col("nbr"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                # Non-eager: lineage truncation is what matters (g
+                # self-references across rounds — exponential plan
+                # growth without it); materialization rides along in
+                # the NEXT round's moves.count() job.
+                .localCheckpoint(eager=False)
             )
     finally:
         if prev is not None:
@@ -726,14 +947,24 @@ def q_c18_dedup_clusters(spark, sf_dir):
     their own keeper), so `filter(is_keeper)` is the deduplicated
     corpus. The oracle computes the same fixpoint as a DuckDB
     recursive-CTE transitive closure — exact value match, including
-    cluster ids."""
+    cluster ids.
+
+    Candidate generation is ``strategy="adaptive"`` (round-8 verdict
+    task 1): the C113 exact-path gate (64-bit set masks here, exact
+    prefix filter for open vocabularies) replaces the quadratic
+    allpairs triangle join that made this the bench's second-slowest
+    key, with a bit-identical pair set — the allpairs form survives
+    as the pytest recall cross-check
+    (tests/test_dedup.py::test_adaptive_pairs_match_allpairs)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_near_dedup(
-        d, "text", "doc_id", ["lang"], 0.8, 0.2, strategy="allpairs"
+        d, "text", "doc_id", ["lang"], 0.8, 0.2, strategy="adaptive"
     )
-    # Eager: the pairwise join must materialize at full session
-    # parallelism, BEFORE connected_components narrows the shuffle
-    # width for its small per-round jobs.
+    # Eager: connected_components reads the edge list up to three
+    # times (fused round-0 agg, bridge remap, node universe) — one
+    # checkpointed execution of the broadcast pair join feeds all
+    # three, and it materializes at full session parallelism before
+    # the CC loop narrows the shuffle width.
     edges = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
     labels = connected_components(edges, "doc_id_1", "doc_id_2")
     out = d.select("doc_id").join(
@@ -1128,16 +1359,19 @@ def q_c58_cluster_canonicals(spark, sf_dir):
     ranking column (C49's classifier prob, C52's perplexity) changes
     one expression, not the plan.
 
-    Scale: clustering cost is C18's (blocked pairwise + contracted
-    label propagation); the re-rank adds one window over the
-    label table partitioned by cluster_id — cluster-bounded work,
-    WindowGroupLimit-eligible if only canonicals are kept."""
+    Scale: clustering cost is C18's (``strategy="adaptive"`` exact
+    candidate paths since round 9 — 64-bit set masks / prefix filter,
+    bit-identical pair set, allpairs kept as the pytest cross-check,
+    then contracted label propagation); the re-rank adds one window
+    over the label table partitioned by cluster_id — cluster-bounded
+    work, WindowGroupLimit-eligible if only canonicals are kept."""
     from etl_spark_eks_spark.functions.text import token_stats
 
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_near_dedup(
-        d, "text", "doc_id", ["lang"], 0.8, 0.2, strategy="allpairs"
+        d, "text", "doc_id", ["lang"], 0.8, 0.2, strategy="adaptive"
     )
+    # Eager checkpoint: CC reads the edge list three times (see q_c18).
     edges = pairs.select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
     labels = connected_components(edges, "doc_id_1", "doc_id_2")
     stats = token_stats(F.col("text"))

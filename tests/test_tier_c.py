@@ -259,7 +259,10 @@ def test_jaccard_strategies_identical_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     for shingle_k in (None, 3):
         got = {}
-        for strategy in ("prefix", "allpairs"):
+        # "adaptive" takes the 64-bit mask path for token sets (31-token
+        # per-lang vocab) and the prefix fallback for shingles (wide
+        # vocab) — both legs of the gate are exercised here.
+        for strategy in ("prefix", "allpairs", "adaptive"):
             rows = jaccard_near_dedup(
                 d, "text", "doc_id", ["lang"], 0.6, 0.2,
                 shingle_k=shingle_k, strategy=strategy,
@@ -271,7 +274,34 @@ def test_jaccard_strategies_identical_pairs(spark, sf_dir):
         assert got["prefix"] == got["allpairs"], (
             f"strategy mismatch for shingle_k={shingle_k}"
         )
+        assert got["adaptive"] == got["allpairs"], (
+            f"adaptive strategy mismatch for shingle_k={shingle_k}"
+        )
         assert got["prefix"], "fixture should produce near-dup pairs"
+
+
+def test_adaptive_pairs_match_allpairs(spark, sf_dir):
+    """C18/C58 recall cross-check (round-8 verdict task 1): the
+    registered queries source candidates from ``strategy="adaptive"``
+    (the C113 exact-path gate — 64-bit set masks when the per-block
+    vocabulary fits, exact prefix filter otherwise); the retired
+    quadratic allpairs form survives here as the executable proof that
+    the adaptive pair set is bit-identical at the exact J >= 0.8 /
+    20%-length-band contract the oracle checks."""
+    from etl_spark_eks_spark.operators.dedup import jaccard_near_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {}
+    for strategy in ("adaptive", "allpairs"):
+        rows = jaccard_near_dedup(
+            d, "text", "doc_id", ["lang"], 0.8, 0.2, strategy=strategy
+        ).collect()
+        got[strategy] = sorted(
+            (r["doc_id_1"], r["doc_id_2"], round(r["jaccard"], 9))
+            for r in rows
+        )
+    assert got["adaptive"] == got["allpairs"]
+    assert got["adaptive"], "fixture should produce J>=0.8 pairs"
 
 
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
