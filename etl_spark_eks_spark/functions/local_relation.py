@@ -16,6 +16,8 @@ one-shot by design and may carry types VALUES can't spell.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -27,29 +29,75 @@ def _lit(v) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
+        # repr() of inf/nan ('inf', 'nan') is not a SQL literal — the
+        # VALUES string would fail to parse (or worse, resolve to a
+        # column). Refuse loudly; callers with a legitimate non-finite
+        # should spell it explicitly (CAST('Infinity' AS DOUBLE)).
+        if not math.isfinite(v):
+            raise ValueError(
+                f"values_df cannot spell non-finite float {v!r}; "
+                "use an explicit CAST('Infinity'/'NaN' AS DOUBLE) column"
+            )
         return repr(v) + "D"  # force DOUBLE literal, shortest round-trip repr
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     raise TypeError(f"values_df cannot spell {type(v).__name__} literals")
 
 
+def _split_ddl(ddl: str) -> list[list[str]]:
+    """Split "name type, name type, ..." into [name, type] pairs with a
+    paren-aware scanner: parameterized types (``decimal(38,6)``,
+    ``map<string,int>``... any comma nested in () or <>) must not be
+    treated as column separators — the naive ``ddl.split(',')`` silently
+    mis-parsed them."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(ddl):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    cols = []
+    for part in parts:
+        pair = part.strip().split(None, 1)
+        if len(pair) != 2:
+            raise ValueError(f"values_df ddl entry {part.strip()!r} is not 'name type'")
+        cols.append(pair)
+    return cols
+
+
 def values_df(spark: SparkSession, rows, ddl: str) -> DataFrame:
     """Local relation from ``rows`` (tuples) with the EXACT schema
     ``ddl`` ("name type, ..."): every column is CAST so the result
     schema matches what createDataFrame produced before the migration
-    (python int -> BIGINT etc.) and oracle schema hashes are unmoved."""
-    cols = [c.strip().rsplit(None, 1) for c in ddl.split(",")]
-    if not rows:
-        raise ValueError("values_df needs at least one row")
+    (python int -> BIGINT etc.) and oracle schema hashes are unmoved.
+
+    An empty ``rows`` returns a typed EMPTY relation (``WHERE FALSE``
+    over a one-row NULL VALUES) — the createDataFrame calls this helper
+    replaced did the same, and callers that filter driver-collected
+    telemetry down to zero rows (q_b118's numInputRows>0 filter) must
+    get an empty result, not a crash."""
+    cols = _split_ddl(ddl)
     width = len(cols)
-    body = ", ".join(
-        "(" + ", ".join(_lit(v) for v in row) + ")" for row in rows
-    )
     select = ", ".join(
         f"CAST(c{i} AS {typ}) AS {name}"
         for i, (name, typ) in enumerate(cols)
     )
     anon = ", ".join(f"c{i}" for i in range(width))
+    if not rows:
+        nulls = ", ".join(["NULL"] * width)
+        return spark.sql(
+            f"SELECT {select} FROM (VALUES ({nulls})) AS v({anon}) "
+            "WHERE FALSE"
+        )
+    body = ", ".join(
+        "(" + ", ".join(_lit(v) for v in row) + ")" for row in rows
+    )
     return spark.sql(
         f"SELECT {select} FROM (VALUES {body}) AS v({anon})"
     )

@@ -2894,7 +2894,10 @@ def q_c113_threshold_sweep_curve(spark, sf_dir):
     # read the vocabulary, not the masks.
     vmax = bit_tbl.agg(F.max("bit").alias("m")).first()["m"]
     masked = None
-    if vmax < 64:
+    # vmax is NULL on an empty corpus (no rows survive the size(raw)>0
+    # filter): fall through to the prefix path, which degrades to an
+    # empty curve instead of a NoneType comparison crash.
+    if vmax is not None and vmax < 64:
         masked = _c113_doc_masks(sized, bit_tbl).persist(
             StorageLevel.MEMORY_AND_DISK
         )

@@ -376,7 +376,11 @@ def q_b176_rebalance_hint(spark, sf_dir):
     stats = per_file.agg(
         F.count("*").alias("n_files"), F.max("recs").alias("max_recs")
     ).first()
-    n_keys = 3  # 'hot', 'cold_8', 'cold_9'
+    # Derived from the data already in hand (NOT hardcoded to the
+    # current fixture's 3 residues): the hot_key_split bar must track
+    # the actual key cardinality or a fixture change would silently
+    # compare file count against a stale constant.
+    n_keys = li.select("heat").distinct().count()
     return rb.agg(
         F.count("*").cast("long").alias("n_rows"),
         F.count_distinct("heat").cast("long").alias("n_keys"),

@@ -2636,23 +2636,35 @@ def q_b179_monotonic_id_contract(spark, sf_dir):
         F.monotonically_increasing_id().alias("mid"),
         F.spark_partition_id().alias("pid"),
     )
-    w = Window.partitionBy("pid").orderBy("mid")
-    audit = (
-        ids.withColumn("prev", F.lag("mid").over(w))
+    audit = ids.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("mid").alias("n_ids"),
+        F.sum(
+            F.when(
+                F.shiftright(F.col("mid"), 33) != F.col("pid"), 1
+            ).otherwise(0)
+        ).alias("bad_layout"),
+        F.max("mid").alias("max_id"),
+    ).first()
+    # Monotone-within-partition is proven by COUNTER CONTIGUITY, not a
+    # lag() window ordered by mid (which could only ever re-detect
+    # duplicate ids — vacuous): the low 33 bits are the per-partition
+    # counter, so per pid they must be exactly {0 .. count(pid)-1}.
+    # Contiguity of the counter set + global uniqueness above IS the
+    # per-partition counter layout — ids were handed out 0,1,2,... in
+    # row order — without needing any row-order column.
+    counter = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
+    contig_bad = (
+        ids.groupBy("pid")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.count_distinct("mid").alias("n_ids"),
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("mid"), 33) != F.col("pid"), 1
-                ).otherwise(0)
-            ).alias("bad_layout"),
-            F.sum(
-                F.when(F.col("prev") >= F.col("mid"), 1).otherwise(0)
-            ).alias("non_monotone"),
-            F.max("mid").alias("max_id"),
+            F.count("*").alias("n"),
+            F.max(counter).alias("cmax"),
+            F.min(counter).alias("cmin"),
         )
-        .first()
+        .filter(
+            (F.col("cmax") != F.col("n") - 1) | (F.col("cmin") != 0)
+        )
+        .count()
     )
     return (
         ids.agg(F.count("*").cast("long").alias("n_docs"))
@@ -2664,7 +2676,7 @@ def q_b179_monotonic_id_contract(spark, sf_dir):
             F.lit(bool(audit["bad_layout"] == 0)).alias(
                 "ids_encode_partition"
             ),
-            F.lit(bool(audit["non_monotone"] == 0)).alias(
+            F.lit(bool(contig_bad == 0)).alias(
                 "monotone_within_partition"
             ),
             F.lit(bool(audit["max_id"] > audit["n_docs"])).alias(
