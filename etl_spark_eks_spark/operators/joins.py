@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table
 from etl_spark_eks_spark.functions.exact import dsum
-from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 
 
@@ -1015,14 +1014,16 @@ def _b140_skewed_frames(spark, sf_dir):
     # stand-in) rather than derived lazily from the fact: a derived
     # dim leaves its final HashAggregate between the join's Sort and
     # the shuffle stage, and OptimizeSkewedJoin's pattern only fires
-    # on Sort-directly-over-shuffle children.
-    keys = sorted(
-        r.skew_key
-        for r in fact.select("skew_key").distinct().collect()
-    )
-    dim = values_df(
-        sess, [(k, abs(k) % 5) for k in keys],
-        "skew_key bigint, grp bigint",
+    # on Sort-directly-over-shuffle children. The materialization is a
+    # JVM-side localCheckpoint of the distributed distinct — NOT a
+    # driver-side collect (distinct user_ids are unbounded in general;
+    # the lineage cut gives the same scan-shaped child without the
+    # keys ever leaving the executors).
+    dim = (
+        fact.select("skew_key")
+        .distinct()
+        .withColumn("grp", F.abs(F.col("skew_key")) % 5)
+        .localCheckpoint(eager=True)
     )
     out = (
         fact.join(dim, "skew_key")
