@@ -1472,14 +1472,16 @@ def q_c127_semdedup(spark, sf_dir):
     sources, natural docs survive, rerun-deterministic.
 
     Scale: this is the SemDeDup paper's own scaling argument made
-    literal — k grows with the corpus so the expected cluster size
-    stays bounded (fixture: k=8 over ~520 docs), and the quadratic
-    pair stage runs per cluster, never per corpus; the component
-    fold touches only edge-connected docs (planted pairs), and the
-    final verdict join is corpus x (tiny components table). At
-    100 TB: k ~ n/target_cluster_size keeps every stage linear-ish;
-    cluster assignment is one vectorized pandas-UDF pass with a
-    k x dim closure matrix."""
+    literal — k = max(8, ceil(n/65)) grows WITH the corpus so the
+    expected cluster size stays bounded (~65 vectors -> ~2k-entry
+    gram per cluster; 65 keeps the <=520-vector oracle/test fixtures
+    at the historical k=8), and the quadratic pair stage runs per
+    cluster, never per corpus; the component fold touches only
+    edge-connected docs (planted pairs), and the final verdict join
+    is corpus x (tiny components table). Cluster assignment is one
+    vectorized pandas-UDF pass with a k x dim closure matrix.
+    Probe-measured at 10x/30x replicas (SCALE.md round 9): the k
+    policy is what keeps the gram stage near-linear."""
     from etl_spark_eks_spark.operators.dedup import connected_components
 
     TAU = 0.95
@@ -1496,6 +1498,13 @@ def q_c127_semdedup(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionByName(clones)
+    # k grows with the corpus (the SemDeDup scaling knob): expected
+    # cluster size ~65 bounds each cluster's gram matrix regardless of
+    # corpus scale. The count is a one-pass 1-row statistic (the same
+    # class as C113's vocabulary gate); at the oracle/test fixtures
+    # (n <= 520) the max() floor keeps k = 8, i.e. historical behavior.
+    n_corpus = corpus.count()
+    k = max(8, -(-n_corpus // 65))
     # iters=2: the clustering is BLOCKING here, not a deliverable — a
     # near-identical pair shares its argmin centroid at every
     # iteration (they move together), so duplicate components are
@@ -1503,7 +1512,7 @@ def q_c127_semdedup(spark, sf_dir):
     # which cell scores the far-apart (sub-threshold) pairs. (C30
     # keeps 3 iterations because there the assignment itself is the
     # output.)
-    assigned = kmeans_lloyd(corpus, k=8, iters=2)
+    assigned = kmeans_lloyd(corpus, k=k, iters=2)
     vecs = corpus.join(assigned, "vec_id").persist()
 
     # Per-cluster pair scoring as ONE numpy gram matrix per cluster

@@ -148,6 +148,13 @@ PROBE_QUERIES = (
     "q_c125_token_entropy_profile",
     "q_c126_url_canonical_dedup",
     "q_m19_modality_interleave_schedule",
+    # round-9: embeddings now replicate too (sign-flip namespacing, see
+    # build_replica), so the embedding-tier ops probe for real. q_c127's
+    # k = max(8, ceil(n/65)) policy is exactly what the probe tests:
+    # sub-linear gram time iff k grows with the corpus.
+    "q_c127_semdedup",
+    "q_c97_semdedup",
+    "q_c30_kmeans",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
@@ -201,8 +208,47 @@ def build_replica(spark, mult: int) -> str:
         os.path.join(out, "lineitem.parquet")
     )
 
+    # embeddings replicate by copy-specific Rademacher SIGN FLIPS on a
+    # shifted vec_id: a diagonal +-1 matrix is orthogonal, so every
+    # within-copy cosine (and with it the dup/near-dup structure, and
+    # q_c127's planted-clone geometry — n_vec % 25 == 0 keeps the
+    # plant raster aligned) is preserved EXACTLY, while a cross-copy
+    # pair's cosine becomes sum(v_d * w_d * s_d) with independent
+    # random signs — concentrated near 0 (|cos| ~ 1/sqrt(64 dims)),
+    # five sigmas below the 0.95 dedup threshold. Same "independent
+    # shards" contract as the token namespacing above.
+    embt = load_table(spark, BASE_SF, "embeddings")
+    n_vec = embt.count()
+    emb_copies = [embt]
+    for i in range(1, mult):
+        emb_copies.append(
+            embt.select(
+                (F.col("vec_id") + F.lit(i * n_vec)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, idx: (
+                        x
+                        * (
+                            1
+                            - 2
+                            * F.pmod(
+                                F.xxhash64(F.lit(i), idx), F.lit(2)
+                            ).cast("int")
+                        )
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    emb_rep = emb_copies[0]
+    for c in emb_copies[1:]:
+        emb_rep = emb_rep.unionByName(c)
+    emb_rep.write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
     for t in TABLES:
-        if t in ("documents", "lineitem"):
+        if t in ("documents", "lineitem", "embeddings"):
             continue
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
