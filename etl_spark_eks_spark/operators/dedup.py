@@ -3237,6 +3237,30 @@ def lsh_parameter_plan(spark: SparkSession) -> DataFrame:
     return spark.sql(_C118_SELECT.format(body=_c118_values_body()))
 
 
+def canonicalize_url(url):
+    """C126's URL canonicalizer as a Column expression: lowercase host,
+    force https, strip trailing path slash, drop tracking params and
+    keep only the content-bearing `id` key in canonical order.
+
+    Factored out of q_c126 so the contract is testable as a unit:
+    tests/test_properties.py proves IDEMPOTENCE (canonical output is a
+    fixed point) and the EQUIVALENCE-CLASS law (variants differing
+    only in the normalized axes collapse; different content ids never
+    do)."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/$", "")
+    # query surgery: keep only content-bearing keys (id), canonical order
+    id_val = F.parse_url(url, F.lit("QUERY"), F.lit("id"))
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(
+            id_val.isNotNull(), F.concat(F.lit("?id="), id_val)
+        ).otherwise(F.lit("")),
+    )
+
+
 @query(
     "q_c126_url_canonical_dedup",
     oracle=r"""
@@ -3340,20 +3364,7 @@ def q_c126_url_canonical_dedup(spark, sf_dir):
         ),
     )
     raw = d.select("doc_id", "source", "lang", url.alias("url"))
-    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
-    path = F.regexp_replace(
-        F.parse_url(F.col("url"), F.lit("PATH")), r"/$", ""
-    )
-    # query surgery: keep only content-bearing keys (id), canonical order
-    id_val = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id"))
-    curl = F.concat(
-        F.lit("https://"),
-        host,
-        path,
-        F.when(
-            id_val.isNotNull(), F.concat(F.lit("?id="), id_val)
-        ).otherwise(F.lit("")),
-    )
+    curl = canonicalize_url(F.col("url"))
     return (
         raw.select("doc_id", "source", curl.alias("canonical_url"))
         .groupBy("canonical_url")

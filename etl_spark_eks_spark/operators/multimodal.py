@@ -2037,10 +2037,6 @@ def q_m19_modality_interleave_schedule(spark, sf_dir):
     plan-lint allowlist (single_part): that fold's final 3-row
     aggregate, plus the prefix-sum offset window over id-range
     buckets (C24's class)."""
-    from etl_spark_eks_spark.operators.sampling import (
-        running_total_before,
-    )
-
     d = load_table(spark, sf_dir, "documents")
     n = F.octet_length(F.encode("text", "UTF-8"))
     m = d.select(
@@ -2049,7 +2045,21 @@ def q_m19_modality_interleave_schedule(spark, sf_dir):
         .when(n % 4 == 2, F.lit("audio"))
         .otherwise(F.lit("video"))
         .alias("modality"),
-    ).withColumn("w", F.lit(1).cast("long"))
+    )
+    return interleave_schedule(m)
+
+
+def interleave_schedule(m):
+    """M19's closed-form round-robin over (doc_id, modality in
+    {audio, image, video}) — factored so the fairness law is testable
+    on arbitrary assignments (tests/test_properties.py::
+    test_interleave_schedule_fairness fuzzes it against a brute-force
+    round-robin and the |served_a - served_b| <= 1 prefix bound)."""
+    from etl_spark_eks_spark.operators.sampling import (
+        running_total_before,
+    )
+
+    m = m.withColumn("w", F.lit(1).cast("long"))
     pos = running_total_before(
         m, "doc_id", "w", 256, partition_cols=("modality",)
     ).withColumnRenamed("__cum_before", "mod_pos")

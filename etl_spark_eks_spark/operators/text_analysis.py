@@ -3596,6 +3596,14 @@ def q_c125_token_entropy_profile(spark, sf_dir):
     same shape C1 already pays. At 100 TB this is the cheapest
     whole-corpus information audit that exists."""
     d = load_table(spark, sf_dir, "documents")
+    return token_entropy_profile(d)
+
+
+def token_entropy_profile(d):
+    """C125's entropy pipeline over a (doc_id, lang, text) frame —
+    factored so the formula is fuzzable against a pure-Python
+    reference on arbitrary token multisets
+    (tests/test_properties.py::test_token_entropy_matches_reference)."""
     counts = (
         widen(d)
         .select("doc_id", "lang", F.explode(tokenize("text")).alias("tok"))

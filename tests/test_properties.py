@@ -1521,3 +1521,152 @@ def test_misra_gries_recall_bound():
             must_catch = {k for k, f in exact.items() if f * (m + 1) > n}
             missed = must_catch - cands
             assert not missed, (m, n_parts, missed)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(list("abcdef")), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_token_entropy_matches_reference(spark, texts):
+    """C125's integer-count entropy (H = log2 n - sum cnt*log2 cnt / n)
+    fuzzed against the textbook -sum p*log2 p computed in pure Python
+    on exact counts — same bar as C124's MG recall-bound test."""
+    import math
+    from collections import Counter
+
+    from etl_spark_eks_spark.operators.text_analysis import (
+        token_entropy_profile,
+    )
+
+    rows = [(i, "en", " ".join(doc)) for i, doc in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_bits"])
+        for r in token_entropy_profile(df).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, doc in enumerate(texts):
+        c = Counter(doc)
+        n = len(doc)
+        h = -sum((v / n) * math.log2(v / n) for v in c.values())
+        n_tok, n_dis, ent = got[i]
+        assert n_tok == n and n_dis == len(c)
+        assert abs(ent - h) <= 1.5e-6, (i, ent, h)
+
+
+@given(
+    host=st.sampled_from(["Example.COM", "example.com", "EXAMPLE.com"]),
+    segs=st.lists(
+        st.sampled_from(["a", "b", "item", "x7"]), min_size=1, max_size=3
+    ),
+    idv=st.sampled_from([None, "0", "1", "42"]),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    slash=st.booleans(),
+    utm=st.sampled_from(["", "utm_source=feed", "utm_campaign=x&ref=r"]),
+)
+@_settings
+def test_url_canonicalization_idempotent_and_equivalence(
+    spark, host, segs, idv, scheme, slash, utm
+):
+    """C126's canonicalizer laws: (1) IDEMPOTENCE — the canonical form
+    is a fixed point of the canonicalizer; (2) EQUIVALENCE CLASS —
+    every variant differing only in the normalized axes (scheme/host
+    case, trailing slash, tracking params, param order) maps to the
+    same canonical URL, and the canonical URL determines (host, path,
+    id) exactly."""
+    from etl_spark_eks_spark.operators.dedup import canonicalize_url
+
+    path = "/" + "/".join(segs)
+    qparts = [p for p in ([utm] if utm else [])]
+    if idv is not None:
+        qparts.append(f"id={idv}")
+    variants = []
+    for order in (qparts, list(reversed(qparts))):
+        q = "&".join(p for p in order if p)
+        variants.append(
+            f"{scheme}://{host}{path}{'/' if slash else ''}"
+            + (f"?{q}" if q else "")
+        )
+    # a DIFFERENT content id must land in a different class
+    other = f"https://{host.lower()}{path}?id=999"
+    df = spark.createDataFrame(
+        [(u,) for u in variants + [other]], "url string"
+    )
+    out = df.select(
+        "url", canonicalize_url(F.col("url")).alias("curl")
+    ).collect()
+    canon = {r["url"]: r["curl"] for r in out}
+    # (2) all variants collapse to one canonical form
+    cvals = {canon[u] for u in variants}
+    assert len(cvals) == 1, canon
+    c = cvals.pop()
+    expect = f"https://{host.lower()}{path}" + (
+        f"?id={idv}" if idv is not None else ""
+    )
+    assert c == expect
+    assert canon[other] != c or idv == "999"
+    # (1) idempotence: canonicalize(canonical) == canonical
+    again = (
+        spark.createDataFrame([(c,)], "url string")
+        .select(canonicalize_url(F.col("url")).alias("curl"))
+        .first()["curl"]
+    )
+    assert again == c
+
+
+@given(
+    mods=st.lists(
+        st.sampled_from(["audio", "image", "video"]),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_settings
+def test_interleave_schedule_fairness(spark, mods):
+    """M19's closed-form step numbering fuzzed against a brute-force
+    round-robin, plus the explicit FAIRNESS BOUND: at every schedule
+    prefix, any two not-yet-exhausted modalities' served counts differ
+    by at most 1 (the starvation-free guarantee the operator exists
+    to provide)."""
+    from collections import Counter, deque
+
+    from etl_spark_eks_spark.operators.multimodal import (
+        interleave_schedule,
+    )
+
+    rows = [(i, m) for i, m in enumerate(mods)]
+    df = spark.createDataFrame(rows, "doc_id long, modality string")
+    out = interleave_schedule(df).orderBy("step").collect()
+    # steps are exactly 0..n-1 (a dense permutation)
+    assert [r["step"] for r in out] == list(range(len(rows)))
+    # brute-force reference: cycle modalities in name order
+    queues = {
+        m: deque(sorted(i for i, mm in rows if mm == m))
+        for m in ("audio", "image", "video")
+    }
+    expect = []
+    while any(queues.values()):
+        for m in ("audio", "image", "video"):
+            if queues[m]:
+                expect.append((m, queues[m].popleft()))
+    assert [(r["modality"], r["doc_id"]) for r in out] == expect
+    # explicit fairness bound on the actual output
+    total = Counter(mods)
+    served: Counter = Counter()
+    for r in out:
+        served[r["modality"]] += 1
+        alive = [
+            m for m in ("audio", "image", "video")
+            if served[m] < total[m]
+        ]
+        for a in alive:
+            for b in alive:
+                assert abs(served[a] - served[b]) <= 1, (served, a, b)
