@@ -82,7 +82,10 @@ def q_b49_stream_dedup(spark, sf_dir):
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    run_available_now(deduped, sink, ckpt)
+    # no_data_batch=False: dedup is a passthrough — every surviving row
+    # emits on its own data batch; the trailing watermark-advance batch
+    # only evicts state (A/B-proven output-identical at sf0.1).
+    run_available_now(deduped, sink, ckpt, no_data_batch=False)
     return spark.read.parquet(sink)
 
 
@@ -144,7 +147,11 @@ def q_b56_stateful_user_stats(spark, sf_dir):
     # than costing empty commits (measured r8 at sf0.1: 2 -> 3.95 s,
     # 4 -> 2.57 s, 8 -> 2.23 s, 16 -> 2.51 s). JVM-state streams keep
     # the low default (run_available_now docstring).
-    run_available_now(running, sink, ckpt, state_partitions=8)
+    # no_data_batch=False: the pandas-state fold emits its updated
+    # totals on each DATA batch; the trailing no-data batch only runs
+    # timeout bookkeeping (A/B-proven output-identical at sf0.1).
+    run_available_now(running, sink, ckpt, state_partitions=8,
+                      no_data_batch=False)
     # Last emission per user = totals over the whole stream.
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -254,7 +261,11 @@ def q_b57_stream_stream_join(spark, sf_dir):
         ),
         "inner",
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
-    run_available_now(joined, sink, ckpt)
+    # no_data_batch=False: INNER matches emit on the data batch that
+    # completes them; the trailing watermark-advance batch only evicts
+    # state (A/B-proven output-identical at sf0.1). The OUTER variant
+    # q_b74 must keep it — its NULL emissions need the final advance.
+    run_available_now(joined, sink, ckpt, no_data_batch=False)
     return spark.read.parquet(sink)
 
 
@@ -434,13 +445,22 @@ def q_b72_foreachbatch_upsert(spark, sf_dir):
     stream = events_stream_batched(spark, sf_dir).select(
         "user_id", "event_id", "ts", "value"
     )
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The foreachBatch fold runs once per DATA batch; a trailing
+    # no-data batch never reaches the sink function (A/B-proven
+    # output-identical at sf0.1). Set/restore on the shared session.
+    ndkey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(ndkey)
+    spark.conf.set(ndkey, "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(ndkey, prev_nd)
     return spark.read.parquet(cur).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -495,6 +515,10 @@ def q_b91_stream_complete_mode(spark, sf_dir):
     # per-query session, not a set/restore around start().
     sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
+    # Update-mode emissions all happen on data batches; the trailing
+    # watermark-advance no-data batch adds nothing here (A/B-proven
+    # output-identical at sf0.1). Conf isolated to the cloned session.
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     agg = (
         events_stream_batched(sess, sf_dir)
         .groupBy("event_type")
@@ -707,6 +731,10 @@ def q_b110_stream_update_mode(spark, sf_dir):
     store placement identical to B91/B56."""
     sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
+    # Update-mode emissions all happen on data batches; the trailing
+    # watermark-advance no-data batch adds nothing here (A/B-proven
+    # output-identical at sf0.1). Conf isolated to the cloned session.
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     agg = (
         events_stream_batched(sess, sf_dir)
         .groupBy("event_type")
@@ -842,6 +870,9 @@ def q_b131_rocksdb_state_store(spark, sf_dir):
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # Complete-mode re-emission happens per data batch; the no-data
+    # batch adds nothing (A/B-proven output-identical at sf0.1).
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     agg = (
         events_stream_batched(sess, sf_dir)
         .groupBy(
@@ -937,7 +968,9 @@ def q_b138_incremental_backlog(spark, sf_dir):
             "value",
             F.lit(run_id).alias("ingest_run"),
         )
-        run_available_now(df, sink, ckpt)
+        # no_data_batch=False: stateless projection — every row emits on
+        # its file's batch (A/B-proven output-identical at sf0.1).
+        run_available_now(df, sink, ckpt, no_data_batch=False)
 
     deliver(files[:2])
     run(1)
@@ -1031,7 +1064,9 @@ def q_b143_multiplexed_stream_union(spark, sf_dir):
     unioned = prefix_stream(west, "west").unionByName(
         prefix_stream(east, "east")
     )
-    run_available_now(unioned, sink, ckpt)
+    # no_data_batch=False: stateless multiplex — rows emit on their
+    # source batch (A/B-proven output-identical at sf0.1).
+    run_available_now(unioned, sink, ckpt, no_data_batch=False)
 
     return (
         spark.read.parquet(sink)

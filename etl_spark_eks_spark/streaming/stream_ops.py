@@ -212,6 +212,7 @@ def run_available_now(
     checkpoint_dir: str,
     output_mode: str = "append",
     state_partitions: int | None = 2,
+    no_data_batch: bool = True,
 ) -> None:
     """Run a streaming DataFrame to a parquet sink until all currently-
     available input is processed (Trigger.AvailableNow), then stop.
@@ -233,6 +234,18 @@ def run_available_now(
     value-identical results — state count never affects emissions,
     only commit fan-out). None = leave the session value.
 
+    ``no_data_batch=False`` skips the trailing no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches.enabled, scoped to this
+    run). That batch exists to advance the watermark PAST the last
+    data so append-mode operators can seal and emit still-open
+    windows/joins at end-of-input — queries whose every emission
+    happens ON a data batch (dedup passthrough, per-batch
+    update/changelog emitters, inner stream-stream matches,
+    foreachBatch folds) pay its ~0.5 s engine floor for nothing.
+    Callers opting out were each A/B-proven output-identical at sf0.1
+    (r8 verdict task 4; b48/b74/b98 MUST keep it — their sealed-window
+    emissions halve or vanish without the final advance).
+
     Concurrency note: the set/finally-restore brackets the caller's
     SESSION conf, which is correct under the bench/driver's serial
     execution but briefly visible to any concurrent query on the same
@@ -240,10 +253,16 @@ def run_available_now(
     ``spark.newSession()`` (own SQLConf, shared context) and pass
     ``state_partitions=None`` — the pattern q_b91 uses."""
     spark = df.sparkSession
-    prev = None
+    restore: dict[str, str] = {}
     if state_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        restore["spark.sql.shuffle.partitions"] = spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batch:
+        key = "spark.sql.streaming.noDataMicroBatches.enabled"
+        restore[key] = spark.conf.get(key)
+        spark.conf.set(key, "false")
     try:
         q = (
             df.writeStream.format("parquet")
@@ -255,5 +274,5 @@ def run_available_now(
         )
         q.awaitTermination()
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in restore.items():
+            spark.conf.set(k, v)
