@@ -176,6 +176,22 @@ def jaccard_near_dedup(
                 F.array_distinct(shingle_hashes("th", shingle_k))
             ).alias("toks"),
         )
+    if strategy == "adaptive":
+        # The mask path never touches the sorted ARRAY form — it folds a
+        # long-form (doc, token-hash) explode straight into bit masks,
+        # so the array_sort + array persist below would be pure
+        # overhead; build the explode directly (array_distinct is still
+        # free correctness margin — bit_or is idempotent, and count(*)
+        # over the distinct explode is the per-block df).
+        tok_long = toks.select(
+            "doc_id", *block_cols, F.explode("toks").alias("tok")
+        )
+        masked = _block_bitmask_table(tok_long, block_cols)
+        if masked is not None:
+            return _bitmask_exact_pairs(
+                masked, block_cols, threshold, length_band
+            )
+        strategy = "prefix"
     # The signature table feeds multiple consumers (prefix explode +
     # two array fetch-backs, or the triangle join's two sides) whose
     # pruned schemas differ, so exchange reuse can never fire and each
@@ -192,13 +208,6 @@ def jaccard_near_dedup(
         return _allpairs_triangle_join(
             toks, block_cols, threshold, length_band, n_buckets
         )
-    if strategy == "adaptive":
-        masked = _block_bitmask_table(toks, block_cols)
-        if masked is not None:
-            return _bitmask_exact_pairs(
-                masked, block_cols, threshold, length_band
-            )
-        strategy = "prefix"
     if strategy != "prefix":
         raise ValueError(f"unknown strategy: {strategy!r}")
 
@@ -326,22 +335,18 @@ def _allpairs_triangle_join(
     )
 
 
-def _block_bitmask_table(toks: DataFrame, block_cols: list[str]):
+def _block_bitmask_table(tok: DataFrame, block_cols: list[str]):
     """Fold each doc's hashed token set into ONE 64-bit mask, or None
     when any block's vocabulary exceeds 64 distinct tokens.
 
     The C113 playbook, generalized for ``jaccard_near_dedup``: a
     per-block vocabulary table assigns each token a rarest-first bit
     index (``row_number`` over (df, tok) — a window over the VOCAB
-    table, |blocks|·|vocab| rows, never the corpus); the gate reads
-    ``max(bit)`` as a 1-row statistic BEFORE any mask is built, since
-    ``shiftleft`` wraps silently at >= 64. ``None`` (vocabulary too
-    wide, or an empty corpus — max() is NULL) tells the caller to fall
-    back to the exact prefix filter, which is the path a real
-    open-vocabulary corpus takes at scale."""
-    tok = toks.select(
-        "doc_id", *block_cols, F.explode("toks").alias("tok")
-    )
+    table, |blocks|·|vocab| rows, never the corpus). ``tok`` is the
+    long form (doc_id, *block_cols, tok) with per-doc-DISTINCT token
+    hashes. ``None`` (vocabulary too wide, or an empty corpus — max()
+    is NULL) tells the caller to fall back to the exact prefix filter,
+    which is the path a real open-vocabulary corpus takes at scale."""
     bit_tbl = (
         tok.groupBy(*block_cols, "tok")
         .agg(F.count("*").alias("df"))
@@ -357,19 +362,19 @@ def _block_bitmask_table(toks: DataFrame, block_cols: list[str]):
     )
     # Persist the fold: the probe side AND the broadcast build both
     # read it (without the persist each re-runs explode + join +
-    # groupBy — measured as the whole gap vs the allpairs rolling min).
-    # Materialize EAGERLY at the session's full shuffle width: lazy
-    # materialization happens inside whatever regime the consumer runs
-    # (connected_components pins its loop to few partitions, which
-    # would pin the cached probe side — and with it the pair join's
-    # parallelism — to the loop width; measured 2.7 s -> 1.4 s on the
-    # q_c18 sym stage at sf0.1). The `least(bit, 63)` cap makes mask
-    # construction SAFE to run before the vocabulary-width gate is
-    # read (shiftleft wraps silently at >= 64): in the fit case it is
-    # a no-op, in the wide-vocab case the garbage masks are discarded
-    # unread below — one wasted small job on the rare fallback buys
-    # one fewer job barrier on the common path, and the gate itself
-    # becomes a cache-read agg instead of a full pipeline run.
+    # groupBy — measured as the whole gap vs the allpairs rolling
+    # min). Materialization stays LAZY: the single gate job below
+    # (one 1-row agg over the persisted vocab table) is the only
+    # barrier this helper pays, and the mask fold then materializes
+    # inside the consumer's first action — callers that narrow the
+    # shuffle width for an iterative loop must checkpoint their pair
+    # join first so the fold materializes at full session width
+    # (q_c18/q_c58 do; it is the same caller contract
+    # connected_components already documents). The `least(bit, 63)`
+    # cap makes the mask expression SAFE to plan before the
+    # vocabulary-width gate is read (shiftleft wraps silently at
+    # >= 64): in the fit case it is a no-op, in the wide-vocab case
+    # the masks are discarded unbuilt below.
     masked = (
         tok.join(F.broadcast(bit_tbl), [*block_cols, "tok"])
         .groupBy("doc_id", *block_cols)
@@ -381,7 +386,6 @@ def _block_bitmask_table(toks: DataFrame, block_cols: list[str]):
         .withColumn("n_toks", F.bit_count("mask").cast("int"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    masked.count()
     vmax = bit_tbl.agg(F.max("bit").alias("m")).first()["m"]
     if vmax is None or vmax >= 64:
         masked.unpersist()
@@ -3375,4 +3379,103 @@ def q_c126_url_canonical_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("canonical_url")
+    )
+
+
+@query(
+    "q_c128_bitmap_prefilter_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 <> 7
+    ),
+    batch AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 = 7
+    ),
+    hit AS (
+      SELECT b.doc_id, MIN(c.doc_id) AS match_doc_id
+      FROM batch b JOIN corpus c ON b.h = c.h
+      GROUP BY b.doc_id
+    )
+    SELECT b.doc_id,
+           hit.match_doc_id IS NOT NULL AS is_duplicate,
+           hit.match_doc_id
+    FROM batch b LEFT JOIN hit ON b.doc_id = hit.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_c128_bitmap_prefilter_dedup(spark, sf_dir):
+    """C128 (extension): INCREMENTAL exact dedup behind a SHIPPED
+    BITMAP MEMBERSHIP INDEX — the missing rung between C27 (incremental
+    dedup that joins every ingest batch against the full corpus) and
+    C73 (persisted signature index for near-dups). A Bloom filter with
+    k = 1 hash, built in PURE SQL: slot = xxhash64(content-hash) mod
+    2^20, and the 2^20-bit presence array materializes as <= 16,384
+    longs via bit_or(shiftleft(1L, slot & 63)) grouped by slot >> 6 —
+    128 KiB total, broadcast to every ingest task as a map-side bit
+    test. (Spark's native bloom_filter_agg expression is optimizer-
+    internal, not SQL-resolvable — this is the same data structure
+    spelled in registered functions, which also makes the index a
+    PORTABLE table any engine can evaluate.)
+
+    Semantics stay EXACT — the oracle never sees the bitmap: bitmap
+    hits (true duplicates + ~n/2^20 false positives) proceed to an
+    exact sha-256 confirm join; misses are PROVABLY novel (a bitmap
+    miss cannot be a duplicate) and short-circuit without touching the
+    corpus at all. Output: every batch doc with its duplicate verdict
+    and the min-id corpus match.
+
+    Scale: the index build is one corpus pass (built once, persisted,
+    shipped — c73's deployment story); after that, each ingest batch
+    pays ONE broadcast bit-test, and only the candidate sliver reaches
+    the corpus store — the confirm join broadcasts the CANDIDATES and
+    streams the corpus map-side (no corpus shuffle; at 100 TB this is
+    a point-lookup against the content-hash store). The 2^20 width is
+    the fixture knob; production sizes ~8-10 bits per corpus doc to
+    hold the false-positive rate at 2-5%."""
+    m_bits = 1 << 20
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    slot = F.pmod(F.xxhash64(F.col("h")), F.lit(m_bits))
+    word = F.shiftright(slot, 6)
+    bit = slot.bitwiseAND(F.lit(63))
+    bitmap = (
+        corpus.select(word.alias("word"), bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probe = batch.select("doc_id", "h", word.alias("word"), bit.alias("bit"))
+    cand = (
+        probe.join(F.broadcast(bitmap), "word", "left")
+        .filter(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(F.expr("shiftleft(1L, bit)"))
+                != 0
+            )
+        )
+        .select(F.col("doc_id").alias("b_doc"), "h")
+    )
+    # Confirm join: candidates broadcast, corpus streamed map-side —
+    # the corpus is never shuffled, and only bitmap survivors reach it.
+    hits = (
+        corpus.join(F.broadcast(cand), "h")
+        .groupBy("b_doc")
+        .agg(F.min("doc_id").alias("match_doc_id"))
+        .withColumnRenamed("b_doc", "doc_id")
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("match_doc_id").isNotNull().alias("is_duplicate"),
+            "match_doc_id",
+        )
+        .orderBy("doc_id")
     )

@@ -155,6 +155,7 @@ PROBE_QUERIES = (
     "q_c127_semdedup",
     "q_c97_semdedup",
     "q_c30_kmeans",
+    "q_c128_bitmap_prefilter_dedup",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
