@@ -3382,6 +3382,46 @@ def q_c126_url_canonical_dedup(spark, sf_dir):
     )
 
 
+def bitmap_membership_candidates(
+    corpus: DataFrame, batch: DataFrame, m_bits: int
+) -> DataFrame:
+    """C128's bitmap fold, factored for property testing: build the
+    k=1 Bloom presence array over ``corpus.h`` (slot = xxhash64(h) mod
+    ``m_bits``, packed 64 slots per long via bit_or(shiftleft) grouped
+    by slot >> 6), broadcast it, and return the ``batch`` rows whose
+    bit is set as ``(b_doc, h)``.
+
+    Contract (the reason the bitmap never compromises exactness): the
+    result is a SUPERSET of the true duplicates — a doc whose slot bit
+    is unset provably shares no content hash with the corpus, while a
+    set bit carries ~|corpus|/m_bits false positives that the caller's
+    exact confirm join removes. Property-tested at m_bits = 64, where
+    false positives are forced by the pigeonhole principle
+    (tests/test_properties.py::test_bitmap_prefilter_superset_and_exact).
+    ``m_bits`` must be a multiple of 64 so the word/bit split is exact.
+    """
+    slot = F.pmod(F.xxhash64(F.col("h")), F.lit(m_bits))
+    word = F.shiftright(slot, 6)
+    bit = slot.bitwiseAND(F.lit(63))
+    bitmap = (
+        corpus.select(word.alias("word"), bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+    )
+    probe = batch.select("doc_id", "h", word.alias("word"), bit.alias("bit"))
+    return (
+        probe.join(F.broadcast(bitmap), "word", "left")
+        .filter(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(F.expr("shiftleft(1L, bit)"))
+                != 0
+            )
+        )
+        .select(F.col("doc_id").alias("b_doc"), "h")
+    )
+
+
 @query(
     "q_c128_bitmap_prefilter_dedup",
     oracle="""
@@ -3440,27 +3480,7 @@ def q_c128_bitmap_prefilter_dedup(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 10 == 7).select(
         "doc_id", F.sha2("text", 256).alias("h")
     )
-    slot = F.pmod(F.xxhash64(F.col("h")), F.lit(m_bits))
-    word = F.shiftright(slot, 6)
-    bit = slot.bitwiseAND(F.lit(63))
-    bitmap = (
-        corpus.select(word.alias("word"), bit.alias("bit"))
-        .groupBy("word")
-        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    probe = batch.select("doc_id", "h", word.alias("word"), bit.alias("bit"))
-    cand = (
-        probe.join(F.broadcast(bitmap), "word", "left")
-        .filter(
-            F.col("bits").isNotNull()
-            & (
-                F.col("bits").bitwiseAND(F.expr("shiftleft(1L, bit)"))
-                != 0
-            )
-        )
-        .select(F.col("doc_id").alias("b_doc"), "h")
-    )
+    cand = bitmap_membership_candidates(corpus, batch, m_bits)
     # Confirm join: candidates broadcast, corpus streamed map-side —
     # the corpus is never shuffled, and only bitmap survivors reach it.
     hits = (

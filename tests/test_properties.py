@@ -1670,3 +1670,76 @@ def test_interleave_schedule_fairness(spark, mods):
         for a in alive:
             for b in alive:
                 assert abs(served[a] - served[b]) <= 1, (served, a, b)
+
+
+hash_texts = st.lists(
+    st.text(
+        alphabet="abcdefgh", min_size=0, max_size=6
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(corpus_texts=hash_texts, batch_texts=hash_texts)
+@_settings
+def test_bitmap_prefilter_superset_and_exact(
+    spark, corpus_texts, batch_texts
+):
+    """C128's bitmap contract fuzzed at m_bits = 64, where the
+    pigeonhole principle FORCES false positives (any corpus > 64
+    distinct hashes saturates slots): the bitmap candidate set must be
+    a SUPERSET of the true duplicates (a bitmap miss is provably
+    novel), and the full prefilter -> exact-confirm composition must
+    equal the naive exact hash join verdict-for-verdict."""
+    from etl_spark_eks_spark.operators.dedup import (
+        bitmap_membership_candidates,
+    )
+
+    corpus_rows = [(i, t) for i, t in enumerate(corpus_texts)]
+    batch_rows = [
+        (1000 + i, t) for i, t in enumerate(batch_texts)
+    ]
+    schema = "doc_id long, text string"
+    corpus = (
+        spark.createDataFrame(corpus_rows, schema)
+        if corpus_rows
+        else spark.createDataFrame([], schema)
+    ).select("doc_id", F.sha2("text", 256).alias("h"))
+    batch = (
+        spark.createDataFrame(batch_rows, schema)
+        if batch_rows
+        else spark.createDataFrame([], schema)
+    ).select("doc_id", F.sha2("text", 256).alias("h"))
+
+    cand = {
+        r["b_doc"]
+        for r in bitmap_membership_candidates(corpus, batch, 64).collect()
+    }
+    corpus_set = set(corpus_texts)
+    true_dups = {
+        did for did, t in batch_rows if t in corpus_set
+    }
+    # no false negatives: every true duplicate survives the bitmap
+    assert true_dups <= cand, (true_dups - cand)
+
+    # end-to-end: prefilter + exact confirm == naive exact join
+    cand_df = bitmap_membership_candidates(corpus, batch, 64)
+    hits = (
+        corpus.join(F.broadcast(cand_df), "h")
+        .groupBy("b_doc")
+        .agg(F.min("doc_id").alias("match_doc_id"))
+    )
+    got = {
+        r["b_doc"]: r["match_doc_id"] for r in hits.collect()
+    }
+    first_id = {}
+    for did, t in corpus_rows:
+        if t not in first_id:
+            first_id[t] = did
+    expect = {
+        did: first_id[t]
+        for did, t in batch_rows
+        if t in first_id
+    }
+    assert got == expect

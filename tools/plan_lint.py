@@ -61,7 +61,6 @@ ALLOW_CARTESIAN = {
     "q_c91_dsir_importance",
     "q_c92_perplexity_buckets",
     "q_c122_post_dedup_mix_report",  # 1-row before/after-total broadcast
-    "q_c118_lsh_parameter_plan",  # deliberate k x k parameter-grid cross (44 rows, corpus-free)
     "q_m19_modality_interleave_schedule",  # 1-row modality-counts fold broadcast (C26's class; docstring-owned)
 }
 ALLOW_PY_ROW = {
