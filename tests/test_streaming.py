@@ -368,3 +368,34 @@ def test_incremental_backlog_run2_processes_only_delta(spark, sf_dir):
         .count()
     )
     assert dup_ids == 0, f"{dup_ids} event_ids ingested by both runs"
+
+
+def test_no_data_batch_optout_is_output_identical(spark, sf_dir, monkeypatch):
+    """The r8 no-data-batch opt-out contract, encoded: a query that
+    declared no_data_batch=False (emissions all batch-driven) must
+    produce IDENTICAL output when the trailing watermark-advance batch
+    is forced back on. Representative: q_b49 (dedup passthrough) and
+    q_b57 (inner stream-stream join — the outer variant q_b74 must NOT
+    opt out and is deliberately absent here)."""
+    from etl_spark_eks_spark.operators import stream_queries
+    from etl_spark_eks_spark.streaming.stream_ops import run_available_now
+
+    def forced_on(df, sink_dir, checkpoint_dir, **kw):
+        kw["no_data_batch"] = True
+        return run_available_now(df, sink_dir, checkpoint_dir, **kw)
+
+    for key in ("q_b49_stream_dedup", "q_b57_stream_stream_join"):
+        fn = registry.QUERIES[key]
+        skipped = sorted(
+            tuple(r) for r in fn(spark, sf_dir).collect()
+        )
+        monkeypatch.setattr(stream_queries, "run_available_now", forced_on)
+        try:
+            forced = sorted(
+                tuple(r) for r in fn(spark, sf_dir).collect()
+            )
+        finally:
+            monkeypatch.setattr(
+                stream_queries, "run_available_now", run_available_now
+            )
+        assert skipped == forced, key
