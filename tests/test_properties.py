@@ -1743,3 +1743,55 @@ def test_bitmap_prefilter_superset_and_exact(
         if t in first_id
     }
     assert got == expect
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=edge_lists)
+@_settings
+def test_connected_components_matches_union_find(spark, edges):
+    """The contraction CC (C18/C58/C127's cluster engine) fuzzed against
+    a driver-side union-find on arbitrary small graphs — self-loops,
+    duplicate edges, multi-component tangles, long chains. Labels must
+    be exactly the component MINIMUM for every node that appears in the
+    edge list (the min-label fixpoint contract, not just a partition
+    into the right groups)."""
+    from etl_spark_eks_spark.operators.dedup import connected_components
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    expect = {}
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    for n in nodes:
+        expect[n] = comp_min[find(n)]
+    assert got == expect
