@@ -3489,9 +3489,13 @@ def q_c128_bitmap_prefilter_dedup(spark, sf_dir):
         .agg(F.min("doc_id").alias("match_doc_id"))
         .withColumnRenamed("b_doc", "doc_id")
     )
+    # hits <= cand, and cand already broadcast into the confirm join —
+    # by the same ingest-batch-is-small contract the verdicts broadcast
+    # back onto the batch (without the hint this left join plans as a
+    # SortMergeJoin that shuffles the batch twice).
     return (
         batch.select("doc_id")
-        .join(hits, "doc_id", "left")
+        .join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             F.col("match_doc_id").isNotNull().alias("is_duplicate"),

@@ -1111,3 +1111,17 @@ def test_b172_determinism_fence_in_plan(spark, sf_dir):
     )
     assert order(pipe(det)) == "filter_below"
     assert order(pipe(nondet)) == "filter_above"
+
+
+def test_bitmap_prefilter_joins_all_broadcast(spark, sf_dir):
+    """C128's scale contract, plan-pinned: every join in the plan is a
+    BroadcastHashJoin — the 128 KiB presence array broadcasts to the
+    probe, the candidate sliver broadcasts to the confirm scan, and
+    the verdicts broadcast back onto the batch. The corpus must never
+    be shuffled (no SortMergeJoin / ShuffledHashJoin anywhere)."""
+    plan = plan_of(
+        registry.QUERIES["q_c128_bitmap_prefilter_dedup"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
