@@ -1795,3 +1795,55 @@ def test_connected_components_matches_union_find(spark, edges):
     for n in nodes:
         expect[n] = comp_min[find(n)]
     assert got == expect
+
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from("abcdefghij klmnop qrstu vwx yz one two".split()),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(texts=doc_texts, threshold=st.sampled_from([0.3, 0.6, 0.8]))
+@_settings
+def test_jaccard_near_dedup_matches_python_bruteforce(
+    spark, texts, threshold
+):
+    """All three candidate strategies of jaccard_near_dedup fuzzed
+    against a pure-Python brute force on RANDOM documents (the existing
+    strategy tests only cross-compare strategies on the fixture): pair
+    set, order normalization (doc_id_1 < doc_id_2), and the Jaccard
+    value itself must match for arbitrary token overlap structure,
+    inside the same 20% length band."""
+    from etl_spark_eks_spark.operators.dedup import jaccard_near_dedup
+
+    rows = [(i, t, "xx") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    sets = {i: frozenset(t.split()) for i, t in enumerate(texts)}
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            if abs(na - nb) > 0.2 * max(na, nb):
+                continue
+            inter = len(sets[a] & sets[b])
+            j = inter / (na + nb - inter)
+            if j >= threshold:
+                expect.add((a, b, round(j, 9)))
+
+    for strategy in ("prefix", "allpairs", "adaptive"):
+        got = {
+            (r["doc_id_1"], r["doc_id_2"], round(r["jaccard"], 9))
+            for r in jaccard_near_dedup(
+                df, "text", "doc_id", ["lang"], threshold, 0.2,
+                strategy=strategy,
+            ).collect()
+        }
+        assert got == expect, (strategy, got ^ expect)
