@@ -1847,3 +1847,53 @@ def test_jaccard_near_dedup_matches_python_bruteforce(
             ).collect()
         }
         assert got == expect, (strategy, got ^ expect)
+
+
+payloads = st.lists(
+    st.binary(min_size=0, max_size=700), min_size=1, max_size=6
+)
+
+
+@given(blobs=payloads)
+@_settings
+def test_cdc_chunks_partition_and_clamp_invariants(spark, blobs):
+    """M9's chunker fuzzed on arbitrary binary payloads: per document,
+    chunk lengths must sum exactly to the payload length (the chunks
+    PARTITION the bytes — no gap, no overlap), every non-final chunk
+    must respect the [16, 256]-byte clamp, chunk_idx must be dense from
+    0, and re-running must be byte-identical (content-determinism is
+    the whole CDC contract)."""
+    from etl_spark_eks_spark.operators.multimodal import cdc_chunks
+
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(
+        (
+            (r["doc_id"], r["chunk_idx"], r["chunk_hash"], r["chunk_len"])
+            for r in cdc_chunks(df, "payload", "doc_id").collect()
+        )
+    )
+    again = sorted(
+        (
+            (r["doc_id"], r["chunk_idx"], r["chunk_hash"], r["chunk_len"])
+            for r in cdc_chunks(df, "payload", "doc_id").collect()
+        )
+    )
+    assert got == again  # deterministic
+
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for doc_id, idx, _h, ln in got:
+        per_doc[doc_id].append((idx, ln))
+    for doc_id, blob in rows:
+        chunks = sorted(per_doc[doc_id])
+        if len(blob) == 0:
+            # a zero-byte payload still yields its single empty chunk
+            assert chunks == [(0, 0)]
+            continue
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        assert sum(ln for _, ln in chunks) == len(blob)
+        for _, ln in chunks[:-1]:
+            assert 16 <= ln <= 256, (doc_id, chunks)
+        assert chunks[-1][1] <= 256 + 16
