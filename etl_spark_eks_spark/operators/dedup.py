@@ -3391,6 +3391,12 @@ def bitmap_membership_candidates(
     by slot >> 6), broadcast it, and return the ``batch`` rows whose
     bit is set as ``(b_doc, h)``.
 
+    The pre-factoring inline form persisted the bitmap
+    (MEMORY_AND_DISK); that persist was dropped INTENTIONALLY here
+    because the bitmap subplan is materialized exactly once, via the
+    broadcast below — re-add it only if a caller ever reuses the
+    bitmap across actions.
+
     Contract (the reason the bitmap never compromises exactness): the
     result is a SUPERSET of the true duplicates — a doc whose slot bit
     is unset provably shares no content hash with the corpus, while a

@@ -1686,9 +1686,11 @@ hash_texts = st.lists(
 def test_bitmap_prefilter_superset_and_exact(
     spark, corpus_texts, batch_texts
 ):
-    """C128's bitmap contract fuzzed at m_bits = 64, where the
-    pigeonhole principle FORCES false positives (any corpus > 64
-    distinct hashes saturates slots): the bitmap candidate set must be
+    """C128's bitmap contract fuzzed at m_bits = 64, where slot
+    collisions are LIKELY by the birthday bound (the strategy caps the
+    corpus at 20 texts, below 64 distinct hashes, so false positives
+    are probabilistic rather than pigeonhole-forced — but hypothesis
+    explores enough corpora to hit them): the bitmap candidate set must be
     a SUPERSET of the true duplicates (a bitmap miss is provably
     novel), and the full prefilter -> exact-confirm composition must
     equal the naive exact hash join verdict-for-verdict."""
