@@ -17,7 +17,7 @@ Scale ladder (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etl_spark_eks_spark.catalog import load_table, widen
@@ -3506,6 +3506,240 @@ def q_c128_bitmap_prefilter_dedup(spark, sf_dir):
             "doc_id",
             F.col("match_doc_id").isNotNull().alias("is_duplicate"),
             "match_doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C129: sorted-suffix LCP spans (Lee et al. 2021, the lossless rung)
+# ---------------------------------------------------------------------------
+
+_SUFFIX_G = 8  # bucket anchor: matches shorter than g are invisible
+_SUFFIX_CAP = 32  # LCP clamp: suffix sort keys carry at most this many tokens
+_SUFFIX_MIN = 12  # demo span threshold L (any L in [g, cap] reuses the pass)
+
+
+def _prefix_run(eq: Column) -> Column:
+    """Length of the leading all-true run of a boolean array — the LCP
+    once ``eq`` is the element-wise equality of two suffix arrays.
+    O(cap) single fold (vs the O(cap^2) slice-compare the SQL oracle
+    uses for engine portability)."""
+    return F.aggregate(
+        eq,
+        F.struct(F.lit(1).alias("go"), F.lit(0).alias("n")),
+        lambda acc, x: F.struct(
+            (acc["go"] * F.when(x, 1).otherwise(0)).alias("go"),
+            (acc["n"] + acc["go"] * F.when(x, 1).otherwise(0)).alias("n"),
+        ),
+        lambda acc: acc["n"],
+    )
+
+
+def _suffix_lcp(a: Column, b: Column) -> Column:
+    """Token LCP of two capped suffix arrays (0 when ``b`` is the
+    window-edge null). ``zip_with`` pads the shorter array with nulls
+    and ``eqNullSafe`` maps those to false, so a proper-prefix pair
+    yields exactly min-length."""
+    return F.coalesce(
+        _prefix_run(F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))),
+        F.lit(0),
+    )
+
+
+def suffix_lcp_spans(
+    d: DataFrame,
+    g: int = _SUFFIX_G,
+    cap: int = _SUFFIX_CAP,
+    min_len: int = _SUFFIX_MIN,
+) -> DataFrame:
+    """C129's bucketed sorted-suffix stage, parametric for property
+    testing (``g <= min_len <= cap`` required): per affected doc, the
+    EXACT duplicated-substring spans at threshold ``min_len`` plus the
+    per-doc maximal match length, computed from a suffix sort rather
+    than C96's fixed-K gram anchors. Shape notes on q_c129's docstring.
+
+    Correctness contract (tests/test_properties.py fuzzes it against a
+    brute-force all-pairs LCP): sort the (cap-token-clamped) suffixes
+    within first-``g``-gram buckets; the classic suffix-array property
+    gives each position's true maximal match length as
+    ``max(lcp(prev), lcp(next))`` in sorted order — exact whenever the
+    true value is in [g, cap], clamped at ``cap`` above, unknowable
+    (and irrelevant, since min_len >= g) below ``g``. The interval
+    union of [pos, pos + match_len - 1] over positions with
+    match_len >= min_len equals the exact token mass covered by SOME
+    duplicated substring of length >= min_len even under the clamp:
+    a run longer than cap re-anchors at every interior position, and
+    its tail positions carry exact (< cap) lengths that close the
+    span, so span boundaries — not just the mass — are exact."""
+    if not (g <= min_len <= cap):
+        raise ValueError(f"need g <= min_len <= cap, got {g},{min_len},{cap}")
+    toks = (
+        widen(d)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .where(F.size("toks") >= g)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (g - 1)),
+                    lambda p: F.slice("toks", p, cap),
+                )
+            ).alias("idx", "suf"),
+        )
+        .select("doc_id", "n_tokens", (F.col("idx") + 1).alias("pos"), "suf")
+    )
+    # One shuffle, keyed by the g-gram bucket. Ordering within the
+    # bucket by the suffix ARRAY is the suffix sort restricted to the
+    # bucket; tie order (equal capped keys) is pinned by (doc_id, pos)
+    # for determinism but cannot change any lcp value — tied neighbors
+    # all share the full capped key.
+    w = Window.partitionBy(F.slice("suf", 1, g)).orderBy("suf", "doc_id", "pos")
+    m = (
+        toks.select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.greatest(
+                _suffix_lcp(F.col("suf"), F.lag("suf").over(w)),
+                _suffix_lcp(F.col("suf"), F.lead("suf").over(w)),
+            ).alias("match_len"),
+        )
+        .where(F.col("match_len") >= min_len)
+        .withColumn("iv_end", F.col("pos") + F.col("match_len") - 1)
+    )
+    # Variable-length interval union per doc: running max of interval
+    # ends (not C96's fixed lag gap) — a new island starts when this
+    # position begins past every earlier interval's reach + 1.
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_reach = F.max("iv_end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = m.withColumn(
+        "brk",
+        F.when(
+            prev_reach.isNull() | (F.col("pos") > prev_reach + 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_doc))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("span_start"),
+        F.max("iv_end").cast("bigint").alias("span_end"),
+        F.max("match_len").cast("bigint").alias("span_max_match"),
+    )
+
+
+@query(
+    "q_c129_suffix_lcp_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, len_toks, pos, toks[pos:pos+31] AS suf
+      FROM (SELECT doc_id, toks, len(toks) AS len_toks,
+                   unnest(range(1, len(toks) - 6)) AS pos
+            FROM t WHERE len(toks) >= 8)
+    ), l AS (
+      SELECT doc_id, len_toks, pos, suf,
+             lag(suf) OVER w AS pr, lead(suf) OVER w AS nx
+      FROM p
+      WINDOW w AS (PARTITION BY suf[1:8] ORDER BY suf, doc_id, pos)
+    ), m AS (
+      SELECT doc_id, len_toks, pos, match_len,
+             pos + match_len - 1 AS iv_end
+      FROM (
+        SELECT doc_id, len_toks, pos,
+               GREATEST(
+                 CASE WHEN pr IS NULL THEN 0 ELSE
+                   len(list_filter(range(1, least(len(suf), len(pr)) + 1),
+                                   k -> suf[1:k] = pr[1:k])) END,
+                 CASE WHEN nx IS NULL THEN 0 ELSE
+                   len(list_filter(range(1, least(len(suf), len(nx)) + 1),
+                                   k -> suf[1:k] = nx[1:k])) END
+               ) AS match_len
+        FROM l)
+      WHERE match_len >= 12
+    ), isl AS (
+      SELECT doc_id, len_toks, pos, iv_end, match_len,
+             CASE WHEN MAX(iv_end) OVER wr IS NULL
+                    OR pos > MAX(iv_end) OVER wr + 1 THEN 1
+                  ELSE 0 END AS brk
+      FROM m
+      WINDOW wr AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sp AS (
+      SELECT doc_id, MIN(len_toks) AS len_toks,
+             MIN(pos) AS span_start, MAX(iv_end) AS span_end,
+             MAX(match_len) AS mm
+      FROM (SELECT doc_id, len_toks, pos, iv_end, match_len,
+                   SUM(brk) OVER (PARTITION BY doc_id
+                                  ORDER BY pos) AS island
+            FROM isl)
+      GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(MIN(len_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           CAST(MAX(mm) AS BIGINT) AS max_match,
+           ROUND(CAST(SUM(span_end - span_start + 1) AS DOUBLE)
+                 / MIN(len_toks), 6) AS dup_frac
+    FROM sp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_c129_suffix_lcp_spans(spark, sf_dir):
+    """C129 (extension): the SORTED-SUFFIX rung of exact-substring
+    dedup — Lee et al. 2021's (arXiv:2107.06499) actual suffix-array
+    formulation, closing the gap C96's fixed-K gram anchors leave:
+    C96 answers only the binary "is the K-gram starting here repeated"
+    at its compiled-in K, so a different span threshold means a new
+    explode, and it never learns HOW LONG each match runs. C129 sorts
+    the (clamped) suffixes once and reads every position's exact
+    maximal match length off the neighbor LCPs — one pass serves every
+    threshold in [g=8, cap=32] and reports the per-doc maximal match
+    (the single strongest duplication signal a doc carries). Demo
+    threshold here: min_len=12, a span report C96 cannot produce
+    without re-running at K=12. Output per affected doc: token count,
+    exact span count, duplicated token mass and fraction at L=12, and
+    the maximal match length (clamped at 32).
+
+    Spark-first shape vs the paper's monolithic suffix array: a global
+    suffix sort is unnecessary — any pair with LCP >= g shares its
+    first-g-gram, so suffixes bucket by that gram (ONE hash shuffle of
+    [pos, 32-token slice] rows; at 100 TB the slice rides as 32 longs
+    after token-hashing — xxhash64 per token, injective up to 2^-64 —
+    and the bucket key as one long; strings are kept here so the
+    DuckDB oracle is collision-free by construction). Within a bucket
+    the sort is a partition-local window, never a global range
+    exchange; LCPs are O(cap) folds; the island merge reuses the
+    per-doc window partitioning of C96/C102. Serial work: none.
+    Memory: the largest bucket is the hottest g-gram's occurrence
+    count, bounded at fixture scale and salted the day a real corpus
+    ships a degenerate boilerplate gram (same knob as C42's hot-key
+    rule). Downstream, q_c102's surgery consumes these spans
+    unchanged — the stages share the island-merge contract."""
+    spans = suffix_lcp_spans(load_table(spark, sf_dir, "documents"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.min("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.max("span_max_match").cast("bigint").alias("max_match"),
+            F.round(
+                F.sum(F.col("span_end") - F.col("span_start") + 1)
+                .cast("double")
+                / F.min("n_tokens"),
+                6,
+            ).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )

@@ -1125,3 +1125,19 @@ def test_bitmap_prefilter_joins_all_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_suffix_lcp_bucketed_sort_not_global(spark, sf_dir):
+    """C129: the suffix sort must be the BUCKETED form — a hash
+    exchange on the first-g-gram slice with partition-local window
+    sorts — never a global rangepartitioning of the suffix stream
+    (the monolithic suffix-array shape that cannot scale out). The
+    only range exchange allowed is the final ORDER BY doc_id on the
+    per-doc report."""
+    plan = plan_of(registry.QUERIES["q_c129_suffix_lcp_spans"](spark, sf_dir))
+    # the g-gram slice projects as a window grouping expression (_w1)
+    # and the suffix window's exchange hashes on it
+    assert "hashpartitioning(_w1" in plan, plan[:2000]
+    assert plan.count("rangepartitioning") <= 1
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

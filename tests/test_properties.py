@@ -1899,3 +1899,94 @@ def test_cdc_chunks_partition_and_clamp_invariants(spark, blobs):
         for _, ln in chunks[:-1]:
             assert 16 <= ln <= 256, (doc_id, chunks)
         assert chunks[-1][1] <= 256 + 16
+
+
+# --- C129 sorted-suffix LCP spans ------------------------------------------
+
+suffix_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "ab"]), min_size=0, max_size=24
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _brute_suffix_spans(docs, g, cap, min_len):
+    """Brute-force reference for C129: per doc, the union of
+    [p, p + true_maxmatch(p) - 1] over positions with UNCLAMPED
+    maximal match >= min_len (all-pairs token LCP, same- and
+    cross-doc), plus contiguous-run span count and the clamped
+    per-doc max. The operator's clamped intervals must reproduce
+    the same covered SETS (the docstring's re-anchoring argument)."""
+    out = {}
+    for di, toks in enumerate(docs):
+        covered = set()
+        doc_max = 0
+        for i in range(len(toks)):
+            best = 0
+            for dj, other in enumerate(docs):
+                for j in range(len(other)):
+                    if (di, i) == (dj, j):
+                        continue
+                    k = 0
+                    while (
+                        i + k < len(toks)
+                        and j + k < len(other)
+                        and toks[i + k] == other[j + k]
+                    ):
+                        k += 1
+                    best = max(best, k)
+            if best >= min_len:
+                covered.update(range(i + 1, i + best + 1))  # 1-based
+                doc_max = max(doc_max, min(best, cap))
+        if covered:
+            runs = 0
+            prev = None
+            for p in sorted(covered):
+                if prev is None or p > prev + 1:
+                    runs += 1
+                prev = p
+            out[di] = (len(toks), runs, len(covered), doc_max)
+    return out
+
+
+@given(
+    docs=suffix_docs,
+    params=st.sampled_from([(2, 6, 2), (2, 6, 3), (3, 8, 4)]),
+)
+@_settings
+def test_suffix_lcp_spans_match_brute_force(spark, docs, params):
+    """C129's bucketed clamped-suffix-sort spans equal the all-pairs
+    unclamped truth: exact covered mass, exact contiguous span count,
+    and clamped max match, at several (g, cap, min_len) choices
+    including runs far longer than cap (the re-anchoring case)."""
+    from etl_spark_eks_spark.operators.dedup import suffix_lcp_spans
+
+    g, cap, min_len = params
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in (
+            suffix_lcp_spans(d, g=g, cap=cap, min_len=min_len)
+            .groupBy("doc_id")
+            .agg(
+                F.min("n_tokens").alias("n_tokens"),
+                F.count("*").alias("n_spans"),
+                F.sum(
+                    F.col("span_end") - F.col("span_start") + 1
+                ).alias("dup_tokens"),
+                F.max("span_max_match").alias("max_match"),
+            )
+            .collect()
+        )
+    }
+    want = _brute_suffix_spans(docs, g, cap, min_len)
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for di, (n_toks, runs, mass, doc_max) in want.items():
+        r = got[di]
+        assert r["n_tokens"] == n_toks
+        assert r["n_spans"] == runs, (di, dict(r.asDict()), want[di])
+        assert r["dup_tokens"] == mass, (di, dict(r.asDict()), want[di])
+        assert r["max_match"] == doc_max, (di, dict(r.asDict()), want[di])
