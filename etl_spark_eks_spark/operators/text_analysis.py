@@ -3625,3 +3625,125 @@ def token_entropy_profile(d):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C130: repetition-loop detector (token autocorrelation)
+# ---------------------------------------------------------------------------
+
+_LOOP_MAX_LAG = 16  # longest internal period probed
+_LOOP_THRESHOLD = 0.8  # autocorrelation above this flags a loop
+
+
+@query(
+    "q_c130_repetition_loop",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), x AS (
+      SELECT doc_id, len(toks) AS n, toks FROM t WHERE len(toks) >= 2
+    ), l AS (
+      SELECT doc_id, n, toks,
+             unnest(range(1, least(16, n - 1) + 1)) AS lag
+      FROM x
+    ), m AS (
+      SELECT doc_id, n, lag,
+             len(list_filter(range(1, n - lag + 1),
+                             i -> toks[i] = toks[i + lag])) AS matches
+      FROM l
+    ), r AS (
+      SELECT doc_id, n, lag, matches,
+             CAST(matches AS DOUBLE) / (n - lag) AS frac,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(matches AS DOUBLE) / (n - lag) DESC, lag ASC
+             ) AS rk
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(lag AS BIGINT) AS best_period,
+           CAST(matches AS BIGINT) AS best_matches,
+           CAST(n - lag AS BIGINT) AS n_compared,
+           ROUND(frac, 6) AS loop_score,
+           frac >= 0.8 AS is_loop
+    FROM r WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def q_c130_repetition_loop(spark, sf_dir):
+    """C130 (extension): repetition-loop detector — the
+    machine-generated-text signal the per-doc quality rungs cannot
+    see: C28's dedup-within-doc catches repeated SEGMENTS on exact
+    boundaries and C125's entropy drops only when the VOCABULARY
+    collapses, but a decoder stuck in a loop ("the best of the best
+    of the best ...") repeats a short token cycle that keeps segment
+    boundaries misaligned and vocabulary nonzero. The classic signal
+    is lag autocorrelation of the token stream: for each candidate
+    period L in [1, 16], the fraction of positions i with
+    tok[i] == tok[i+L]; a genuine loop of period p pushes the
+    fraction at lag p (and its multiples) toward 1, while natural
+    prose stays near the squared-unigram-frequency floor. Reported
+    per doc: the argmax lag (ties -> smallest period, a total order),
+    its match count / comparison count / score, and the >= 0.8 loop
+    flag. (This is the exact-comparison form of rolling-hash
+    autocorrelation: token equality IS the collision-free hash
+    compare; at 100 TB swap the token array for xxhash64 longs —
+    C129's same micro-opt — and the comparisons read 8-byte
+    primitives.)
+
+    Shape: ZERO shuffles except the final ORDER BY — the lag sweep is
+    a per-row higher-order expression (16 lags x O(n) compares,
+    bounded by 16·n_tokens per doc), the argmax is an array_max over
+    (frac, -lag) structs inside the row, and no explode ever leaves
+    the partition. The autocorrelation never materializes n x 16
+    rows. Oracle unnests lags + a row_number argmax instead — same
+    result, deliberately different shape (engine-portable SQL has no
+    struct-ordered array_max)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    base = (
+        widen(d)
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") >= 2)
+    )
+    tk = F.col("toks")
+    n = F.col("n")
+
+    def lag_struct(lag):
+        matches = F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - lag),
+                lambda i: F.element_at(tk, i)
+                == F.element_at(tk, i + lag),
+            )
+        )
+        return F.struct(
+            (matches.cast("double") / (n - lag).cast("double")).alias(
+                "frac"
+            ),
+            (-lag).alias("neg_lag"),
+            matches.cast("long").alias("m"),
+        )
+
+    lags = F.sequence(F.lit(1), F.least(F.lit(_LOOP_MAX_LAG), n - 1))
+    best = F.array_max(F.transform(lags, lag_struct))
+    return (
+        base.select("doc_id", "n", best.alias("b"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            (-F.col("b.neg_lag")).cast("bigint").alias("best_period"),
+            F.col("b.m").alias("best_matches"),
+            (F.col("n") + F.col("b.neg_lag"))
+            .cast("bigint")
+            .alias("n_compared"),
+            F.round("b.frac", 6).alias("loop_score"),
+            (F.col("b.frac") >= _LOOP_THRESHOLD).alias("is_loop"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1141,3 +1141,13 @@ def test_suffix_lcp_bucketed_sort_not_global(spark, sf_dir):
     assert plan.count("rangepartitioning") <= 1
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_repetition_loop_no_shuffle(spark, sf_dir):
+    """C130: the lag autocorrelation sweep is per-row arithmetic — the
+    plan must carry NO exchange except the widen round-robin and the
+    final ORDER BY (no lag explode, no per-doc window shuffle)."""
+    plan = plan_of(registry.QUERIES["q_c130_repetition_loop"](spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert plan.count("rangepartitioning") <= 1
+    assert "Generate" not in plan  # no explode of the lag grid

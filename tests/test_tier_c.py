@@ -1297,3 +1297,36 @@ def test_semdedup_verdicts_partition_and_catch_plants(spark, sf_dir):
     # min-id representative policy: the source (smaller id) survives,
     # so no natural doc is ever dropped on this fixture
     assert not dropped_naturals, dropped_naturals[:3]
+
+
+def test_repetition_loop_planted_periods(spark):
+    """C130 unit cases: a period-3 loop scores 1.0 at lag 3 (smallest
+    tied lag wins over its multiples), all-identical tokens score 1.0
+    at period 1, natural-ish text stays under the flag threshold, and
+    a one-token doc is excluded (no lag is defined)."""
+    from etl_spark_eks_spark.registry import QUERIES
+    import os
+
+    rows = [
+        (0, " ".join(["a", "b", "c"] * 10)),  # period-3 loop
+        (1, " ".join(["x"] * 12)),  # period-1 loop
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "solo"),  # n=1: excluded
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["q_c130_repetition_loop"](spark, td).collect()
+        }
+    assert set(got) == {0, 1, 2}
+    assert got[0]["best_period"] == 3 and got[0]["loop_score"] == 1.0
+    assert got[0]["is_loop"]
+    assert got[1]["best_period"] == 1 and got[1]["loop_score"] == 1.0
+    assert got[1]["is_loop"]
+    # "the" repeats at lag 6 (2 matches of 4 compared = 0.5 max)
+    assert not got[2]["is_loop"]
+    assert got[2]["best_matches"] <= got[2]["n_compared"]
