@@ -3747,3 +3747,142 @@ def q_c130_repetition_loop(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C131: tokenizer fertility audit vs a reference table
+# ---------------------------------------------------------------------------
+
+# The shipped expectation table a tokenizer release is audited against:
+# per language, the fertility (BPE-ish tokens per char) the previous
+# tokenizer produced on a held-out corpus, and the tolerated relative
+# drift. Constants are chosen so EVERY verdict class carries mass on
+# the fixture (the C82 zero-row rule applied to verdicts): en/de pass,
+# es exceeds its band, zh undershoots its (deliberately char-level)
+# expectation, fr is measured but unreferenced, pt is referenced but
+# absent from the corpus.
+_FERTILITY_REFERENCE = [
+    ("en", 0.182, 0.02),
+    ("de", 0.182, 0.02),
+    ("es", 0.165, 0.05),
+    ("zh", 0.300, 0.10),
+    ("pt", 0.190, 0.02),
+]
+
+
+@query(
+    "q_c131_fertility_audit",
+    oracle="""
+    WITH ref(lang, expected_fertility, tol) AS (
+      VALUES ('en', 0.182, 0.02), ('de', 0.182, 0.02),
+             ('es', 0.165, 0.05), ('zh', 0.300, 0.10),
+             ('pt', 0.190, 0.02)
+    ), measured AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents
+      GROUP BY lang
+    )
+    SELECT COALESCE(m.lang, r.lang) AS lang,
+           COALESCE(m.n_docs, 0) AS n_docs,
+           COALESCE(m.n_tokens, 0) AS n_tokens,
+           COALESCE(m.n_chars, 0) AS n_chars,
+           ROUND(CAST(m.n_tokens AS DOUBLE) / m.n_chars, 6) AS fertility,
+           r.expected_fertility,
+           ROUND(CAST(m.n_tokens AS DOUBLE) / m.n_chars
+                 / r.expected_fertility, 6) AS fert_ratio,
+           CASE
+             WHEN m.lang IS NULL THEN 'NO_DATA'
+             WHEN r.lang IS NULL THEN 'UNREFERENCED'
+             WHEN CAST(m.n_tokens AS DOUBLE) / m.n_chars
+                  / r.expected_fertility < 1 - r.tol THEN 'TOO_LOW'
+             WHEN CAST(m.n_tokens AS DOUBLE) / m.n_chars
+                  / r.expected_fertility > 1 + r.tol THEN 'TOO_HIGH'
+             ELSE 'OK'
+           END AS verdict
+    FROM measured m FULL OUTER JOIN ref r ON m.lang = r.lang
+    ORDER BY lang
+    """,
+)
+def q_c131_fertility_audit(spark, sf_dir):
+    """C131 (extension): tokenizer fertility AUDIT — the release gate
+    a tokenizer change ships through, completing what C80 measures:
+    C80 regresses tokens ~ chars per language and reports the slopes,
+    but a number with no expectation attached gates nothing. Here the
+    measured per-language fertility (BPE-ish lexer tokens per char,
+    C11's counting contract) joins a shipped REFERENCE table of
+    (expected fertility, tolerated relative drift) and every language
+    gets a verdict: OK inside the band, TOO_LOW / TOO_HIGH outside it
+    (a zh expectation set at char-level fertility catches a tokenizer
+    that silently stopped splitting CJK), UNREFERENCED for measured
+    languages the reference never recorded, NO_DATA for referenced
+    languages the corpus lost — the last two are the classes that
+    catch pipeline wiring bugs rather than tokenizer bugs, and the
+    fixture constants give every class at least one row (C82's
+    zero-row discipline applied to verdicts).
+
+    Shape: one map-side-combined aggregate over the corpus (3 integer
+    partials per language), FULL OUTER joined against a k-row local
+    relation — at any scale the join input is |langs| rows; the corpus
+    is touched exactly once. (No broadcast hint: Spark cannot
+    broadcast a full-outer build side, and none is needed — the
+    measured side is already the |langs|-row aggregate output, so the
+    join exchange carries k rows.) The ratio divides the same unrounded
+    doubles in the same order on both engines; band compares sit >3
+    sigma from every fixture value at all three scales, so no float
+    tie decides a verdict."""
+    d = load_table(spark, sf_dir, "documents")
+    measured = (
+        widen(d)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.size(
+                    F.regexp_extract_all(
+                        "text",
+                        F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"),
+                        0,
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    ref = values_df(
+        spark,
+        _FERTILITY_REFERENCE,
+        "lang string, expected_fertility double, tol double",
+    )
+    fert = F.col("m.n_tokens").cast("double") / F.col("m.n_chars")
+    ratio = fert / F.col("r.expected_fertility")
+    return (
+        measured.alias("m")
+        .join(
+            ref.alias("r"),
+            F.col("m.lang") == F.col("r.lang"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("m.lang"), F.col("r.lang")).alias("lang"),
+            F.coalesce(F.col("m.n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("m.n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("m.n_chars"), F.lit(0)).alias("n_chars"),
+            F.round(fert, 6).alias("fertility"),
+            F.col("r.expected_fertility"),
+            F.round(ratio, 6).alias("fert_ratio"),
+            F.when(F.col("m.lang").isNull(), "NO_DATA")
+            .when(F.col("r.lang").isNull(), "UNREFERENCED")
+            .when(ratio < 1 - F.col("r.tol"), "TOO_LOW")
+            .when(ratio > 1 + F.col("r.tol"), "TOO_HIGH")
+            .otherwise("OK")
+            .alias("verdict"),
+        )
+        .orderBy("lang")
+    )

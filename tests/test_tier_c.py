@@ -1330,3 +1330,29 @@ def test_repetition_loop_planted_periods(spark):
     # "the" repeats at lag 6 (2 matches of 4 compared = 0.5 max)
     assert not got[2]["is_loop"]
     assert got[2]["best_matches"] <= got[2]["n_compared"]
+
+
+def test_fertility_audit_all_verdict_classes(spark, sf_dir):
+    """C131: every verdict class carries mass on the fixture (the C82
+    zero-row rule applied to verdicts), NO_DATA rows zero-fill their
+    counts, and the in-band languages sit well clear of their band
+    edges (no float tie decides a verdict)."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    rows = {r["lang"]: r for r in
+            QUERIES["q_c131_fertility_audit"](spark, sf_dir).collect()}
+    verdicts = {r["verdict"] for r in rows.values()}
+    assert verdicts == {"OK", "TOO_LOW", "TOO_HIGH", "UNREFERENCED",
+                        "NO_DATA"}, verdicts
+    pt = rows["pt"]
+    assert pt["verdict"] == "NO_DATA" and pt["n_docs"] == 0
+    assert pt["n_tokens"] == 0 and pt["fertility"] is None
+    fr = rows["fr"]
+    assert fr["verdict"] == "UNREFERENCED"
+    assert fr["expected_fertility"] is None and fr["fertility"] is not None
+    for lang in ("en", "de"):
+        r = rows[lang]
+        assert r["verdict"] == "OK"
+        # >25% of the band away from either edge
+        band = 0.02
+        assert abs(r["fert_ratio"] - 1.0) < band * 0.75, dict(r.asDict())
