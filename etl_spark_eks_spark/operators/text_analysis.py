@@ -3886,3 +3886,170 @@ def q_c131_fertility_audit(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# C132: per-domain empirical-Bayes quality-prior smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c132_quality_prior_smoothing",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'src_degraded' AS source,
+             array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')[1:10], ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (
+      SELECT source,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000
+                   AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) >= 0.3
+                  THEN 1 ELSE 0 END AS ok
+      FROM (SELECT source,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM base)
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS k
+      FROM t GROUP BY source
+    ),
+    pp AS (
+      SELECT source, n, k,
+             CAST(k * 1000000 // n AS BIGINT) AS ppm
+      FROM per
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s,
+             CAST(SUM(ppm) AS BIGINT) AS sp,
+             CAST(SUM(ppm * ppm) AS BIGINT) AS spp
+      FROM pp
+    ),
+    pri AS (
+      SELECT CAST(sp AS DOUBLE) / s / 1000000 AS m,
+             (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / s)
+               / s / 1000000 / 1000000 AS v
+      FROM mom
+    ),
+    st AS (
+      SELECT m,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 1
+                  THEN m * (1 - m) / v - 1 ELSE 1 END AS mm
+      FROM pri
+    )
+    SELECT source, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+           ROUND(m, 6) AS prior_rate,
+           ROUND(mm, 6) AS prior_strength,
+           ROUND((k + mm * m) / (n + mm), 6) AS shrunk_rate,
+           ROUND(CAST(n AS DOUBLE) / (n + mm), 6) AS shrink_weight
+    FROM pp CROSS JOIN st
+    ORDER BY source
+    """,
+)
+def q_c132_quality_prior_smoothing(spark, sf_dir):
+    """C132 (extension): per-domain EMPIRICAL-BAYES smoothing of
+    source quality rates — the statistical upgrade C105's Wilson gate
+    points at but does not perform: Wilson says which raw rates are
+    UNRELIABLE; this replaces every raw rate with the defensible
+    estimate. A Beta prior is moment-matched to the observed
+    cross-source rate distribution (prior mean = mean of per-source
+    rates, prior strength M = m(1-m)/v - 1, floored at 1 and mirrored
+    in both engines), and each source's rate shrinks to
+    (k + M*m) / (n + M): a 10-doc feed collapses toward the corpus
+    prior (shrink_weight n/(n+M) near 0) while a 10k-doc feed keeps
+    its own evidence — the classic beta-binomial rate stabilizer
+    (Efron & Morris's batting-average construction). The C105 planted
+    degraded feed rides along so shrinkage is visible on a genuinely
+    outlying source. (Honest scope note: M is fitted to the RAW rate
+    dispersion without subtracting binomial sampling noise — the
+    noise-corrected variant subtracts m(1-m)*mean(1/n) from v, a
+    one-line change on the same integer moments.)
+
+    Numerics — the C121/C122 ppm discipline applied to MOMENTS: a
+    float sum of per-source rates would be partial-order-dependent
+    across engines, so each rate quantizes to an exact integer ppm
+    (k*1e6 DIV n) and the prior fits on exact BIGINT folds (S, Σppm,
+    Σppm²); every double afterwards derives from those integers
+    through the same expression tree on both engines, so prior,
+    strength, and shrunk rates agree bit-for-bit before the 6dp edge
+    round.
+
+    Scale: identical to C105 — per-row gate projection, |sources|-row
+    rollup, 1-row moment fold crossed back broadcast. Nothing else
+    moves; adding the noise correction adds one integer partial
+    (Σ(1e12 DIV n)), not a pass."""
+    d = load_table(spark, sf_dir, "documents")
+    degraded = d.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("src_degraded").alias("source"),
+        F.array_join(F.slice(tokenize("text"), 1, 10), " ").alias(
+            "text"
+        ),
+    )
+    base = widen(d.select("source", "text")).unionByName(degraded)
+    stats = token_stats(F.col("text"))
+    t = base.select(
+        "source",
+        (
+            stats["n_tokens"].between(20, 1000)
+            & (stats["distinct_ratio"] >= 0.3)
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+    per = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("k"),
+    )
+    pp = per.withColumn("ppm", F.expr("CAST(k * 1000000 DIV n AS BIGINT)"))
+    mom = pp.agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum("ppm").cast("long").alias("sp"),
+        F.sum(F.col("ppm") * F.col("ppm")).cast("long").alias("spp"),
+    )
+    m = F.col("sp").cast("double") / F.col("s") / 1000000
+    v = (
+        (
+            F.col("spp").cast("double")
+            - F.col("sp").cast("double") * F.col("sp") / F.col("s")
+        )
+        / F.col("s")
+        / 1000000
+        / 1000000
+    )
+    st = mom.select(
+        m.alias("m"),
+        F.when(
+            (v > 0) & (m * (1 - m) / v - 1 > 1), m * (1 - m) / v - 1
+        )
+        .otherwise(F.lit(1.0))
+        .alias("mm"),
+    )
+    return (
+        pp.crossJoin(F.broadcast(st))
+        .select(
+            "source",
+            "n",
+            "k",
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("m", 6).alias("prior_rate"),
+            F.round("mm", 6).alias("prior_strength"),
+            F.round(
+                (F.col("k") + F.col("mm") * F.col("m"))
+                / (F.col("n") + F.col("mm")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round(
+                F.col("n").cast("double") / (F.col("n") + F.col("mm")), 6
+            ).alias("shrink_weight"),
+        )
+        .orderBy("source")
+    )

@@ -1356,3 +1356,27 @@ def test_fertility_audit_all_verdict_classes(spark, sf_dir):
         # >25% of the band away from either edge
         band = 0.02
         assert abs(r["fert_ratio"] - 1.0) < band * 0.75, dict(r.asDict())
+
+
+def test_quality_prior_smoothing_invariants(spark, sf_dir):
+    """C132: shrunk rates are convex combinations — every source's
+    shrunk rate lies between its raw rate and the prior, the mixing
+    weight equals n/(n+M) exactly, heavier sources shrink less, and
+    the degraded plant moves MOST of the way to its own evidence
+    (n=100 >> M) while staying strictly above raw 0."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    rows = QUERIES["q_c132_quality_prior_smoothing"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) >= 3
+    mm = rows[0]["prior_strength"]
+    assert mm >= 1.0
+    for r in rows:
+        lo = min(r["raw_rate"], r["prior_rate"]) - 1e-6
+        hi = max(r["raw_rate"], r["prior_rate"]) + 1e-6
+        assert lo <= r["shrunk_rate"] <= hi, dict(r.asDict())
+        assert abs(r["shrink_weight"] - r["n"] / (r["n"] + mm)) < 1e-5
+    deg = [r for r in rows if r["source"] == "src_degraded"][0]
+    assert deg["raw_rate"] == 0.0
+    assert 0 < deg["shrunk_rate"] < deg["prior_rate"] / 2
