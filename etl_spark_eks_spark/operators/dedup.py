@@ -31,6 +31,7 @@ from etl_spark_eks_spark.functions.text import (
     token_hashes,
     tokenize,
 )
+from etl_spark_eks_spark.functions.local_relation import values_df
 from etl_spark_eks_spark.registry import query
 
 
@@ -1836,6 +1837,25 @@ def q_c75_segment_dedup_rewrite(spark, sf_dir):
     )
 
 
+def sorted_set_pairs(col: Column, a_name: str, b_name: str) -> Column:
+    """All ordered pairs (a < b) from a SORTED array column, as an
+    array of 2-field structs — the per-key contraction that replaces
+    a quadratic self-join: the pair expansion happens inside the row,
+    bounded by C(|set|, 2), never by the key's corpus occurrence
+    count. Shared by q_c83 (source sets) and q_c133 (language sets)."""
+    return F.flatten(
+        F.transform(
+            col,
+            lambda a, i: F.transform(
+                F.slice(
+                    col, i + 2, F.greatest(F.size(col) - (i + 1), F.lit(0))
+                ),
+                lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
+            ),
+        )
+    )
+
+
 @query(
     "q_c83_source_overlap_matrix",
     oracle=r"""
@@ -1890,25 +1910,9 @@ def q_c83_source_overlap_matrix(spark, sf_dir):
         .filter(F.size("srcs") >= 2)
     )
     pairs = per_sh.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("srcs"),
-                    lambda a, i: F.transform(
-                        F.slice(
-                            F.col("srcs"),
-                            i + 2,
-                            F.greatest(
-                                F.size("srcs") - (i + 1), F.lit(0)
-                            ),
-                        ),
-                        lambda b: F.struct(
-                            a.alias("src_a"), b.alias("src_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(sorted_set_pairs(F.col("srcs"), "src_a", "src_b")).alias(
+            "p"
+        )
     )
     return (
         pairs.groupBy(
@@ -3742,4 +3746,181 @@ def q_c129_suffix_lcp_spans(spark, sf_dir):
             ).alias("dup_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C133: cross-source translated-shingle alignment (cross-lingual C83)
+# ---------------------------------------------------------------------------
+
+# The shipped bilingual dictionary: per-language surface form -> shared
+# concept id. On this synthetic corpus every language uses the same
+# surface vocabulary, so the per-lang rows repeat the term — the
+# JOIN-on-(lang, term) machinery is the operator; a real dictionary
+# swaps in real surface forms ("maison" -> K_HOUSE) without touching
+# the plan. 16 of the 31 fixture vocabulary terms are covered; the
+# other 15 are deliberately untranslatable (OOV drops change shingle
+# adjacency, which the reassembly stage must survive).
+_XLATE_TERMS = [
+    ("join", "K01"), ("hash", "K02"), ("row", "K03"), ("batch", "K04"),
+    ("scan", "K05"), ("customer", "K06"), ("column", "K07"),
+    ("filter", "K08"), ("small", "K09"), ("slow", "K10"),
+    ("merge", "K11"), ("order", "K12"), ("vector", "K13"),
+    ("line", "K14"), ("data", "K15"), ("table", "K16"),
+]
+_XLATE_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+@query(
+    "q_c133_translated_shingle_alignment",
+    oracle=r"""
+    WITH dict AS (
+      SELECT t.term, l.lang, t.concept
+      FROM (VALUES
+        ('join','K01'), ('hash','K02'), ('row','K03'), ('batch','K04'),
+        ('scan','K05'), ('customer','K06'), ('column','K07'),
+        ('filter','K08'), ('small','K09'), ('slow','K10'),
+        ('merge','K11'), ('order','K12'), ('vector','K13'),
+        ('line','K14'), ('data','K15'), ('table','K16')
+      ) t(term, concept)
+      CROSS JOIN (VALUES ('en'),('de'),('fr'),('es'),('zh')) l(lang)
+    ), tok AS (
+      SELECT t.doc_id, t.lang, r.pos, t.toks[r.pos] AS term
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents) t,
+           UNNEST(range(1, len(t.toks) + 1)) AS r(pos)
+    ), hit AS (
+      SELECT k.doc_id, k.lang, k.pos, d.concept
+      FROM tok k JOIN dict d ON d.lang = k.lang AND d.term = k.term
+    ), seq AS (
+      SELECT doc_id, lang, list(concept ORDER BY pos) AS cs
+      FROM hit GROUP BY doc_id, lang
+    ), sh AS (
+      SELECT DISTINCT lang,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(cs) - 2, 0) + 1),
+               i -> concat_ws(' ', cs[i], cs[i+1], cs[i+2])))) AS s
+      FROM seq
+    ), tot AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY lang
+    ), pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT p.lang_a, p.lang_b, ta.n AS n_a, tb.n AS n_b, p.n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / (ta.n + tb.n - p.n_shared), 6) AS jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.lang = p.lang_a
+    JOIN tot tb ON tb.lang = p.lang_b
+    ORDER BY lang_a, lang_b
+    """,
+)
+def q_c133_translated_shingle_alignment(spark, sf_dir):
+    """C133 (extension): cross-source TRANSLATED-shingle alignment —
+    the cross-lingual sibling of C83's overlap matrix. C83 catches
+    mirrored feeds within a language; translated mirrors (the same
+    site crawled in five languages, or machine-translated laundering
+    of one corpus into another) share no surface shingles at all.
+    The classic alignment move: normalize each token stream through a
+    bilingual dictionary ((lang, surface form) -> shared concept id),
+    DROP untranslatable tokens, re-shingle over the concept sequence,
+    and score language pairs by distinct-shingle overlap (count +
+    Jaccard). Translated passages then collide on concept shingles
+    exactly as verbatim ones collide on surface shingles.
+
+    Shape, in corpus-scan order: one posexplode (partition-local);
+    one BROADCAST join against the dictionary (a real bilingual
+    lexicon is MBs — never shuffle the token stream against it); one
+    doc_id shuffle to reassemble each doc's surviving concepts in
+    position order (array_sort over (pos, concept) structs — C102's
+    deterministic reconstruction, no window); then the C133 matrix
+    rides C83's per-shingle contraction via the shared
+    ``sorted_set_pairs`` helper — (shingle -> sorted lang set) first,
+    pair expansion inside the row, worst case C(|langs|, 2) per
+    shingle REGARDLESS of occurrence count. The distinct
+    (lang, shingle) table persists across its two consumers (lang
+    totals + pair matrix) — |langs| x |shingles| rows, the same
+    persist-the-contraction call C16's signature table makes.
+    Candidate generation is never a shingle self-join on the corpus
+    stream: the oracle spells that quadratic form precisely because
+    DuckDB runs it on a fixture, not on 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    dict_rows = [
+        (term, lang, concept)
+        for term, concept in _XLATE_TERMS
+        for lang in _XLATE_LANGS
+    ]
+    xdict = values_df(
+        spark, dict_rows, "term string, lang string, concept string"
+    )
+    tok = (
+        widen(d)
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(tokenize("text")).alias("idx", "term"),
+        )
+        .select("doc_id", "lang", (F.col("idx") + 1).alias("pos"), "term")
+    )
+    hit = tok.join(F.broadcast(xdict), ["lang", "term"])
+    seq = (
+        hit.groupBy("doc_id", "lang")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "concept"))
+                ),
+                lambda x: x["concept"],
+            ).alias("cs")
+        )
+    )
+    sh = (
+        seq.select(
+            "lang",
+            F.explode(F.array_distinct(shingles(F.col("cs"), 3))).alias(
+                "s"
+            ),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = sh.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_set("lang")).alias("langs"))
+        .filter(F.size("langs") >= 2)
+        .select(
+            F.explode(
+                sorted_set_pairs(F.col("langs"), "lang_a", "lang_b")
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.lang_a").alias("lang_a"),
+            F.col("p.lang_b").alias("lang_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = tot.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
     )

@@ -1380,3 +1380,35 @@ def test_quality_prior_smoothing_invariants(spark, sf_dir):
     deg = [r for r in rows if r["source"] == "src_degraded"][0]
     assert deg["raw_rate"] == 0.0
     assert 0 < deg["shrunk_rate"] < deg["prior_rate"] / 2
+
+
+def test_translated_shingle_alignment_oov_resync(spark):
+    """C133's distinguishing property: untranslatable tokens DROP
+    before shingling, so 'join the hash a row batch' (stopwords
+    interleaved) aligns with 'join hash row batch' across languages —
+    surface shingles share nothing, concept shingles match; a
+    vocabulary-equal but scrambled doc does NOT align (order
+    sensitivity)."""
+    from etl_spark_eks_spark.registry import QUERIES
+    import os, tempfile
+
+    rows = [
+        (0, "join the hash a row batch scan customer", "en"),
+        (1, "join hash row batch scan customer", "de"),
+        (2, "customer scan batch row hash join", "fr"),  # scrambled
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r["lang_a"], r["lang_b"]): r
+            for r in QUERIES["q_c133_translated_shingle_alignment"](
+                spark, td
+            ).collect()
+        }
+    # en/de align on all 4 concept shingles despite the stopword gaps
+    assert ("de", "en") in got
+    r = got[("de", "en")]
+    assert r["n_shared"] == 4 and r["jaccard"] == 1.0, dict(r.asDict())
+    # the scrambled fr doc shares vocabulary but no concept shingle
+    assert ("de", "fr") not in got and ("en", "fr") not in got
