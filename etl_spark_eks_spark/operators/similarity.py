@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table, widen
+from etl_spark_eks_spark.functions.exact import dsum
 from etl_spark_eks_spark.functions.vector import cosine_similarity, dot, l2_norm
 from etl_spark_eks_spark.registry import query
 
@@ -1562,3 +1563,184 @@ def q_c127_semdedup(spark, sf_dir):
     result = out.localCheckpoint(eager=True)
     vecs.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# C134: PQ-codebook refinement round (one Lloyd iteration per subspace)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (dim 64 -> 8 dims each)
+_PQ_SUB = 8
+_PQ_CODES = 16  # centroids per subspace
+
+
+@query(
+    "q_c134_pq_codebook_refine",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(r.i AS BIGINT) AS subspace,
+             embedding[r.i * 8 + 1 : r.i * 8 + 8] AS sv
+      FROM embeddings, UNNEST(range(0, 8)) AS r(i)
+    ), cb AS (
+      SELECT vec_id AS code, subspace, sv AS cv
+      FROM sub WHERE vec_id < 16
+    ), d AS (
+      SELECT s.vec_id, s.subspace, c.code, s.sv,
+             list_sum(list_transform(range(1, 9),
+               j -> (CAST(s.sv[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))
+                  * (CAST(s.sv[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))))
+               AS d2
+      FROM sub s JOIN cb c ON c.subspace = s.subspace
+    ), asg AS (
+      SELECT vec_id, subspace, code, sv FROM (
+        SELECT vec_id, subspace, code, sv,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS rn
+        FROM d)
+      WHERE rn = 1
+    ), dims AS (
+      SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(sv[r.j] AS DOUBLE) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s
+      FROM asg, UNNEST(range(1, 9)) AS r(j)
+      GROUP BY subspace, code, r.j
+    ), old AS (
+      SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+             CAST(cv[r.j] AS DOUBLE) AS old_c
+      FROM cb, UNNEST(range(1, 9)) AS r(j)
+    )
+    SELECT o.subspace, o.code, o.dim,
+           o.old_c AS old_centroid,
+           COALESCE(d.s / d.n, o.old_c) AS new_centroid,
+           COALESCE(d.n, 0) AS n_assigned
+    FROM old o LEFT JOIN dims d
+      ON d.subspace = o.subspace AND d.code = o.code AND d.dim = o.dim
+    ORDER BY o.subspace, o.code, o.dim
+    """,
+)
+def q_c134_pq_codebook_refine(spark, sf_dir):
+    """C134 (extension): PQ-CODEBOOK REFINEMENT — one Lloyd iteration
+    over each sub-space, upgrading C21's init-only codebooks (first-k
+    corpus samples, a deliberate deterministic seed) toward the
+    k-means fit real PQ training runs: per sub-space, every vector's
+    sub-vector assigns to its nearest centroid (squared L2, ties to
+    the smaller code id) and each (sub-space, code) cell re-centers on
+    the mean of its members; empty cells keep their old centroid (the
+    LEFT JOIN path — same empty-cluster policy as kmeans_lloyd).
+    Output: the refined codebook AS DATA, one row per (subspace,
+    code, dim) with old/new centroid and the cell's population —
+    joinable back into C21 the way C118's parameter table feeds C8.
+
+    Unlike C21/C30 (pandas-UDF closures, rows-only contracts), this
+    round is PURE Catalyst and hash-oracled end to end: assignment is
+    a 128-row codebook BROADCAST join (the corpus never shuffles for
+    it — the 16x candidate fan-out collapses back to one row per
+    (vec, subspace) by a map-side-combined min_by partial BEFORE the
+    exchange, so the shuffle carries assignments, not candidates), and
+    the re-centering sums accumulate in DECIMAL(38,6) (functions/
+    exact.py dsum: exact + associative, so Spark's partial tree and
+    DuckDB's sequential fold agree bit-for-bit; means are therefore
+    means of 6dp-quantized components — the documented price of a
+    deterministic cross-engine oracle, ~5e-7 per component). Output
+    centroids ship UNROUNDED: every double here is bit-identical
+    across engines by construction (exact decimal sum -> double,
+    divided by an exact integer), and a 6dp edge round would CREATE
+    the only possible divergence — the 6dp-decimal numerator puts
+    s/n exactly on the rounding-tie grid, where Spark's
+    shortest-repr HALF_UP and DuckDB's double rounding split
+    (measured: 2 of 1,024 cells at sf0.01, 0.0096225 -> .009622
+    vs .009623). d2 is a fixed-order left fold on both
+    engines (the _COSINE_PAIRS_SQL precedent), so argmin ties cannot
+    straddle engines. Codebook rows are vec_id < 16 — identical
+    filter on both sides, no orderBy/limit nondeterminism.
+
+    Scale: one broadcast join + two keyed aggregations; the
+    (subspace, code, dim) key space is m*k*sub = 1,024 rows whatever
+    the corpus size. Iterating to convergence is this operator in the
+    C30 driver loop (k x dim state per round); distortion tracking is
+    the same d2 fold aggregated per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subspaces = F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+
+    def explode_sub(df):
+        return df.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    subspaces,
+                    lambda i: F.slice("embedding", i * _PQ_SUB + 1, _PQ_SUB),
+                )
+            ).alias("subspace_i", "sv"),
+        ).select(
+            "vec_id",
+            F.col("subspace_i").cast("long").alias("subspace"),
+            "sv",
+        )
+
+    sub = explode_sub(widen(emb))
+    cb = explode_sub(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
+        F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        sub.join(F.broadcast(cb), "subspace")
+        .select("vec_id", "subspace", "code", "sv", d2.alias("d2"))
+        .groupBy("vec_id", "subspace")
+        .agg(
+            F.min_by(
+                F.struct("code", "sv"), F.struct("d2", "code")
+            ).alias("best")
+        )
+        .select("subspace", F.col("best.code").alias("code"),
+                F.col("best.sv").alias("sv"))
+    )
+    dims = (
+        asg.select(
+            "subspace", "code", F.posexplode("sv").alias("j", "v")
+        )
+        .select(
+            "subspace",
+            "code",
+            (F.col("j") + 1).cast("long").alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy("subspace", "code", "dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("v").alias("s"),
+        )
+    )
+    old = cb.select(
+        "subspace",
+        "code",
+        F.posexplode("cv").alias("j", "cvv"),
+    ).select(
+        "subspace",
+        "code",
+        (F.col("j") + 1).cast("long").alias("dim"),
+        F.col("cvv").cast("double").alias("old_c"),
+    )
+    return (
+        old.join(dims, ["subspace", "code", "dim"], "left")
+        .select(
+            "subspace",
+            "code",
+            "dim",
+            F.col("old_c").alias("old_centroid"),
+            F.coalesce(F.col("s") / F.col("n"), F.col("old_c")).alias(
+                "new_centroid"
+            ),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_assigned"),
+        )
+        .orderBy("subspace", "code", "dim")
+    )

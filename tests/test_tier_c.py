@@ -1412,3 +1412,50 @@ def test_translated_shingle_alignment_oov_resync(spark):
     assert r["n_shared"] == 4 and r["jaccard"] == 1.0, dict(r.asDict())
     # the scrambled fr doc shares vocabulary but no concept shingle
     assert ("de", "fr") not in got and ("en", "fr") not in got
+
+
+def test_pq_refine_lloyd_monotonicity(spark, sf_dir):
+    """C134: one Lloyd round can only help — recomputing assignments
+    under the OLD codebook and re-centering must not increase the
+    per-cell sum of squared distances (the mean minimizes SSE), every
+    cell's population is consistent across its 8 dim rows, and
+    non-empty cells' new centroids equal the numpy mean of their
+    members to the documented 6dp-quantization tolerance."""
+    import numpy as np
+    from etl_spark_eks_spark.registry import QUERIES
+    from etl_spark_eks_spark.catalog import load_table
+
+    out = QUERIES["q_c134_pq_codebook_refine"](spark, sf_dir).toPandas()
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cb = emb[:16]
+    for ss in range(8):
+        sv = emb[:, ss * 8 : (ss + 1) * 8]
+        cv = cb[:, ss * 8 : (ss + 1) * 8]
+        d2 = ((sv[:, None, :] - cv[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        sub = out[out.subspace == ss]
+        for code in range(16):
+            cell = sub[sub.code == code].sort_values("dim")
+            members = sv[assign == code]
+            ns = set(cell.n_assigned)
+            assert len(ns) == 1
+            assert ns.pop() == len(members), (ss, code)
+            new_c = cell.new_centroid.to_numpy()
+            if len(members):
+                want = members.mean(axis=0)
+                # dsum quantizes members to 6dp before the mean
+                assert np.abs(new_c - want).max() < 1e-6, (ss, code)
+                old_c = cell.old_centroid.to_numpy()
+                sse_old = ((members - old_c) ** 2).sum()
+                sse_new = ((members - new_c) ** 2).sum()
+                assert sse_new <= sse_old + 1e-9, (ss, code)
+            else:
+                assert np.allclose(new_c, cell.old_centroid.to_numpy())
