@@ -1151,3 +1151,27 @@ def test_repetition_loop_no_shuffle(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan[:2000]
     assert plan.count("rangepartitioning") <= 1
     assert "Generate" not in plan  # no explode of the lag grid
+
+
+def test_c27_probes_read_index_not_text(spark, sf_dir):
+    """C27 post-unification (r9 verdict task 4): per-ingest probe
+    stages consume the PERSISTED signature index, not corpus text —
+    the executed plan shows the text-derived pipeline (sha2+tokenize)
+    only inside the two cache-build subtrees (corpus index + batch
+    index), and the probes read InMemoryTableScan. The q_c8 counting
+    technique: each persisted relation renders its build plan a
+    bounded number of times; per-probe re-tokenization would multiply
+    the count several-fold."""
+    df = registry.QUERIES["q_c27_incremental_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    n_sha = plan.count("sha2(text")
+    n_tok = plan.count("split(text")
+    # 2 persisted indexes; cache-substitution context re-renders each
+    # build plan under its scans (the q_c16 precedent: 2 standalone,
+    # low teens with a populated cache). The guarded pathology — the
+    # pre-r10 per-probe re-tokenization — consumed the corpus pipeline
+    # once per probe per consumer (~30x) and had no cache scan at all.
+    assert n_sha <= 14, f"corpus text re-hashed outside the index: {n_sha}"
+    assert n_tok <= 14, f"corpus text re-tokenized outside the index: {n_tok}"
+    assert "CartesianProduct" not in plan
