@@ -156,6 +156,16 @@ PROBE_QUERIES = (
     "q_c97_semdedup",
     "q_c30_kmeans",
     "q_c128_bitmap_prefilter_dedup",
+    # round-10 additions over documents/embeddings. q_c133 is absent:
+    # the replicas namespace every token, so the lexicon join drops
+    # all non-copy-0 tokens and a probe would measure the scan gate,
+    # not the shingle contraction (the same vocabulary-gate rule as
+    # q_c113). q_c27's unified index path rides q_c128/q_c16 probes.
+    "q_c129_suffix_lcp_spans",
+    "q_c130_repetition_loop",
+    "q_c131_fertility_audit",
+    "q_c132_quality_prior_smoothing",
+    "q_c134_pq_codebook_refine",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
