@@ -3615,6 +3615,73 @@ def _suffix_lcp(a: Column, b: Column) -> Column:
     )
 
 
+def suffix_lcp_positions(
+    d: DataFrame, g: int = _SUFFIX_G, cap: int = _SUFFIX_CAP
+) -> DataFrame:
+    """The sorted-suffix LCP stage shared by q_c129 (span report at
+    one threshold) and q_c135 (the whole threshold curve): per
+    position, the exact maximal match length in [g, cap] as
+    (doc_id, n_tokens, pos, match_len) — UNFILTERED; callers apply
+    their threshold. Contract and shape notes on suffix_lcp_spans /
+    q_c129."""
+    toks = (
+        widen(d)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .where(F.size("toks") >= g)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (g - 1)),
+                    lambda p: F.slice("toks", p, cap),
+                )
+            ).alias("idx", "suf"),
+        )
+        .select("doc_id", "n_tokens", (F.col("idx") + 1).alias("pos"), "suf")
+    )
+    # One shuffle, keyed by the g-gram bucket. Ordering within the
+    # bucket by the suffix ARRAY is the suffix sort restricted to the
+    # bucket; tie order (equal capped keys) is pinned by (doc_id, pos)
+    # for determinism but cannot change any lcp value — tied neighbors
+    # all share the full capped key.
+    w = Window.partitionBy(F.slice("suf", 1, g)).orderBy("suf", "doc_id", "pos")
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.greatest(
+            _suffix_lcp(F.col("suf"), F.lag("suf").over(w)),
+            _suffix_lcp(F.col("suf"), F.lead("suf").over(w)),
+        ).alias("match_len"),
+    )
+
+
+def _interval_union_spans(m: DataFrame, extra_keys: list[str]) -> DataFrame:
+    """Variable-length interval union per (doc_id, *extra_keys):
+    running max of interval ends (not C96's fixed lag gap) — a new
+    island starts when this position begins past every earlier
+    interval's reach + 1. Input needs (doc_id, n_tokens, pos, iv_end,
+    match_len); output one row per maximal span."""
+    keys = ["doc_id", *extra_keys]
+    w_doc = Window.partitionBy(*keys).orderBy("pos")
+    prev_reach = F.max("iv_end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = m.withColumn(
+        "brk",
+        F.when(
+            prev_reach.isNull() | (F.col("pos") > prev_reach + 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_doc))
+    return isl.groupBy(*keys, "island").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("span_start"),
+        F.max("iv_end").cast("bigint").alias("span_end"),
+        F.max("match_len").cast("bigint").alias("span_max_match"),
+    )
+
+
 def suffix_lcp_spans(
     d: DataFrame,
     g: int = _SUFFIX_G,
@@ -3642,60 +3709,12 @@ def suffix_lcp_spans(
     span, so span boundaries — not just the mass — are exact."""
     if not (g <= min_len <= cap):
         raise ValueError(f"need g <= min_len <= cap, got {g},{min_len},{cap}")
-    toks = (
-        widen(d)
-        .select("doc_id", tokenize("text").alias("toks"))
-        .where(F.size("toks") >= g)
-        .select(
-            "doc_id",
-            F.size("toks").alias("n_tokens"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (g - 1)),
-                    lambda p: F.slice("toks", p, cap),
-                )
-            ).alias("idx", "suf"),
-        )
-        .select("doc_id", "n_tokens", (F.col("idx") + 1).alias("pos"), "suf")
-    )
-    # One shuffle, keyed by the g-gram bucket. Ordering within the
-    # bucket by the suffix ARRAY is the suffix sort restricted to the
-    # bucket; tie order (equal capped keys) is pinned by (doc_id, pos)
-    # for determinism but cannot change any lcp value — tied neighbors
-    # all share the full capped key.
-    w = Window.partitionBy(F.slice("suf", 1, g)).orderBy("suf", "doc_id", "pos")
     m = (
-        toks.select(
-            "doc_id",
-            "n_tokens",
-            "pos",
-            F.greatest(
-                _suffix_lcp(F.col("suf"), F.lag("suf").over(w)),
-                _suffix_lcp(F.col("suf"), F.lead("suf").over(w)),
-            ).alias("match_len"),
-        )
+        suffix_lcp_positions(d, g, cap)
         .where(F.col("match_len") >= min_len)
         .withColumn("iv_end", F.col("pos") + F.col("match_len") - 1)
     )
-    # Variable-length interval union per doc: running max of interval
-    # ends (not C96's fixed lag gap) — a new island starts when this
-    # position begins past every earlier interval's reach + 1.
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    prev_reach = F.max("iv_end").over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = m.withColumn(
-        "brk",
-        F.when(
-            prev_reach.isNull() | (F.col("pos") > prev_reach + 1), 1
-        ).otherwise(0),
-    ).withColumn("island", F.sum("brk").over(w_doc))
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("pos").cast("bigint").alias("span_start"),
-        F.max("iv_end").cast("bigint").alias("span_end"),
-        F.max("match_len").cast("bigint").alias("span_max_match"),
-    )
+    return _interval_union_spans(m, [])
 
 
 @query(
@@ -3987,4 +4006,128 @@ def q_c133_translated_shingle_alignment(spark, sf_dir):
             ).alias("jaccard"),
         )
         .orderBy("lang_a", "lang_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C135: suffix-LCP threshold curve (one suffix sort, every threshold)
+# ---------------------------------------------------------------------------
+
+_CURVE_THRESHOLDS = (8, 12, 16, 20, 24, 28, 32)
+
+
+@query(
+    "q_c135_dedup_threshold_curve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, len_toks, pos, toks[pos:pos+31] AS suf
+      FROM (SELECT doc_id, toks, len(toks) AS len_toks,
+                   unnest(range(1, len(toks) - 6)) AS pos
+            FROM t WHERE len(toks) >= 8)
+    ), l AS (
+      SELECT doc_id, len_toks, pos, suf,
+             lag(suf) OVER w AS pr, lead(suf) OVER w AS nx
+      FROM p
+      WINDOW w AS (PARTITION BY suf[1:8] ORDER BY suf, doc_id, pos)
+    ), m AS (
+      SELECT doc_id, len_toks, pos,
+             GREATEST(
+               CASE WHEN pr IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(len(suf), len(pr)) + 1),
+                                 k -> suf[1:k] = pr[1:k])) END,
+               CASE WHEN nx IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(len(suf), len(nx)) + 1),
+                                 k -> suf[1:k] = nx[1:k])) END
+             ) AS match_len
+      FROM l
+    ), e AS (
+      SELECT doc_id, len_toks, pos, match_len,
+             pos + match_len - 1 AS iv_end, th.L AS L
+      FROM m, UNNEST([8, 12, 16, 20, 24, 28, 32]) AS th(L)
+      WHERE match_len >= th.L
+    ), isl AS (
+      SELECT doc_id, L, pos, iv_end,
+             CASE WHEN MAX(iv_end) OVER wr IS NULL
+                    OR pos > MAX(iv_end) OVER wr + 1 THEN 1
+                  ELSE 0 END AS brk
+      FROM e
+      WINDOW wr AS (PARTITION BY doc_id, L ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sp AS (
+      SELECT doc_id, L,
+             MIN(pos) AS span_start, MAX(iv_end) AS span_end
+      FROM (SELECT doc_id, L, pos, iv_end,
+                   SUM(brk) OVER (PARTITION BY doc_id, L
+                                  ORDER BY pos) AS island
+            FROM isl)
+      GROUP BY doc_id, L, island
+    )
+    SELECT CAST(L AS BIGINT) AS threshold,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+    FROM sp
+    GROUP BY L
+    ORDER BY threshold
+    """,
+)
+def q_c135_dedup_threshold_curve(spark, sf_dir):
+    """C135 (extension): the exact-substring dedup THRESHOLD CURVE —
+    C113 asked "where do corpus pairs sit on the Jaccard axis before
+    I pick a near-dup threshold"; this asks the same question for
+    Lee-et-al span dedup: for every candidate minimum span length L
+    in {8..32}, exactly how many documents are touched, how many
+    maximal spans exist, and how much token mass a cut at L removes.
+    The curve is what the C129 one-pass design BUYS: C96's gram
+    anchors answer one K per corpus explode, while the suffix-LCP
+    position table answers every L in [g, cap] from the SAME sorted
+    pass — this query reads the whole policy table off it, and the
+    spans at each L are exact (q_c129's clamp argument holds for
+    every L <= cap). A data team picks the L where dup_tokens stops
+    falling sharply; re-running C129/C102 at that L is then a choice,
+    not an experiment.
+
+    Shape: the suffix sort + LCP stage is shared code with q_c129
+    (suffix_lcp_positions — one gram-bucket shuffle); the curve adds
+    one 7-way threshold explode of the SURVIVING dup positions only
+    (match_len >= 8 prunes first — natural prose keeps ~no positions)
+    and runs the island merge per (doc, L) on the same doc-keyed
+    exchange. Output is 7 rows whatever the corpus size."""
+    m = suffix_lcp_positions(load_table(spark, sf_dir, "documents"))
+    e = (
+        m.where(F.col("match_len") >= min(_CURVE_THRESHOLDS))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            "match_len",
+            (F.col("pos") + F.col("match_len") - 1).alias("iv_end"),
+            F.explode(
+                F.array(*[F.lit(x) for x in _CURVE_THRESHOLDS])
+            ).alias("L"),
+        )
+        .where(F.col("match_len") >= F.col("L"))
+    )
+    spans = _interval_union_spans(e, ["L"])
+    return (
+        spans.groupBy("L")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .select(
+            F.col("L").cast("bigint").alias("threshold"),
+            "n_docs",
+            "n_spans",
+            "dup_tokens",
+        )
+        .orderBy("threshold")
     )

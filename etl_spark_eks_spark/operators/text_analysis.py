@@ -4053,3 +4053,185 @@ def q_c132_quality_prior_smoothing(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# C136: noise-corrected empirical-Bayes prior (the C132 upgrade)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c136_noise_corrected_prior",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'src_degraded' AS source,
+             array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')[1:10], ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (
+      SELECT source,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000
+                   AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) >= 0.3
+                  THEN 1 ELSE 0 END AS ok
+      FROM (SELECT source,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM base)
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS k
+      FROM t GROUP BY source
+    ),
+    pp AS (
+      SELECT source, n, k,
+             CAST(k * 1000000 // n AS BIGINT) AS ppm
+      FROM per
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s,
+             CAST(SUM(ppm) AS BIGINT) AS sp,
+             CAST(SUM(ppm * ppm) AS BIGINT) AS spp,
+             CAST(SUM(1000000000000 // n) AS BIGINT) AS si
+      FROM pp
+    ),
+    pri AS (
+      SELECT CAST(sp AS DOUBLE) / s / 1000000 AS m,
+             (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / s)
+               / s / 1000000 / 1000000 AS v,
+             CAST(si AS DOUBLE) / s / 1000000000000 AS mean_inv
+      FROM mom
+    ),
+    st AS (
+      SELECT m, v,
+             v - m * (1 - m) * mean_inv AS tau2,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 1
+                  THEN m * (1 - m) / v - 1 ELSE 1 END AS mm_naive,
+             CASE WHEN v - m * (1 - m) * mean_inv > 0
+                    AND m * (1 - m) / (v - m * (1 - m) * mean_inv) - 1 > 1
+                  THEN m * (1 - m) / (v - m * (1 - m) * mean_inv) - 1
+                  ELSE 1 END AS mm_corr
+      FROM pri
+    )
+    SELECT source, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+           ROUND(m, 6) AS prior_rate,
+           ROUND(mm_naive, 6) AS naive_strength,
+           ROUND(mm_corr, 6) AS corrected_strength,
+           ROUND((k + mm_naive * m) / (n + mm_naive), 6)
+             AS shrunk_naive,
+           ROUND((k + mm_corr * m) / (n + mm_corr), 6)
+             AS shrunk_corrected
+    FROM pp CROSS JOIN st
+    ORDER BY source
+    """,
+)
+def q_c136_noise_corrected_prior(spark, sf_dir):
+    """C136 (extension): the NOISE-CORRECTED empirical-Bayes fit —
+    the one-line upgrade C132's docstring queues, landed as the
+    side-by-side audit: C132's naive moment fit matches the Beta
+    prior to the RAW cross-source rate dispersion, but observed rates
+    carry binomial sampling noise (Var(p̂_i) = Var(p_true) +
+    E[p(1-p)/n]), so the naive fit OVERSTATES the true between-source
+    variance and under-shrinks every small feed. The corrected fit
+    subtracts the expected sampling term m(1-m)·mean(1/n) before
+    inverting to a prior strength; this query reports both strengths
+    and both shrunk rates per source, so the gap — how much of the
+    apparent source-quality spread was just small-sample noise — is
+    read directly off the result. corrected_strength >= naive_strength
+    always (less attributed-true variance -> stronger shrinkage),
+    asserted in tests.
+
+    Numerics: one NEW exact integer partial beside C132's — Σ of the
+    scaled inverse 1e12 DIV n (the documented 'one integer partial,
+    not a pass'); every double still derives from exact BIGINT folds
+    through identical expression trees on both engines. Floors at 1
+    mirror C132 and catch the tau² <= 0 boundary (all observed spread
+    explained by sampling noise -> shrink hard).
+
+    Scale: identical to C132 — per-row gate, |sources| rollup, 1-row
+    moment fold crossed back broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    degraded = d.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("src_degraded").alias("source"),
+        F.array_join(F.slice(tokenize("text"), 1, 10), " ").alias(
+            "text"
+        ),
+    )
+    base = widen(d.select("source", "text")).unionByName(degraded)
+    stats = token_stats(F.col("text"))
+    t = base.select(
+        "source",
+        (
+            stats["n_tokens"].between(20, 1000)
+            & (stats["distinct_ratio"] >= 0.3)
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+    per = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("k"),
+    )
+    pp = per.withColumn("ppm", F.expr("CAST(k * 1000000 DIV n AS BIGINT)"))
+    mom = pp.agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum("ppm").cast("long").alias("sp"),
+        F.sum(F.col("ppm") * F.col("ppm")).cast("long").alias("spp"),
+        F.sum(F.expr("1000000000000 DIV n")).cast("long").alias("si"),
+    )
+    m = F.col("sp").cast("double") / F.col("s") / 1000000
+    v = (
+        (
+            F.col("spp").cast("double")
+            - F.col("sp").cast("double") * F.col("sp") / F.col("s")
+        )
+        / F.col("s")
+        / 1000000
+        / 1000000
+    )
+    mean_inv = F.col("si").cast("double") / F.col("s") / 1000000000000
+    tau2 = v - m * (1 - m) * mean_inv
+    st = mom.select(
+        m.alias("m"),
+        F.when(
+            (v > 0) & (m * (1 - m) / v - 1 > 1), m * (1 - m) / v - 1
+        )
+        .otherwise(F.lit(1.0))
+        .alias("mm_naive"),
+        F.when(
+            (tau2 > 0) & (m * (1 - m) / tau2 - 1 > 1),
+            m * (1 - m) / tau2 - 1,
+        )
+        .otherwise(F.lit(1.0))
+        .alias("mm_corr"),
+    )
+    return (
+        pp.crossJoin(F.broadcast(st))
+        .select(
+            "source",
+            "n",
+            "k",
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("m", 6).alias("prior_rate"),
+            F.round("mm_naive", 6).alias("naive_strength"),
+            F.round("mm_corr", 6).alias("corrected_strength"),
+            F.round(
+                (F.col("k") + F.col("mm_naive") * F.col("m"))
+                / (F.col("n") + F.col("mm_naive")),
+                6,
+            ).alias("shrunk_naive"),
+            F.round(
+                (F.col("k") + F.col("mm_corr") * F.col("m"))
+                / (F.col("n") + F.col("mm_corr")),
+                6,
+            ).alias("shrunk_corrected"),
+        )
+        .orderBy("source")
+    )

@@ -1459,3 +1459,46 @@ def test_pq_refine_lloyd_monotonicity(spark, sf_dir):
                 assert sse_new <= sse_old + 1e-9, (ss, code)
             else:
                 assert np.allclose(new_c, cell.old_centroid.to_numpy())
+
+
+def test_threshold_curve_monotone_and_consistent_with_c129(spark, sf_dir):
+    """C135: raising the span threshold can only shrink the report —
+    n_docs and dup_tokens are non-increasing in L — and the L=12 row
+    must equal q_c129's per-doc report aggregated (same shared
+    suffix-LCP pass, same islands)."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    curve = {
+        r["threshold"]: r
+        for r in QUERIES["q_c135_dedup_threshold_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    ls = sorted(curve)
+    assert ls == [8, 12, 16, 20, 24, 28, 32]
+    for a, b in zip(ls, ls[1:]):
+        assert curve[b]["n_docs"] <= curve[a]["n_docs"]
+        assert curve[b]["dup_tokens"] <= curve[a]["dup_tokens"]
+    c129 = QUERIES["q_c129_suffix_lcp_spans"](spark, sf_dir).collect()
+    assert curve[12]["n_docs"] == len(c129)
+    assert curve[12]["n_spans"] == sum(r["n_spans"] for r in c129)
+    assert curve[12]["dup_tokens"] == sum(r["dup_tokens"] for r in c129)
+
+
+def test_noise_corrected_prior_shrinks_harder(spark, sf_dir):
+    """C136: subtracting sampling noise can only STRENGTHEN the prior
+    — corrected_strength >= naive_strength, every corrected shrunk
+    rate sits (weakly) closer to the prior than the naive one, and
+    both stay convex combinations of raw and prior."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    rows = QUERIES["q_c136_noise_corrected_prior"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["corrected_strength"] >= r["naive_strength"] - 1e-9
+        d_naive = abs(r["shrunk_naive"] - r["prior_rate"])
+        d_corr = abs(r["shrunk_corrected"] - r["prior_rate"])
+        assert d_corr <= d_naive + 1e-9, dict(r.asDict())
+        lo = min(r["raw_rate"], r["prior_rate"]) - 1e-6
+        hi = max(r["raw_rate"], r["prior_rate"]) + 1e-6
+        assert lo <= r["shrunk_corrected"] <= hi, dict(r.asDict())
