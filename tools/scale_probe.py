@@ -168,6 +168,7 @@ PROBE_QUERIES = (
     "q_c134_pq_codebook_refine",
     "q_c135_dedup_threshold_curve",
     "q_c136_noise_corrected_prior",
+    "q_c137_pq_distortion_trajectory",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
