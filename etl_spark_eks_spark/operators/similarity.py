@@ -210,7 +210,66 @@ def embedding_near_duplicates(
     )
 
 
-@query("q_c15_embedding_neardup")  # rows-only: LSH blocking
+def _plane_sql(b: int, dim: int = 64) -> str:
+    """DuckDB literal array for plane ``b`` — the SAME sha256-parity
+    constants `_plane_sign` bakes into the Spark plan, so the oracle's
+    bucket assignment is the Spark bucket assignment by construction."""
+    return "[" + ", ".join(
+        "1.0" if _plane_sign(b, j) > 0 else "-1.0" for j in range(dim)
+    ) + "]"
+
+
+def _bucket_sql(vec_expr: str, n_bits: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for `hyperplane_signature`: per plane, the
+    projection is list_zip+list_transform+list_sum — the fragment
+    verified bit-exact with the Spark sequential fold (_COSINE_PAIRS_SQL
+    precedent) — and the bucket id ORs the sign bits."""
+    parts = []
+    for b in range(n_bits):
+        proj = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {_plane_sql(b, dim)}),"
+            " s -> CAST(s[1] AS DOUBLE) * s[2]))"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+# Shared by the q_c15 Spark plan and its oracle: the planted-clone
+# jitter must be EXACT IEEE arithmetic (int ops + one double multiply)
+# on both engines — the previous sin() ripple was not cross-engine
+# bit-stable (JVM Math.sin and libm may differ in the last ulp).
+_C15_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+),
+clones AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding,
+           (x, i) -> x + CAST((((i - 1) * 37) % 11) - 5 AS DOUBLE) * 0.001)
+           AS embedding
+  FROM base WHERE vec_id < 5
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+sig AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS norm,
+         {_bucket_sql("embedding")} AS bucket
+  FROM allv
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  s -> s[1] * s[2])) / (a.norm * b.norm) AS sim
+  FROM sig a JOIN sig b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_id_1, vec_id_2, sim FROM pairs WHERE sim >= 0.95
+"""
+
+
+@query("q_c15_embedding_neardup", oracle=_C15_ORACLE)
 def q_c15_embedding_neardup(spark, sf_dir):
     """C15 (extension): embedding-cosine near-duplicate pairs
     (sim >= 0.95) with LSH candidate blocking.
@@ -221,12 +280,20 @@ def q_c15_embedding_neardup(spark, sf_dir):
     detection over the raw table alone is vacuous — the query would
     prove only that nothing crashes. To make the official run exercise
     the POSITIVE path, the query plants 5 jittered clones (vec_id +
-    1,000,000, each coordinate nudged by a deterministic 1e-3 sine
-    ripple — cosine to its source ~0.9999) before detecting: every
-    planted (i, i+1000000) pair must collide in an LSH band and clear
-    the exact-cosine verify, so the result is >=5 rows by construction
-    and each returned row is a real detection. This mirrors B69/B75's
-    fabricate-then-audit pattern for resilience operators.
+    1,000,000, each coordinate nudged by a deterministic <=5e-3 ripple
+    ((i*37 % 11 - 5) * 0.001 — integer ops + one double multiply, so
+    both engines compute the identical double; cosine to its source
+    ~0.9999) before detecting: every planted (i, i+1000000) pair must
+    collide in an LSH band and clear the exact-cosine verify, so the
+    result is >=5 rows by construction and each returned row is a real
+    detection. This mirrors B69/B75's fabricate-then-audit pattern for
+    resilience operators.
+
+    Oracle (round 11, was rows-only): the hyperplane signs are
+    plan-time sha256-parity CONSTANTS (`_plane_sign`), so the DuckDB
+    oracle bakes the SAME +-1 literal planes into its SQL and mirrors
+    bucket -> blocked self-join -> exact cosine; per-row double folds
+    are bit-exact cross-engine (the _COSINE_PAIRS_SQL contract).
 
     Scale note: the plant is a fixed 5-row union — the detection path
     (signature, band join, verify) is identical to production, where
@@ -238,7 +305,10 @@ def q_c15_embedding_neardup(spark, sf_dir):
     clones = base.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
         F.transform(
-            F.col("embedding"), lambda x, i: x + 0.001 * F.sin(i + 1)
+            F.col("embedding"),
+            lambda x, i: x
+            + (((i * F.lit(37)) % F.lit(11)) - F.lit(5)).cast("double")
+            * F.lit(0.001),
         ).alias("embedding"),
     )
     return embedding_near_duplicates(base.unionByName(clones))

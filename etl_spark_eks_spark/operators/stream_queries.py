@@ -31,24 +31,49 @@ def _tag(sf_dir: str) -> str:
     return sf_dir.strip("/").replace("/", "_")
 
 
-@query("q_b48_watermark_stream")  # rows-only: append mode withholds open windows
+@query(
+    "q_b48_watermark_stream",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT win_start, win_end, n_events, total_value
+    FROM agg
+    WHERE win_end <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+    """,
+)
 def q_b48_watermark_stream(spark, sf_dir):
     """B48: tumbling 1-hour aggregation under a 10-minute watermark.
 
     With availableNow over at-rest files nothing is actually late; the
     watermark's visible effect is that windows not yet closed when input
     ends are withheld (append mode) — result ⊆ batch q_b45 result.
+
+    Oracle (round 11, was rows-only): the withheld set is CLOSED-FORM —
+    the final watermark (after the trailing no-data batch) is
+    max(ts) - 10min, and append mode emits exactly the windows with
+    win_end <= that watermark (the q_b98 seal-predicate pattern; the
+    single-file replay means no window can emit early, so the result is
+    batch B45's answer under the seal filter). dsum keeps the streamed
+    partial-agg order out of the double.
     """
     tag = _tag(sf_dir)
     sink = fresh_scratch("q_b48", tag, "sink")
     ckpt = fresh_scratch("q_b48", tag, "ckpt")
+    from etl_spark_eks_spark.functions.exact import dsum
+
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -61,7 +86,12 @@ def q_b48_watermark_stream(spark, sf_dir):
     return spark.read.parquet(sink)
 
 
-@query("q_b49_stream_dedup")  # rows-only: stateful streaming has no SQL analogue
+@query(
+    "q_b49_stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
 def q_b49_stream_dedup(spark, sf_dir):
     """B49: stateful exactly-once dedup on a stream that delivers every
     event twice (the reference's at-least-once SQS redelivery, reference
@@ -69,6 +99,15 @@ def q_b49_stream_dedup(spark, sf_dir):
 
     dropDuplicatesWithinWatermark keeps state only inside the watermark
     horizon — bounded memory at 100 TB, unlike an unbounded dropDuplicates.
+
+    Oracle (round 11, was rows-only): the end state IS SQL-expressible —
+    event_id is unique in the fixture and both deliveries of a row land
+    in the SAME micro-batch (the x2 explode), so the second copy always
+    finds the first's state and exactly one copy of every event
+    survives: the result is the events table itself, column-projected.
+    The stateful mechanics (state keyed on event_id, watermark-bounded
+    eviction) stay covered by tests/test_streaming.py's invariants; the
+    oracle pins the exactly-once OUTPUT contract.
     """
     tag = _tag(sf_dir)
     sink = fresh_scratch("q_b49", tag, "sink")
@@ -269,8 +308,44 @@ def q_b57_stream_stream_join(spark, sf_dir):
     return spark.read.parquet(sink)
 
 
-@query("q_b74_stream_outer_join")  # rows-only: outer results emit on
-# watermark advance; windows still open at end-of-stream are withheld
+@query(
+    "q_b74_stream_outer_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id AS p_user_id, event_id AS purchase_id,
+             ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(view_ts) FROM v),
+                   (SELECT MAX(purchase_ts) FROM p))
+             - INTERVAL '1 hour' AS w
+    ),
+    matched AS (
+      SELECT v.user_id, v.view_id, v.view_ts,
+             p.purchase_id, p.purchase_ts
+      FROM v JOIN p ON v.user_id = p.p_user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL '30 minutes'
+    ),
+    unmatched AS (
+      SELECT v.user_id, v.view_id, v.view_ts,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS TIMESTAMP) AS purchase_ts
+      FROM v, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.p_user_id = v.user_id
+          AND p.purchase_ts >= v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL '30 minutes')
+        AND v.view_ts + INTERVAL '30 minutes' < wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
 def q_b74_stream_outer_join(spark, sf_dir):
     """B74 (extension): watermarked stream-stream LEFT OUTER join — B57's
     attribution query, but views with NO purchase inside the 30-minute
@@ -547,7 +622,37 @@ def q_b91_stream_complete_mode(spark, sf_dir):
 
 
 
-@query("q_b98_stream_session_window")  # rows-only: append withholds open sessions
+@query(
+    "q_b98_stream_session_window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      FROM sess
+      GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM agg
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)
+    """,
+)
 def q_b98_stream_session_window(spark, sf_dir):
     """B98: STREAMING session windows — B47's 30-minute-gap per-user
     sessionization as a stateful streaming operator. Unlike fixed
@@ -561,6 +666,17 @@ def q_b98_stream_session_window(spark, sf_dir):
     the 1-hour watermark has sealed, so the result is a strict subset
     of batch B47's — containment asserted in tests/test_streaming.py.
 
+    Oracle (round 11, was rows-only): the sealed set is CLOSED-FORM
+    under time-ordered replay — the final watermark is max(ts) - 1h
+    (advanced by the trailing no-data batch), and append mode emits
+    exactly the sessions with session_end <= that watermark. Ordered
+    replay guarantees no already-emitted session can be re-opened (a
+    later batch's events are >= 1h past every emitted session's end)
+    and nothing is dropped late, so the result is batch B47's
+    gaps-and-islands answer filtered by the seal predicate. The sum is
+    dsum (exact DECIMAL fold) so the streamed partial-agg order can't
+    perturb the double.
+
     Scale: session state is keyed (user, open-session) in the state
     store; merge cost is per-key and watermark eviction bounds state
     to the horizon — the unbounded-session risk (a bot pinging every
@@ -573,6 +689,8 @@ def q_b98_stream_session_window(spark, sf_dir):
         events_stream_time_ordered,
     )
 
+    from etl_spark_eks_spark.functions.exact import dsum
+
     agg = (
         events_stream_time_ordered(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -581,7 +699,7 @@ def q_b98_stream_session_window(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             "user_id",
