@@ -203,6 +203,153 @@ def simhash32(tokens: Column | str) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Engine-portable hash family (round 11). The xxhash64 family above is the
+# fast path (JVM intrinsic over 8-byte primitives) but is not expressible in
+# DuckDB, so operators whose OUTPUT is hash-family-dependent (MinHash bands,
+# SimHash signatures, shingle fingerprints) could never earn a hash oracle.
+# This family extends the proven hash_bucket contract (operators/sampling.py):
+#   Spark  conv(substr(md5(x), 1, N), 16, 10)::BIGINT
+#   DuckDB ('0x' || substr(md5(x), 1, N))::BIGINT
+# verified bit-equal for N=8 since round 2 and for N=15 in round 11. Per-seed
+# MinHash permutations are (a_s*h + b_s) mod P over P = 2^31-1 (the classic
+# universal family, Spark MinHashLSH's shape) with sha256-derived plan-time
+# constants — integer-exact on both engines, no overflow (a,h < 2^31 and
+# 2^62 + 2^31 < 2^63). Cost vs the fast path: one md5 per token instead of
+# one xxhash64, then integer ops per seed — same plan shape, same
+# shuffle-free per-row evaluation.
+
+MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def portable_coeff(tag: str, s: int) -> int:
+    """Deterministic coefficient in [1, MH_PRIME-1] from sha256 of
+    ``f"{tag}{s}"`` — a plan-time constant both engines share (the
+    similarity._plane_sign pattern)."""
+    import hashlib
+
+    digest = hashlib.sha256(f"{tag}{s}".encode()).digest()
+    return int.from_bytes(digest[:8], "big") % (MH_PRIME - 1) + 1
+
+
+def portable_hash32(col: Column | str) -> Column:
+    """32-bit md5-derived hash of a string column (top 8 hex chars)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """60-bit md5-derived hash of a string column (top 15 hex chars —
+    the widest prefix that fits a signed BIGINT on both engines)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def ph32_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`portable_hash32`."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def ph64_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`portable_hash64`."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def portable_token_hashes(tokens: Column | str) -> Column:
+    """Distinct tokens -> array<long> of 32-bit portable hashes
+    (set semantics; the portable analogue of ``token_hashes``)."""
+    return F.array_distinct(F.transform(_c(tokens), portable_hash32))
+
+
+def portable_ordered_token_hashes(tokens: Column | str) -> Column:
+    """Tokens -> array<long> of 32-bit portable hashes, ORDER PRESERVED
+    (for shingling; the portable analogue of ``ordered_token_hashes``)."""
+    return F.transform(_c(tokens), portable_hash32)
+
+
+def portable_minhash_band_hashes(
+    token_hash_col: Column | str, n_hashes: int, n_bands: int
+) -> Column:
+    """Portable-family LSH band hashes: minhash[s] = min over token
+    hashes of (a_s*h + b_s) mod P; band b = portable_hash64 of the
+    comma-joined row minima. Same plan-shape contract as
+    ``minhash_band_hashes`` (each per-seed min appears exactly once,
+    argument must be a materialized column)."""
+    rows = n_hashes // n_bands
+    toks = _c(token_hash_col)
+
+    def mh(seed: int) -> Column:
+        a = portable_coeff("mh_a", seed)
+        b = portable_coeff("mh_b", seed)
+        return F.array_min(
+            F.transform(
+                toks, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME)
+            )
+        )
+
+    return F.array(
+        *[
+            portable_hash64(
+                F.concat_ws(
+                    ",", *[mh(b * rows + r).cast("string") for r in range(rows)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def portable_minhash_band_sql(n_hashes: int, n_bands: int, hcol: str = "h") -> list[str]:
+    """DuckDB expressions (one per band) mirroring
+    :func:`portable_minhash_band_hashes` over a token-hash list column."""
+    rows = n_hashes // n_bands
+    out = []
+    for b in range(n_bands):
+        mins = []
+        for r in range(rows):
+            s = b * rows + r
+            a_, b_ = portable_coeff("mh_a", s), portable_coeff("mh_b", s)
+            mins.append(
+                f"CAST(list_min(list_transform({hcol},"
+                f" x -> ({a_} * x + {b_}) % {MH_PRIME})) AS VARCHAR)"
+            )
+        out.append(ph64_sql(f"concat_ws(',', {', '.join(mins)})"))
+    return out
+
+
+def portable_shingle_hashes(token_hash_col: Column | str, k: int = 3) -> Column:
+    """Portable k-token shingle hashes from an ordered portable
+    token-hash column: shingle i -> portable_hash64 of the comma-joined
+    k hashes (the portable analogue of ``shingle_hashes``)."""
+    h = _c(token_hash_col)
+    n = F.size(h)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: portable_hash64(
+                F.concat_ws(
+                    ",",
+                    *[F.element_at(h, i + j).cast("string") for j in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def portable_rolling_fingerprint(
+    token_hash_col: Column | str, k: int = 3
+) -> Column:
+    """Portable-family document fingerprint (min shingle hash; short
+    docs fall back to hashing the comma-joined token-hash array) —
+    DuckDB-expressible analogue of ``rolling_fingerprint``."""
+    h = _c(token_hash_col)
+    sh = portable_shingle_hashes(h, k)
+    whole = portable_hash64(
+        F.concat_ws(",", F.transform(h, lambda x: x.cast("string")))
+    )
+    return F.when(F.size(sh) > 0, F.array_min(sh)).otherwise(whole)
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit hashes (bit_count of XOR)."""
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))

@@ -555,6 +555,7 @@ def minhash_lsh_candidates(
     id_col: str,
     n_hashes: int = 32,
     n_bands: int = 16,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signature per row (shuffle-free),
     explode to (band_idx, band_hash) keys, self-join per bucket.
@@ -563,16 +564,28 @@ def minhash_lsh_candidates(
     probability at Jaccard s is 1-(1-s^2)^16 — >0.9999 at s=0.8,
     ~1-1e-9 at s=0.85. (16/8 proved too weak empirically: a 3.6-sigma-
     low agreement draw on a fixture pair at exactly J=0.8 escaped it.)
-    The hash family is xxhash64(seed, xxhash64(token)) — seeded re-hash
-    of an 8-byte primitive; see minhash_band_hashes for why the bands
-    are built directly from the token-hash column.
+    Two hash families behind the same output contract:
+    ``xxhash64`` (default fast path — xxhash64(seed, xxhash64(token)),
+    seeded re-hash of an 8-byte primitive; see minhash_band_hashes for
+    why the bands are built directly from the token-hash column) and
+    ``portable`` (md5-derived (a*h+b) mod 2^31-1 — bit-identical in
+    DuckDB, the q_c8 oracle family; see functions/text.py).
     """
+    if family == "portable":
+        from etl_spark_eks_spark.functions.text import (
+            portable_minhash_band_hashes,
+            portable_token_hashes,
+        )
+
+        hash_fn, band_fn = portable_token_hashes, portable_minhash_band_hashes
+    else:
+        hash_fn, band_fn = token_hashes, minhash_band_hashes
     htoks = widen(df).select(
         F.col(id_col).alias("doc_id"),
-        token_hashes(tokenize(F.col(text_col))).alias("htoks"),
+        hash_fn(tokenize(F.col(text_col))).alias("htoks"),
     )
     sigs = htoks.select(
-        "doc_id", minhash_band_hashes("htoks", n_hashes, n_bands).alias("bands")
+        "doc_id", band_fn("htoks", n_hashes, n_bands).alias("bands")
     )
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
@@ -604,7 +617,42 @@ def minhash_lsh_candidates(
     )
 
 
-@query("q_c8_minhash_bands")  # rows-only: banding is hash-family-specific
+def _c8_oracle() -> str:
+    """q_c8's DuckDB oracle, generated from the SAME portable-family
+    constants the Spark plan bakes in (functions/text.py): tokenize ->
+    32-bit md5 token hashes -> per-seed (a*h+b) mod P minima -> 60-bit
+    band hashes -> band self-join -> distinct pairs. Bands fixed at
+    16x2 — the config select_lsh_config resolves to from C118's planner
+    grid (asserted stable in tests/test_tier_c.py)."""
+    from etl_spark_eks_spark.functions.text import (
+        ph32_sql,
+        portable_minhash_band_sql,
+    )
+
+    bands = portable_minhash_band_sql(32, 16, hcol="h")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               t -> {ph32_sql('t')})) AS h
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, [{', '.join(bands)}] AS bands FROM toks
+    ),
+    banded AS (
+      SELECT doc_id, ix.i - 1 AS band_idx, bands[ix.i] AS band_hash
+      FROM sigs, (SELECT unnest(range(1, 17)) AS i) ix
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+@query("q_c8_minhash_bands", oracle=_c8_oracle())
 def q_c8_minhash_bands(spark, sf_dir):
     """C8: MinHash-LSH candidate pairs (the 100 TB near-dup path).
     Correctness contract (tests/test_tier_c.py): candidates are a
@@ -615,24 +663,45 @@ def q_c8_minhash_bands(spark, sf_dir):
     clearing 0.9999 recall at J=0.8, which resolves to the same
     (16 bands, 2 rows) = 32 hashes the operator always ran — now
     sourced as data, so retuning the dedup threshold is a table
-    lookup, not a code change."""
+    lookup, not a code change.
+
+    Oracle (round 11, was rows-only): the official query runs the
+    engine-PORTABLE hash family ((a*h+b) mod 2^31-1 over md5 token
+    hashes — functions/text.py) so the band table, hence the candidate
+    set, is bit-identical in DuckDB; the xxhash64 fast path stays
+    available via minhash_lsh_candidates(family="xxhash64") under the
+    same output contract and recall tests cover both."""
     d = load_table(spark, sf_dir, "documents")
     n_bands, rows_per_band = select_lsh_config(spark)
     return minhash_lsh_candidates(
         d, "text", "doc_id", n_hashes=n_bands * rows_per_band,
-        n_bands=n_bands,
+        n_bands=n_bands, family="portable",
     )
 
 
 def simhash_near_dedup(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 4
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 4,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: 32-bit signature per doc, candidates bucketed by
     8-bit bands (4 bands; Hamming<=3 guarantees a shared band by
-    pigeonhole), verified by exact Hamming distance."""
+    pigeonhole), verified by exact Hamming distance. ``family`` picks
+    the token-hash source: xxhash64 (fast path) or the md5-derived
+    portable family (DuckDB-expressible — the q_c9 oracle path)."""
+    if family == "portable":
+        from etl_spark_eks_spark.functions.text import (
+            portable_token_hashes,
+            simhash32_from_hashes,
+        )
+
+        sig = simhash32_from_hashes(
+            portable_token_hashes(tokenize(F.col(text_col)))
+        )
+    else:
+        sig = simhash32(tokenize(F.col(text_col)))
     sh = widen(df).select(
         F.col(id_col).alias("doc_id"),
-        simhash32(tokenize(F.col(text_col))).alias("sh"),
+        sig.alias("sh"),
     )
     banded = sh.select(
         "doc_id",
@@ -677,11 +746,53 @@ def simhash_near_dedup(
     )
 
 
-@query("q_c9_simhash_neardup")  # rows-only: hash-family-specific
+def _c9_oracle() -> str:
+    """q_c9's DuckDB oracle: portable 32-bit token hashes -> per-bit
+    +-1 vote -> sign-packed 32-bit SimHash -> 4x8-bit band self-join ->
+    exact Hamming verify. Pure integer arithmetic end to end, so the
+    signatures are bit-identical cross-engine."""
+    from etl_spark_eks_spark.functions.text import ph32_sql
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               t -> {ph32_sql('t')})) AS h
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sh FROM toks
+    ),
+    banded AS (
+      SELECT doc_id, sh, ix.i AS band_idx, (sh >> (ix.i * 8)) & 255 AS band_val
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS i) ix
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 4
+    """
+
+
+@query("q_c9_simhash_neardup", oracle=_c9_oracle())
 def q_c9_simhash_neardup(spark, sf_dir):
-    """C9 (extension): SimHash near-dup pairs at Hamming <= 4."""
+    """C9 (extension): SimHash near-dup pairs at Hamming <= 4.
+
+    Oracle (round 11, was rows-only): runs the portable md5-derived
+    token-hash family (functions/text.py) — the +-1 bit votes, sign
+    packing, banding, and Hamming verify are all integer-exact, so the
+    DuckDB mirror reproduces the signature table bit for bit. The
+    xxhash64 fast path remains via simhash_near_dedup(family=...)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dedup(d, "text", "doc_id")
+    return simhash_near_dedup(d, "text", "doc_id", family="portable")
 
 
 def connected_components(

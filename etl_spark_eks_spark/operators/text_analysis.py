@@ -253,17 +253,59 @@ def q_c11_token_count_regex(spark, sf_dir):
     )
 
 
-@query("q_c12_fingerprint")  # rows-only: xxhash64 family is Spark-specific
+def _c12_oracle() -> str:
+    """q_c12's DuckDB oracle: portable ordered token hashes -> 3-shingle
+    portable hashes -> per-doc min (short docs hash the joined array)."""
+    from etl_spark_eks_spark.functions.text import ph32_sql, ph64_sql
+
+    shingle = ph64_sql(
+        "concat_ws(',', CAST(h[i] AS VARCHAR),"
+        " CAST(h[i+1] AS VARCHAR), CAST(h[i+2] AS VARCHAR))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               t -> {ph32_sql('t')}) AS h
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, h,
+             CASE WHEN len(h) >= 3
+                  THEN list_transform(range(1, len(h) - 1), i -> {shingle})
+                  ELSE CAST([] AS BIGINT[]) END AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(s) > 0 THEN list_min(s)
+                ELSE {ph64_sql("array_to_string(h, ',')")} END AS fingerprint
+    FROM sh
+    """
+
+
+@query("q_c12_fingerprint", oracle=_c12_oracle())
 def q_c12_fingerprint(spark, sf_dir):
     """C12 (extension): rolling-hash document fingerprint over 3-token
     shingles. Exact dups share fingerprints (asserted in tests) —
-    a cheap pre-cluster key before pairwise near-dup work."""
+    a cheap pre-cluster key before pairwise near-dup work.
+
+    Oracle (round 11, was rows-only): runs the portable md5-derived
+    family (functions/text.py portable_rolling_fingerprint) so the
+    fingerprints are bit-identical in DuckDB; the xxhash64
+    rolling_fingerprint stays as the fast path under the same
+    contract."""
+    from etl_spark_eks_spark.functions.text import (
+        portable_ordered_token_hashes,
+        portable_rolling_fingerprint,
+    )
+
     d = widen(load_table(spark, sf_dir, "documents"))
     th = d.select(
-        "doc_id", ordered_token_hashes(tokenize("text")).alias("th")
+        "doc_id", portable_ordered_token_hashes(tokenize("text")).alias("th")
     )
     return th.select(
-        "doc_id", rolling_fingerprint("th", 3).alias("fingerprint")
+        "doc_id", portable_rolling_fingerprint("th", 3).alias("fingerprint")
     )
 
 
