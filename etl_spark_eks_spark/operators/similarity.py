@@ -139,6 +139,30 @@ def hyperplane_signature(vec, n_bits: int, dim: int):
     return out
 
 
+def _plane_sql(b: int, dim: int = 64) -> str:
+    """DuckDB literal array for plane ``b`` — the SAME sha256-parity
+    constants `_plane_sign` bakes into the Spark plan, so the oracle's
+    bucket assignment is the Spark bucket assignment by construction."""
+    return "[" + ", ".join(
+        "1.0" if _plane_sign(b, j) > 0 else "-1.0" for j in range(dim)
+    ) + "]"
+
+
+def _bucket_sql(vec_expr: str, n_bits: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for `hyperplane_signature`: per plane, the
+    projection is list_zip+list_transform+list_sum — the fragment
+    verified bit-exact with the Spark sequential fold (_COSINE_PAIRS_SQL
+    precedent) — and the bucket id ORs the sign bits."""
+    parts = []
+    for b in range(n_bits):
+        proj = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {_plane_sql(b, dim)}),"
+            " s -> CAST(s[1] AS DOUBLE) * s[2]))"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
 def knn_cosine_ann(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 4, dim: int = 64
 ) -> DataFrame:
@@ -167,10 +191,45 @@ def knn_cosine_ann(
     )
 
 
-@query("q_c14_knn_ann_lsh")  # rows-only: bucketing is hash-family-specific
+def _c14_oracle() -> str:
+    """q_c14's DuckDB oracle: the hyperplane signs are plan-time
+    constants (_plane_sign), so the oracle bakes the same literal
+    planes, buckets both sides, and ranks within the query's bucket."""
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM sig q JOIN sig c ON q.bucket = c.bucket
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid) AS rnk
+      FROM pairs)
+    SELECT qid, cid, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("q_c14_knn_ann_lsh", oracle=_c14_oracle())
 def q_c14_knn_ann_lsh(spark, sf_dir):
     """C14 (extension): LSH-bucketed approximate top-5 — the 100 TB path
-    when the corpus outgrows brute force."""
+    when the corpus outgrows brute force.
+
+    Oracle (round 11, was rows-only): the hyperplane planes are +-1
+    plan-time constants, so the oracle reproduces bucket assignment,
+    candidate blocking, and exact cosine ranking bit for bit (the
+    q_c15 recipe applied to the top-k form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_cosine_ann(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
@@ -208,30 +267,6 @@ def embedding_near_duplicates(
         )
         .filter(F.col("sim") >= threshold)
     )
-
-
-def _plane_sql(b: int, dim: int = 64) -> str:
-    """DuckDB literal array for plane ``b`` — the SAME sha256-parity
-    constants `_plane_sign` bakes into the Spark plan, so the oracle's
-    bucket assignment is the Spark bucket assignment by construction."""
-    return "[" + ", ".join(
-        "1.0" if _plane_sign(b, j) > 0 else "-1.0" for j in range(dim)
-    ) + "]"
-
-
-def _bucket_sql(vec_expr: str, n_bits: int = 4, dim: int = 64) -> str:
-    """DuckDB expression for `hyperplane_signature`: per plane, the
-    projection is list_zip+list_transform+list_sum — the fragment
-    verified bit-exact with the Spark sequential fold (_COSINE_PAIRS_SQL
-    precedent) — and the bucket id ORs the sign bits."""
-    parts = []
-    for b in range(n_bits):
-        proj = (
-            f"list_sum(list_transform(list_zip({vec_expr}, {_plane_sql(b, dim)}),"
-            " s -> CAST(s[1] AS DOUBLE) * s[2]))"
-        )
-        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
-    return "(" + " + ".join(parts) + ")"
 
 
 # Shared by the q_c15 Spark plan and its oracle: the planted-clone
@@ -379,11 +414,77 @@ def knn_cosine_ivf(
     )
 
 
-@query("q_c17_knn_ivf")  # rows-only: quantizer-sample-specific
+# Dot product of two float-array expressions, cast-to-double, as the
+# bit-exact list fold (the _COSINE_PAIRS_SQL fragment, parameterized).
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    def n(x: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({x},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    return f"{_dot_sql(a, b)} / ({n(a)} * {n(b)})"
+
+
+_C17_ORACLE = f"""
+WITH quant AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cemb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cdots AS (
+  SELECT e.vec_id AS cid, e.embedding AS ce, q.cell,
+         {_dot_sql('e.embedding', 'q.cemb')} AS d
+  FROM embeddings e, quant q
+),
+assign AS (
+  SELECT cid, ce, cell FROM (
+    SELECT cid, ce, cell,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d DESC, cell) AS r
+    FROM cdots) WHERE r = 1
+),
+qdots AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, q.cell,
+         {_dot_sql('e.embedding', 'q.cemb')} AS d
+  FROM embeddings e, quant q WHERE e.vec_id < 5
+),
+probes AS (
+  SELECT qid, qe, cell FROM (
+    SELECT qid, qe, cell,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d DESC, cell) AS r
+    FROM qdots) WHERE r <= 2
+),
+pairs AS (
+  SELECT p.qid, a.cid, {_cos_sql('p.qe', 'a.ce')} AS sim
+  FROM probes p JOIN assign a ON p.cell = a.cell
+),
+ranked AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM pairs)
+SELECT qid, cid, sim, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("q_c17_knn_ivf", oracle=_C17_ORACLE)
 def q_c17_knn_ivf(spark, sf_dir):
     """C17 (extension): IVF-Flat approximate top-5 over the embedding
     corpus — the partition-pruned ANN path; recall vs brute force is
-    asserted in tests alongside the LSH variant (C14)."""
+    asserted in tests alongside the LSH variant (C14).
+
+    Oracle (round 11, was rows-only): the quantizer is the 16 smallest
+    vec_ids — SQL-expressible — and every cell/probe decision has a
+    measured margin >= 1.1e-5 across all fixture SFs (vs ~1e-16
+    BLAS-vs-fold noise; tests/test_tier_c.py asserts the margin), so
+    the oracle's fold-dot argmax reproduces the numpy assignment
+    exactly and the final (qid, cid, sim, rnk) rows hash-match."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_cosine_ivf(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
@@ -479,11 +580,79 @@ def knn_cosine_pq(
     )
 
 
-@query("q_c21_knn_pq")  # rows-only: codebook-sample-specific
+def _c21_oracle(m: int = 4, n_codes: int = 16, sub: int = 16,
+                rerank: int = 32, k: int = 5) -> str:
+    """q_c21's DuckDB oracle: codebooks = the 16 smallest vec_ids,
+    per-subspace argmax encode, ADC scores as fold-dots on list slices
+    (1-based inclusive), top-``rerank`` candidates, exact-cosine
+    top-``k`` rerank. Decision margins (code assignment >= 4.7e-6,
+    rerank boundary >= 7.1e-5 across fixture SFs) dwarf BLAS-vs-fold
+    float noise, so the candidate set matches numpy's exactly."""
+    return f"""
+    WITH quant AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding AS cemb
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+            LIMIT {n_codes})
+    ),
+    subs AS (SELECT unnest(range({m})) AS i),
+    cdots AS (
+      SELECT e.vec_id AS cid, s.i, q.code,
+             {_dot_sql(f'e.embedding[s.i * {sub} + 1 : (s.i + 1) * {sub}]',
+                       f'q.cemb[s.i * {sub} + 1 : (s.i + 1) * {sub}]')} AS d
+      FROM embeddings e, subs s, quant q
+    ),
+    codes AS (
+      SELECT cid, i, code FROM (
+        SELECT cid, i, code,
+               ROW_NUMBER() OVER (PARTITION BY cid, i
+                                  ORDER BY d DESC, code) AS r
+        FROM cdots) WHERE r = 1
+    ),
+    approx AS (
+      SELECT q.vec_id AS qid, c.cid,
+             SUM({_dot_sql(f'q.embedding[c.i * {sub} + 1 : (c.i + 1) * {sub}]',
+                           f'b.cemb[c.i * {sub} + 1 : (c.i + 1) * {sub}]')})
+               AS a
+      FROM embeddings q, codes c JOIN quant b ON c.code = b.code
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.cid
+    ),
+    cand AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY a DESC, cid) AS r
+        FROM approx) WHERE r <= {rerank}
+    ),
+    exact AS (
+      SELECT cand.qid, cand.cid,
+             {_cos_sql('qe.embedding', 'ce.embedding')} AS sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.qid
+      JOIN embeddings ce ON ce.vec_id = cand.cid
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid) AS rnk
+      FROM exact)
+    SELECT qid, cid, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@query("q_c21_knn_pq", oracle=_c21_oracle())
 def q_c21_knn_pq(spark, sf_dir):
     """C21 (extension): product-quantization ANN top-5 (ADC candidate
     generation over m-byte codes + exact cosine rerank); recall vs
-    brute force asserted in tests alongside C14/C17."""
+    brute force asserted in tests alongside C14/C17.
+
+    Oracle (round 11, was rows-only): codebooks are the 16 smallest
+    vec_ids (SQL-expressible) and every encode/rerank decision has a
+    measured margin >= 4.7e-6 across fixture SFs, so the oracle's
+    fold-dot ADC reproduces the numpy candidate set exactly; the final
+    rows are exact-cosine doubles computed identically by both
+    engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_cosine_pq(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
@@ -634,7 +803,54 @@ def knn_cosine_random_projection(
     )
 
 
-@query("q_c39_knn_random_projection")  # rows-only: projection-seed-specific
+def _c39_oracle(dim: int = 64, rdim: int = 24, rerank: int = 64,
+                k: int = 5) -> str:
+    """q_c39's DuckDB oracle: the projection matrix is a deterministic
+    plan-time constant (np rng(42) — reproduced here and baked in as
+    repr-exact literals), and the float32 cast after projection absorbs
+    BLAS-vs-fold float64 noise (verified bit-equal at every fixture SF;
+    rank-64 boundary margins >= 1.3e-4), so the coarse candidate set
+    and exact rerank match numpy's exactly."""
+    R = np.random.default_rng(42).standard_normal((dim, rdim)) / np.sqrt(rdim)
+    cols = []
+    for j in range(rdim):
+        lit = "[" + ", ".join(repr(R[i, j]) for i in range(dim)) + "]"
+        cols.append(f"CAST({_dot_sql('embedding', lit)} AS FLOAT)")
+    proj = "[" + ", ".join(cols) + "]"
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {proj} AS p FROM embeddings
+    ),
+    coarse AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             {_cos_sql('q.p', 'c.p')} AS csim
+      FROM proj q, proj c WHERE q.vec_id < 5
+    ),
+    cand AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY csim DESC, cid) AS r
+        FROM coarse) WHERE r <= {rerank}
+    ),
+    exact AS (
+      SELECT cand.qid, cand.cid,
+             {_cos_sql('qe.embedding', 'ce.embedding')} AS sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.qid
+      JOIN embeddings ce ON ce.vec_id = cand.cid
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid) AS rnk
+      FROM exact)
+    SELECT qid, cid, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@query("q_c39_knn_random_projection", oracle=_c39_oracle())
 def q_c39_knn_random_projection(spark, sf_dir):
     """C39 (extension): random-projection (JL) approximate top-5 — the
     reduced-dimension coarse search + exact rerank; recall vs brute
