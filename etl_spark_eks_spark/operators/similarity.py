@@ -671,56 +671,158 @@ def kmeans_lloyd_with_centroids(
     curation pipeline runs for topic balancing / diversity sampling.
 
     Init is the first ``k`` vectors by id (deterministic; same policy as
-    the IVF/PQ quantizers). Each iteration: (1) ASSIGN — vectorized
-    pandas UDF, one numpy argmin of squared L2 per Arrow batch, centroid
-    matrix shipped in the closure (k x dim doubles, a tiny model
-    broadcast); (2) UPDATE — posexplode + groupBy(cluster, pos) avg runs
-    JVM-side with map-side combine, then k x dim rows collect to the
-    driver to become the next closure. The driver-side loop is the
-    right shape for an iterative fixpoint (same argument as C18's
-    connected components): per-round driver state is k x dim floats,
+    the IVF/PQ quantizers). Each iteration: (1) ASSIGN — the exact
+    fixed-order d2 fold (`_pq_d2`, C134's expression) against the k x dim
+    centroid literals broadcast as a tiny dimension table, argmin via
+    min_by with ties to the smaller cluster; (2) UPDATE — posexplode +
+    groupBy(cluster, dim) with COUNT + dsum (exact DECIMAL(38,6)
+    accumulation — C134/C137's re-centering discipline, which is what
+    makes the round DETERMINISTIC: a double avg would vary with
+    partial-agg order) and c = s/n, then k x dim rows collect to the
+    driver to become the next round's literals. The driver-side loop is
+    the right shape for an iterative fixpoint (same argument as C18's
+    connected components): per-round driver state is k x dim doubles,
     never corpus-sized, and each round's plan starts fresh from literal
     centroids so there is no plan growth to checkpoint away. Empty
-    clusters keep their previous centroid."""
-    from pyspark.sql.functions import pandas_udf
+    clusters keep their previous centroid.
 
+    Round 11 (was a numpy pandas-UDF argmin): every expression is now
+    the one the DuckDB oracle evaluates — fold d2, exact decimal means,
+    double division — so assignments are bit-identical cross-engine and
+    q_c30/q_c44/q_c127 carry full hash oracles. The numpy closure form
+    survives in git history; at fixture scale the declarative form
+    measures within noise of it and at cluster scale both are one
+    broadcast-join pass per round."""
+    spark = corpus.sparkSession
     sample = corpus.orderBy("vec_id").limit(k).select("embedding").collect()
-    cmat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    cmat = [[float(x) for x in r["embedding"]] for r in sample]
+    dim = len(cmat[0])
     wide = widen(corpus).select("vec_id", "embedding")
+
+    def cb_df(mat):
+        return F.broadcast(
+            spark.createDataFrame(
+                [(c, row) for c, row in enumerate(mat)],
+                "cluster int, cv array<double>",
+            )
+        )
 
     assigned = None
     for _ in range(iters):
-        closure = cmat
-
-        @pandas_udf("int")
-        def nearest(col: pd.Series) -> pd.Series:
-            m = np.stack(col.to_numpy())
-            d2 = ((m * m).sum(1, keepdims=True)
-                  - 2.0 * (m @ closure.T)
-                  + (closure * closure).sum(1))
-            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
-
-        assigned = wide.select(
-            "vec_id", "embedding", nearest("embedding").alias("cluster")
+        d2 = _pq_d2(F.col("embedding"), F.col("cv"))
+        assigned = (
+            wide.join(cb_df(cmat), how="cross")
+            .select("vec_id", "embedding", "cluster", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cluster", "embedding"), F.struct("d2", "cluster")
+                ).alias("b")
+            )
+            .select(
+                "vec_id",
+                F.col("b.cluster").alias("cluster"),
+                F.col("b.embedding").alias("embedding"),
+            )
         )
         means = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "v")
+            )
+            .select("cluster", "pos", F.col("v").cast("double").alias("v"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.count("*").alias("n"), dsum("v").alias("s"))
             .collect()
         )
-        cmat = cmat.copy()
+        nxt = [list(row) for row in cmat]
         for r in means:
-            cmat[r["cluster"], r["pos"]] = r["m"]
-    return assigned.select("vec_id", "cluster"), cmat
+            nxt[r["cluster"]][r["pos"]] = r["s"] / r["n"]
+        cmat = nxt
+    return assigned.select("vec_id", "cluster"), np.array(cmat)
 
 
-@query("q_c30_kmeans")  # rows-only: iterative, centroid-init-specific
+def _kmeans_cte_sql(
+    k_sql: str, iters: int, dim: int, base_cte: str = "base"
+) -> str:
+    """WITH-chain fragments for the declarative Lloyd oracle (C137's
+    recipe generalized to full vectors and N unrolled rounds): expects a
+    CTE ``base(vec_id, e)`` with e already cast to DOUBLE[], emits
+    cb0..cb{iters-1} and a0..a{iters-1}; the last assignment CTE is
+    ``a{iters-1}``. ``k_sql`` may be a literal or a scalar subquery so
+    data-dependent k (C127's n/65 policy) stays SQL-expressible."""
+
+    def d2(e: str, cv: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" j -> ({e}[j] - {cv}[j]) * ({e}[j] - {cv}[j])))"
+        )
+
+    parts = [
+        f"""cb0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
+      FROM (SELECT vec_id, e,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS _r
+            FROM {base_cte})
+      WHERE _r <= {k_sql}
+    )"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f"""a{r} AS (
+      SELECT vec_id, e, cluster FROM (
+        SELECT b.vec_id, b.e, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY {d2('b.e', 'c.cv')}, c.cluster) AS rn
+        FROM {base_cte} b, cb{r} c)
+      WHERE rn = 1
+    )"""
+        )
+        # cb{r+1} is emitted even after the last assignment round:
+        # C44's medoid distances read the post-update centroids (cb3
+        # for k=8/iters=3), exactly as the Spark loop returns them.
+        parts.append(
+            f"""m{r + 1} AS (
+      SELECT cluster, CAST(r.j AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(e[r.j] AS DECIMAL(38,6))) AS DOUBLE) AS s
+      FROM a{r}, UNNEST(range(1, {dim + 1})) AS r(j)
+      GROUP BY cluster, r.j
+    )"""
+        )
+        parts.append(
+            f"""cb{r + 1} AS (
+      SELECT cluster, list(c ORDER BY dim) AS cv FROM (
+        SELECT o.cluster, o.dim, COALESCE(m.s / m.n, o.old_c) AS c
+        FROM (SELECT cluster, CAST(r.j AS BIGINT) AS dim, cv[r.j] AS old_c
+              FROM cb{r}, UNNEST(range(1, {dim + 1})) AS r(j)) o
+        LEFT JOIN m{r + 1} m ON m.cluster = o.cluster AND m.dim = o.dim)
+      GROUP BY cluster
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_C30_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+{_kmeans_cte_sql('8', 3, 64)}
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a2
+"""
+
+
+@query("q_c30_kmeans", oracle=_C30_ORACLE)
 def q_c30_kmeans(spark, sf_dir):
     """C30 (extension): k-means clustering of the embedding corpus
     (k=8, 3 Lloyd iterations). Invariants — every vector assigned
     exactly once, clusters in range, inertia non-increasing with more
-    iterations, deterministic rerun — are asserted in tests."""
+    iterations, deterministic rerun — are asserted in tests.
+
+    Oracle (round 11, was rows-only): kmeans_lloyd now runs the
+    declarative exact-arithmetic Lloyd (fold d2 + DECIMAL re-centering,
+    the C134/C137 recipe), so the DuckDB unrolled-round mirror
+    reproduces every assignment bit for bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=8, iters=3)
 
@@ -944,7 +1046,30 @@ def q_c43_embedding_winsorize(spark, sf_dir):
     )
 
 
-@query("q_c44_coreset_medoids")  # rows-only: kmeans-init-specific
+_C44_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+{_kmeans_cte_sql('8', 3, 64)},
+dists AS (
+  SELECT a.vec_id, a.cluster,
+         sqrt(list_sum(list_transform(range(1, 65),
+              j -> (a.e[j] - c.cv[j]) * (a.e[j] - c.cv[j])))) AS dist
+  FROM a2 a JOIN cb3 c ON c.cluster = a.cluster
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       vec_id AS medoid_vec_id,
+       ROUND(dist, 6) AS dist
+FROM (SELECT cluster, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY dist, vec_id) AS rn
+      FROM dists)
+WHERE rn = 1
+"""
+
+
+@query("q_c44_coreset_medoids", oracle=_C44_ORACLE)
 def q_c44_coreset_medoids(spark, sf_dir):
     """C44 (extension): core-set selection — the medoid (vector nearest
     its cluster's centroid) of every k-means cluster, with its
@@ -955,31 +1080,32 @@ def q_c44_coreset_medoids(spark, sf_dir):
     clustering) and contrasts with C22's uniform hash sample: uniform
     keeps density, medoids keep COVERAGE.
 
-    Scale: distances are one vectorized pandas-UDF pass (centroid
-    matrix in the closure, k x dim — model-broadcast-sized); medoid
-    selection is a per-cluster min via the same WindowGroupLimit-
-    eligible rank<=1 window as C33 — per-task pre-limit, k final rows.
-    Invariants (one medoid per non-empty cluster, its distance is the
-    cluster minimum, determinism) are asserted in tests."""
-    from pyspark.sql.functions import pandas_udf
+    Oracle (round 11, was rows-only): rides the declarative Lloyd
+    (q_c30's recipe) — distances are the same sqrt-of-fold-d2 against
+    the post-update centroids (cb3) both engines evaluate identically.
 
+    Scale: distances are one broadcast-join fold pass (centroid table
+    k x dim — model-broadcast-sized); medoid selection is a per-cluster
+    min via the same WindowGroupLimit-eligible rank<=1 window as C33 —
+    per-task pre-limit, k final rows. Invariants (one medoid per
+    non-empty cluster, its distance is the cluster minimum,
+    determinism) are asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, cmat = kmeans_lloyd_with_centroids(emb, k=8, iters=3)
-    closure = cmat
-
-    @pandas_udf("double")
-    def dist_to_centroid(col: pd.Series, cl: pd.Series) -> pd.Series:
-        m = np.stack(col.to_numpy())
-        c = closure[cl.to_numpy()]
-        return pd.Series(np.sqrt(((m - c) ** 2).sum(axis=1)))
-
+    cb = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(c, [float(x) for x in row]) for c, row in enumerate(cmat)],
+            "cluster int, cv array<double>",
+        )
+    )
     with_dist = (
         emb.select("vec_id", "embedding")
-        .join(assigned, "vec_id")
+        .join(assigned.select("vec_id", "cluster"), "vec_id")
+        .join(cb, "cluster")
         .select(
             "vec_id",
             "cluster",
-            dist_to_centroid("embedding", "cluster").alias("dist"),
+            F.sqrt(_pq_d2(F.col("embedding"), F.col("cv"))).alias("dist"),
         )
     )
     w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
