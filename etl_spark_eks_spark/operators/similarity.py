@@ -1861,8 +1861,59 @@ def q_c98_semantic_decontam(spark, sf_dir):
     )
 
 
-@query("q_c127_semdedup")  # rows-only: k-means assignment is
-# init/iteration-specific, not SQL-expressible (C30's contract)
+def _c127_oracle() -> str:
+    """q_c127's DuckDB oracle: planted clones -> declarative Lloyd
+    (dynamic k = GREATEST(8, ceil(n/65)) via a scalar subquery, 2
+    rounds) -> within-cluster fold-cosine edges at tau=0.95 (decision
+    margins ~0.05: natural max pair cosine 0.51, planted ~0.9988, so
+    numpy-gram-vs-fold float noise cannot flip an edge) -> C18's
+    recursive transitive closure for the min-id representative."""
+    cos = _cos_sql("a.e", "b.e")
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding,
+               (x, i) -> CAST(x + CASE WHEN i = 1 THEN 0.05
+                                       ELSE 0.0 END AS FLOAT))
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM raw
+    ),
+    kk AS (SELECT GREATEST(8, (COUNT(*) + 64) // 65) AS k FROM base),
+    {_kmeans_cte_sql('(SELECT k FROM kk)', 2, 64)},
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM a1 a JOIN a1 b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {cos} >= 0.95
+    ),
+    uedges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM uedges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN uedges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS vec_id, MIN(b) AS min_reach FROM reach GROUP BY a
+    )
+    SELECT v.vec_id,
+           CAST(v.cluster AS INTEGER) AS cluster,
+           LEAST(v.vec_id, COALESCE(c.min_reach, v.vec_id)) AS rep_id,
+           LEAST(v.vec_id, COALESCE(c.min_reach, v.vec_id)) = v.vec_id
+             AS is_kept
+    FROM a1 v LEFT JOIN comp c ON v.vec_id = c.vec_id
+    ORDER BY v.vec_id
+    """
+
+
+@query("q_c127_semdedup", oracle=_c127_oracle())
 def q_c127_semdedup(spark, sf_dir):
     """C127 (extension): SemDeDup — SEMANTIC near-duplicate removal
     over the embedding corpus (Abbas et al. 2023, arXiv:2303.09540):
