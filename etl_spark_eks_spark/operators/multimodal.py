@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark_eks_spark.catalog import load_table, widen
@@ -273,16 +273,164 @@ def perceptual_hashes(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     )
 
 
-@query("q_m4_media_phash_neardup")  # rows-only: hash-family-specific
+def portable_perceptual_hashes(
+    df: DataFrame, binary_col: str, id_col: str
+) -> DataFrame:
+    """Engine-portable variant of :func:`perceptual_hashes`: the same
+    majority-vote SimHash over aligned little-endian 4-byte words, but
+    each word's 120 vote bits come from ONE md5 of its decimal string
+    (hi = hex chars 1-15, lo = chars 17-31 — the functions/text.py
+    portable-family contract) instead of two splitmix64 mixes, so the
+    signatures are bit-identical in DuckDB (uint64 wraparound
+    arithmetic is not; md5 is). 2 x 60-bit signatures in place of
+    2 x 64: the banding becomes 4 x 30-bit bands — the same pigeonhole
+    guarantee (Hamming <= 3 shares a band) and effectively the same
+    collision floor (n^2/2^30).
+
+    Declarative per-row Catalyst expressions end to end: hex() the
+    payload once, parse words with conv(), one md5 per word, two
+    bit-count folds — payload bytes still never cross partitions."""
+    hx = F.hex(F.col(binary_col))
+    n4 = (F.length(F.col(binary_col)) / 4).cast("int")
+
+    def word(i):
+        off = (i - 1) * 8
+
+        def byte(k):
+            return F.conv(F.substring(hx, off + 2 * k + 1, 2), 16, 10).cast(
+                "long"
+            )
+
+        return (
+            byte(0) + byte(1) * 256 + byte(2) * 65536 + byte(3) * 16777216
+        )
+
+    md5s = F.when(
+        n4 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n4), lambda i: F.md5(word(i).cast("string"))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def half(lo_off: int) -> Column:
+        return F.transform(
+            F.col("md5s"),
+            lambda m: F.conv(F.substring(m, lo_off, 15), 16, 10).cast("long"),
+        )
+
+    n_bits = 60
+    zeros = F.array(*[F.lit(0) for _ in range(n_bits)])
+
+    def bit_counts(hash_arr: Column) -> Column:
+        def contrib(h: Column) -> Column:
+            return F.array(
+                *[
+                    F.shiftright(h, k).bitwiseAND(F.lit(1)).cast("int")
+                    for k in range(n_bits)
+                ]
+            )
+
+        return F.aggregate(
+            hash_arr,
+            zeros,
+            lambda acc, h: F.zip_with(acc, contrib(h), lambda a, b: a + b),
+        )
+
+    def majority_pack(counts: Column) -> Column:
+        return F.aggregate(
+            F.reverse(counts),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc * 2
+            + F.when(c * 2 > F.col("n4"), 1).otherwise(0),
+        )
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), md5s.alias("md5s"), n4.alias("n4")
+    )
+    return staged.select(
+        "doc_id",
+        majority_pack(bit_counts(half(1))).alias("phash_hi"),
+        majority_pack(bit_counts(half(17))).alias("phash_lo"),
+    )
+
+
+def _m4_oracle() -> str:
+    """q_m4's DuckDB oracle, mirroring portable_perceptual_hashes:
+    hex-parsed little-endian words, one md5 per word, 2 x 60-bit
+    majority votes, 4 x 30-bit band self-join, exact Hamming verify."""
+
+    def pack(lo_off: int) -> str:
+        h = (
+            f"list_transform(md5s, m ->"
+            f" ('0x' || substr(m, {lo_off}, 15))::BIGINT)"
+        )
+        terms = " + ".join(
+            f"(CASE WHEN 2 * list_sum(list_transform({h},"
+            f" x -> (x >> {k}) & 1)) > n4 THEN {1 << k}::BIGINT"
+            f" ELSE 0 END)"
+            for k in range(60)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    word = (
+        "('0x' || substr(hx, (i-1)*8 + 1, 2))::BIGINT"
+        " + ('0x' || substr(hx, (i-1)*8 + 3, 2))::BIGINT * 256"
+        " + ('0x' || substr(hx, (i-1)*8 + 5, 2))::BIGINT * 65536"
+        " + ('0x' || substr(hx, (i-1)*8 + 7, 2))::BIGINT * 16777216"
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 4 AS n4
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n4,
+             list_transform(range(1, n4 + 1),
+               i -> md5(CAST({word} AS VARCHAR))) AS md5s
+      FROM p
+    ),
+    sh AS (
+      SELECT doc_id, {pack(1)} AS phash_hi, {pack(17)} AS phash_lo FROM w
+    ),
+    banded AS (
+      SELECT doc_id, phash_hi, phash_lo, ix.i AS band_idx,
+             CASE ix.i
+               WHEN 0 THEN phash_hi & 1073741823
+               WHEN 1 THEN (phash_hi >> 30) & 1073741823
+               WHEN 2 THEN phash_lo & 1073741823
+               ELSE (phash_lo >> 30) & 1073741823 END AS band_val
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS i) ix
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                + bit_count(xor(a.phash_lo, b.phash_lo)) AS INTEGER)
+             AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+          + bit_count(xor(a.phash_lo, b.phash_lo)) <= 12
+    """
+
+
+@query("q_m4_media_phash_neardup", oracle=_m4_oracle())
 def q_m4_media_phash_neardup(spark, sf_dir):
-    """M4 (extension): near-duplicate MEDIA detection — 128-bit
-    perceptual hash per payload, 32-bit-band LSH buckets for
-    candidates, exact Hamming verify (<= 12 of 128 bits). The
-    multimodal twin of C9's SimHash: by pigeonhole, any pair within
-    Hamming 3 shares at least one of the 4 bands; the verify step
-    keeps only true close pairs. Invariants (identical payloads
-    collapse, determinism, threshold bound) are asserted in
-    tests/test_tier_c.py.
+    """M4 (extension): near-duplicate MEDIA detection — 120-bit
+    perceptual hash per payload (2 x 60-bit portable-family majority
+    votes), 30-bit-band LSH buckets for candidates, exact Hamming
+    verify (<= 12 of 120 bits). The multimodal twin of C9's SimHash:
+    by pigeonhole, any pair within Hamming 3 shares at least one of
+    the 4 bands; the verify step keeps only true close pairs.
+    Invariants (identical payloads collapse, determinism, threshold
+    bound) are asserted in tests/test_tier_c.py.
+
+    Oracle (round 11, was rows-only): the official query runs
+    portable_perceptual_hashes (one md5 per 4-byte word instead of the
+    splitmix64 pair — uint64 wraparound is not DuckDB-expressible, md5
+    is), so signatures, bands, and Hamming distances hash-match; the
+    splitmix64 mapInPandas fast path (perceptual_hashes) remains the
+    decode-plumbing demonstration under the same output contract.
 
     Scale: the expensive step (decode + hash) is one Arrow-batched
     pass — payload bytes never cross partitions; only 16 hash bytes
@@ -296,16 +444,16 @@ def q_m4_media_phash_neardup(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    hashes = perceptual_hashes(d, "payload", "doc_id")
-    mask32 = F.lit(0xFFFFFFFF).cast("long")
+    hashes = portable_perceptual_hashes(d, "payload", "doc_id")
+    mask30 = F.lit((1 << 30) - 1).cast("long")
     band_exprs = []
     for i, col in enumerate(("phash_hi", "phash_lo")):
         for j in range(2):
             band_exprs.append(
                 F.struct(
                     F.lit(i * 2 + j).alias("band_idx"),
-                    F.shiftright(col, 32 * j)
-                    .bitwiseAND(mask32)
+                    F.shiftright(col, 30 * j)
+                    .bitwiseAND(mask30)
                     .alias("band_val"),
                 )
             )
