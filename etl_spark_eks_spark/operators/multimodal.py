@@ -849,7 +849,68 @@ def cdc_chunks(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     )
 
 
-@query("q_m9_cdc_chunk_dedup")  # rows-only: hash family is implementation-specific
+_M9_ORACLE = """
+WITH RECURSIVE src AS (
+  SELECT doc_id, text AS s FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, 'JUNK!!!.' || text
+  FROM documents WHERE doc_id % 167 = 0
+),
+docs AS (SELECT doc_id, s, length(s) AS n FROM src),
+bytes AS (
+  SELECT doc_id, n, r.p AS pos, ascii(substr(s, r.p + 1, 1)) AS b
+  FROM docs, UNNEST(range(0, n)) AS r(p)
+),
+wsum AS (
+  SELECT doc_id, n, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS ws
+  FROM bytes
+),
+nc AS (
+  SELECT doc_id, pos,
+         MIN(cut_pos) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS nv
+  FROM (SELECT doc_id, pos,
+               CASE WHEN ws % 64 = 0 THEN pos END AS cut_pos
+        FROM wsum WHERE pos <= n - 16)
+),
+rec AS (
+  SELECT d.doc_id, 0 AS chunk_idx, 0 AS st,
+         CASE WHEN nc.nv IS NOT NULL AND nc.nv <= 239 THEN nc.nv + 16
+              WHEN 240 <= d.n - 16 THEN 256
+              ELSE d.n END AS en,
+         d.n AS n
+  FROM docs d LEFT JOIN nc ON nc.doc_id = d.doc_id AND nc.pos = 0
+  UNION ALL
+  SELECT r.doc_id, r.chunk_idx + 1, r.en,
+         CASE WHEN nc.nv IS NOT NULL AND nc.nv <= r.en + 239
+                THEN nc.nv + 16
+              WHEN r.en + 240 <= r.n - 16 THEN r.en + 256
+              ELSE r.n END,
+         r.n
+  FROM rec r LEFT JOIN nc ON nc.doc_id = r.doc_id AND nc.pos = r.en
+  WHERE r.en < r.n
+),
+chunks AS (
+  SELECT r.doc_id,
+         substr(sha256(substr(d.s, r.st + 1, r.en - r.st)), 1, 16)
+           AS chunk_hash,
+         r.en - r.st AS chunk_len
+  FROM rec r JOIN docs d ON d.doc_id = r.doc_id
+)
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(SUM(chunk_len) AS BIGINT) AS total_bytes
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@query("q_m9_cdc_chunk_dedup", oracle=_M9_ORACLE)
 def q_m9_cdc_chunk_dedup(spark, sf_dir):
     """M9 (extension): content-defined-chunk dedup over binary payloads
     — chunks shared by >= 2 documents, with doc counts and byte mass.
@@ -868,6 +929,17 @@ def q_m9_cdc_chunk_dedup(spark, sf_dir):
     is a real cross-offset detection (fabricate-then-audit, the
     B69/C15/C55 pattern; the boundary-resync property itself is
     unit-tested in tests/test_tier_c.py).
+
+    Oracle (round 11, was rows-only): the rolling hash is
+    SQL-expressible after one observation — the polynomial base 257 is
+    ≡ 1 (mod 64), so ``h & 63 == 0`` reduces to a 16-byte sliding SUM
+    mod 64 (uint64 wraparound subtracts multiples of 2^64 ≡ 0 mod 64),
+    a plain window aggregate; the greedy MIN/MAX-clamped scan becomes a
+    recursive CTE stepping through a precomputed next-cut-position
+    table (closed form validated against chunk_one on every fixture
+    payload + its shifted clone). The fixture is all-ASCII (asserted in
+    tests), so DuckDB's VARCHAR sha256/substr hash the same bytes
+    Python's sha256 sees.
 
     Scale: chunking is one Python pass over payload bytes (Arrow
     batches, numpy rolling hash — the only corpus-bytes stage); only

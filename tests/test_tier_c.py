@@ -1526,3 +1526,120 @@ def test_pq_trajectory_lloyd_convergence(spark, sf_dir):
     assert rows[1]["n_moved"] >= rows[2]["n_moved"]
     for r in rows.values():
         assert 0 < r["n_nonempty"] <= 128
+
+
+def test_m9_oracle_fixture_is_ascii(spark, sf_dir):
+    """q_m9's oracle operates on VARCHAR (DuckDB sha256/substr take
+    strings), which hashes the same bytes Python's sha256 sees ONLY
+    while the fixture text is pure ASCII — pin that invariant so a
+    fixture change fails loudly here instead of as a silent oracle
+    divergence."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert bad == 0, f"{bad} non-ASCII documents break the m9 oracle"
+
+
+def test_m9_oracle_closed_form_matches_chunk_one(spark, sf_dir):
+    """The q_m9 oracle's derivation, asserted directly: because
+    257 ≡ 1 (mod 64), the cut test reduces to a 16-byte sliding sum
+    mod 64, and the greedy MIN/MAX-clamped scan is reproduced by the
+    next-cut-position recursion — must equal cdc_chunks' chunk_one on
+    every fixture payload and its junk-prefixed clone."""
+    import bisect
+
+    import numpy as np
+
+    W = 16
+
+    def model(payload: bytes):
+        n = len(payload)
+        if n == 0:
+            return [(0, 0)]
+        a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        npos = max(0, n - W + 1)
+        cutpos = [
+            p for p in range(npos) if a[p : p + W].sum() % 64 == 0
+        ]
+        chunks, s = [], 0
+        while True:
+            j = bisect.bisect_left(cutpos, s)
+            nv = cutpos[j] if j < len(cutpos) else None
+            if nv is not None and nv <= s + 239:
+                e = nv + 16
+            elif s + 240 <= n - 16:
+                e = s + 256
+            else:
+                e = n
+            chunks.append((s, e))
+            if e >= n:
+                return chunks
+            s = e
+
+    # Reference: the same greedy loop chunk_one runs (inlined from
+    # operators/multimodal.py:cdc_chunks, uint64 rolling hash).
+    powers = np.array(
+        [pow(257, W - 1 - i, 2**64) for i in range(W)], dtype=np.uint64
+    )
+
+    def chunk_one(payload: bytes):
+        n = len(payload)
+        if n <= 16:
+            return [(0, n)]
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(arr, W)
+        with np.errstate(over="ignore"):
+            h = (win * powers).sum(axis=1)
+        is_cut = (h & np.uint64(63)) == 0
+        cuts, start = [], 0
+        for i in range(n - W + 1):
+            end = i + W
+            if end - start >= 256 or (end - start >= 16 and is_cut[i]):
+                cuts.append((start, end))
+                start = end
+        if start < n:
+            cuts.append((start, n))
+        return cuts
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    assert texts
+    for t in texts:
+        for p in (t.encode(), b"JUNK!!!." + t.encode()):
+            assert model(p) == chunk_one(p)
+
+
+def test_ann_oracle_decision_margins(spark, sf_dir):
+    """q_c17/q_c21's oracles rely on every argmax/rank decision having
+    a margin far above BLAS-vs-sequential-fold float noise (~1e-13):
+    measure the minimum margins on this fixture and assert a 1e-9
+    floor — orders of magnitude of headroom in both directions."""
+    import numpy as np
+
+    emb = sorted(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    M = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    cmat = M[:16]
+    d = np.sort(M @ cmat.T, axis=1)
+    assert (d[:, -1] - d[:, -2]).min() > 1e-9  # c17 nearest cell
+    assert (d[:, -2] - d[:, -3]).min() > 1e-9  # c17 second probe
+    sub = M.shape[1] // 4
+    for i in range(4):  # c21 per-subspace code assignment
+        s = np.sort(
+            M[:, i * sub : (i + 1) * sub]
+            @ cmat[:, i * sub : (i + 1) * sub].T,
+            axis=1,
+        )
+        assert (s[:, -1] - s[:, -2]).min() > 1e-9
