@@ -1193,15 +1193,28 @@ def test_substring_surgery_consistent_with_span_report(spark, sf_dir):
 
 
 def test_b157_tablesample_repeatable_is_deterministic(spark, sf_dir):
-    """B157's contract: REPEATABLE(seed) gives the SAME sample on
-    rerun (fixed file layout), the sample is a subset of the table,
-    and the draw is a plausible 10% (binomial 5-sigma bounds)."""
+    """B157's contract, checked both through the query's own verdicts
+    (round 11: the official output IS the verified contract — n_total
+    plus repeatability/mass booleans) and directly on the underlying
+    TABLESAMPLE: REPEATABLE(seed) gives the SAME sample on rerun
+    (fixed file layout), the sample is a subset of the table, and the
+    draw is a plausible 10% (binomial 5-sigma bounds)."""
     from etl_spark_eks_spark import registry
 
     registry.load_all()
     q = registry.QUERIES["q_b157_tablesample_repeatable"]
-    a = sorted(r["o_orderkey"] for r in q(spark, sf_dir).collect())
-    b = sorted(r["o_orderkey"] for r in q(spark, sf_dir).collect())
+    row = q(spark, sf_dir).collect()[0]
+    assert row["samples_identical"] and row["sample_frac_ok"]
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "b157_orders_t"
+    )
+    sample_sql = """
+        SELECT o_orderkey FROM b157_orders_t
+        TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        """
+    a = sorted(r["o_orderkey"] for r in spark.sql(sample_sql).collect())
+    b = sorted(r["o_orderkey"] for r in spark.sql(sample_sql).collect())
     assert a == b, "REPEATABLE seed must reproduce the sample"
     full = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1209,6 +1222,7 @@ def test_b157_tablesample_repeatable_is_deterministic(spark, sf_dir):
         .toPandas()["o_orderkey"]
     )
     assert set(a) <= set(full)
+    assert row["n_total"] == len(full)
     n, p = len(full), 0.10
     mean, sigma = n * p, (n * p * (1 - p)) ** 0.5
     assert abs(len(a) - mean) <= 5 * sigma + 1, (len(a), mean, sigma)
