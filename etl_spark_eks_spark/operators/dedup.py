@@ -3964,11 +3964,11 @@ _XLATE_TERMS = [
 ]
 _XLATE_LANGS = ["en", "de", "fr", "es", "zh"]
 
-
-@query(
-    "q_c133_translated_shingle_alignment",
-    oracle=r"""
-    WITH dict AS (
+# The shared concept-shingle pipeline (tokenize -> bilingual-dict
+# normalize -> positional reassembly -> distinct 3-shingles per lang),
+# as the DuckDB CTE chain ending in sh(lang, s) — used verbatim by the
+# C133 (Jaccard matrix) and C138 (directed containment) oracles.
+_CONCEPT_SH_SQL = r"""dict AS (
       SELECT t.term, l.lang, t.concept
       FROM (VALUES
         ('join','K01'), ('hash','K02'), ('row','K03'), ('batch','K04'),
@@ -3999,7 +3999,61 @@ _XLATE_LANGS = ["en", "de", "fr", "es", "zh"]
       FROM seq
     ), tot AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY lang
-    ), pairs AS (
+    )"""
+
+
+def concept_shingle_table(spark, sf_dir: str) -> DataFrame:
+    """(lang, s): the distinct concept 3-shingles per language — the
+    shared stage of C133/C138 (see q_c133's docstring for the plan
+    shape: posexplode, broadcast dict join, positional reassembly,
+    per-shingle contraction). Persisted: both consumers read it twice
+    (totals + pair matrix)."""
+    d = load_table(spark, sf_dir, "documents")
+    dict_rows = [
+        (term, lang, concept)
+        for term, concept in _XLATE_TERMS
+        for lang in _XLATE_LANGS
+    ]
+    xdict = values_df(
+        spark, dict_rows, "term string, lang string, concept string"
+    )
+    tok = (
+        widen(d)
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(tokenize("text")).alias("idx", "term"),
+        )
+        .select("doc_id", "lang", (F.col("idx") + 1).alias("pos"), "term")
+    )
+    hit = tok.join(F.broadcast(xdict), ["lang", "term"])
+    seq = (
+        hit.groupBy("doc_id", "lang")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "concept"))
+                ),
+                lambda x: x["concept"],
+            ).alias("cs")
+        )
+    )
+    return (
+        seq.select(
+            "lang",
+            F.explode(F.array_distinct(shingles(F.col("cs"), 3))).alias(
+                "s"
+            ),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+@query(
+    "q_c133_translated_shingle_alignment",
+    oracle=f"""
+    WITH {_CONCEPT_SH_SQL}, pairs AS (
       SELECT a.lang AS lang_a, b.lang AS lang_b,
              CAST(COUNT(*) AS BIGINT) AS n_shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.lang < b.lang
@@ -4043,46 +4097,7 @@ def q_c133_translated_shingle_alignment(spark, sf_dir):
     Candidate generation is never a shingle self-join on the corpus
     stream: the oracle spells that quadratic form precisely because
     DuckDB runs it on a fixture, not on 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
-    dict_rows = [
-        (term, lang, concept)
-        for term, concept in _XLATE_TERMS
-        for lang in _XLATE_LANGS
-    ]
-    xdict = values_df(
-        spark, dict_rows, "term string, lang string, concept string"
-    )
-    tok = (
-        widen(d)
-        .select(
-            "doc_id",
-            "lang",
-            F.posexplode(tokenize("text")).alias("idx", "term"),
-        )
-        .select("doc_id", "lang", (F.col("idx") + 1).alias("pos"), "term")
-    )
-    hit = tok.join(F.broadcast(xdict), ["lang", "term"])
-    seq = (
-        hit.groupBy("doc_id", "lang")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "concept"))
-                ),
-                lambda x: x["concept"],
-            ).alias("cs")
-        )
-    )
-    sh = (
-        seq.select(
-            "lang",
-            F.explode(F.array_distinct(shingles(F.col("cs"), 3))).alias(
-                "s"
-            ),
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = concept_shingle_table(spark, sf_dir)
     tot = sh.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
     pairs = (
         sh.groupBy("s")
@@ -4117,6 +4132,105 @@ def q_c133_translated_shingle_alignment(spark, sf_dir):
             ).alias("jaccard"),
         )
         .orderBy("lang_a", "lang_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C138: concept-level containment matrix (C133's lexicon x C64's
+# asymmetric containment, at language granularity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c138_concept_containment_matrix",
+    oracle=f"""
+    WITH {_CONCEPT_SH_SQL}, pairs AS (
+      SELECT a.lang AS lang_src, b.lang AS lang_dst,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.lang <> b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT p.lang_src, p.lang_dst, ts.n AS n_src, td.n AS n_dst,
+           p.n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE) / ts.n, 6) AS containment,
+           CAST(p.n_shared AS DOUBLE) / ts.n >= 0.5 AS subset_like
+    FROM pairs p
+    JOIN tot ts ON ts.lang = p.lang_src
+    JOIN tot td ON td.lang = p.lang_dst
+    ORDER BY lang_src, lang_dst
+    """,
+)
+def q_c138_concept_containment_matrix(spark, sf_dir):
+    """C138 (extension, round 11): concept-level DIRECTED containment
+    matrix — C133's translated-shingle machinery scored with C64's
+    asymmetric containment, at language granularity. C133's Jaccard is
+    symmetric, so a small corpus that is entirely a translation of a
+    big one scores LOW (the union is dominated by the big side) —
+    exactly the failure C64 documents at document granularity. This
+    operator reports, for every ordered language pair (src -> dst),
+    |S_src ∩ S_dst| / |S_src| over distinct concept 3-shingles: ~1.0
+    means src's concept content is (a translation of) a subset of
+    dst's — the signal for "this language split is machine-translated
+    laundering of that one, don't count it as independent data" that a
+    mixture planner (C23/C84) needs BEFORE weighting languages as if
+    they were independent evidence. The `subset_like` verdict flags
+    containment >= 0.5.
+
+    Shape: rides the SAME persisted (lang, shingle) contraction as
+    C133 (concept_shingle_table — posexplode, broadcast dict join,
+    positional reassembly; see q_c133 for the scan-order argument);
+    the matrix stage is one groupBy over shingle-matched lang pairs,
+    now keeping BOTH directions (a.lang <> b.lang), plus two
+    broadcast joins against the |langs|-row totals. Cost over C133 is
+    literally 2x the pair rows of a |langs|^2 table — nothing
+    corpus-scaled is touched twice."""
+    sh = concept_shingle_table(spark, sf_dir)
+    tot = sh.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    # Same per-shingle contraction as C133 (never a shingle self-join):
+    # undirected shared counts are symmetric, so the directed matrix is
+    # the a<b table emitted in both orientations.
+    und = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_set("lang")).alias("langs"))
+        .filter(F.size("langs") >= 2)
+        .select(
+            F.explode(
+                sorted_set_pairs(F.col("langs"), "lang_a", "lang_b")
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.lang_a").alias("lang_a"),
+            F.col("p.lang_b").alias("lang_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    pairs = und.select(
+        F.col("lang_a").alias("lang_src"),
+        F.col("lang_b").alias("lang_dst"),
+        "n_shared",
+    ).unionByName(
+        und.select(
+            F.col("lang_b").alias("lang_src"),
+            F.col("lang_a").alias("lang_dst"),
+            "n_shared",
+        )
+    )
+    ts = tot.select(F.col("lang").alias("lang_src"), F.col("n").alias("n_src"))
+    td = tot.select(F.col("lang").alias("lang_dst"), F.col("n").alias("n_dst"))
+    containment = F.col("n_shared").cast("double") / F.col("n_src")
+    return (
+        pairs.join(F.broadcast(ts), "lang_src")
+        .join(F.broadcast(td), "lang_dst")
+        .select(
+            "lang_src",
+            "lang_dst",
+            "n_src",
+            "n_dst",
+            "n_shared",
+            F.round(containment, 6).alias("containment"),
+            (containment >= 0.5).alias("subset_like"),
+        )
+        .orderBy("lang_src", "lang_dst")
     )
 
 

@@ -3931,6 +3931,115 @@ def q_c131_fertility_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C139: per-(lang, source) fertility drill-down (C131's audit localized)
+# ---------------------------------------------------------------------------
+
+_C139_TOL = 0.02
+
+
+@query(
+    "q_c139_fertility_drilldown",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents
+      GROUP BY lang, source
+    ),
+    l AS (
+      SELECT lang, SUM(n_tokens) AS lt, SUM(n_chars) AS lc
+      FROM m GROUP BY lang
+    )
+    SELECT m.lang, m.source, m.n_docs, m.n_tokens, m.n_chars,
+           ROUND(CAST(m.n_tokens AS DOUBLE) / m.n_chars, 6) AS fertility,
+           ROUND(CAST(l.lt AS DOUBLE) / l.lc, 6) AS lang_fertility,
+           ROUND((CAST(m.n_tokens AS DOUBLE) / m.n_chars)
+                 / (CAST(l.lt AS DOUBLE) / l.lc), 6) AS ratio,
+           CASE
+             WHEN (CAST(m.n_tokens AS DOUBLE) / m.n_chars)
+                  / (CAST(l.lt AS DOUBLE) / l.lc) < 1 - {_C139_TOL}
+               THEN 'SOURCE_LOW'
+             WHEN (CAST(m.n_tokens AS DOUBLE) / m.n_chars)
+                  / (CAST(l.lt AS DOUBLE) / l.lc) > 1 + {_C139_TOL}
+               THEN 'SOURCE_HIGH'
+             ELSE 'OK' END AS verdict
+    FROM m JOIN l ON l.lang = m.lang
+    ORDER BY m.lang, m.source
+    """,
+)
+def q_c139_fertility_drilldown(spark, sf_dir):
+    """C139 (extension, round 11): per-(lang, source) fertility
+    DRILL-DOWN — the localization step C131's language-level audit
+    hands off to: when a language's fertility drifts, WHICH source is
+    responsible? Each (lang, source) cell's fertility (the same
+    BPE-ish-lexer tokens-per-char as C131/C11) is compared against its
+    language's corpus-wide fertility — an INTERNAL baseline, so the
+    drill-down works even for languages C131's reference table never
+    recorded — and flagged SOURCE_LOW / SOURCE_HIGH outside a ±2%
+    band (a source whose fertility deviates from its own language's
+    norm is the mis-tagged-language / format-corruption / boilerplate
+    signature C41 tracks over time; this is the same verdict at
+    source granularity). Both verdict branches carry fixture rows at
+    every SF, and every ratio sits >= 2.2e-4 from the band edges
+    (measured) — no float tie decides a verdict.
+
+    Shape: ONE map-side-combined aggregate over the corpus to
+    |langs x sources| rows (3 integer partials per cell); the
+    language baseline is a re-aggregation OF THOSE CELLS (the corpus
+    is touched exactly once); the final join carries k rows per side.
+    The ratio divides the same unrounded doubles in the same order on
+    both engines (C131's discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        widen(d)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.size(
+                    F.regexp_extract_all(
+                        "text",
+                        F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"),
+                        0,
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    lang_tot = m.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lt"), F.sum("n_chars").alias("lc")
+    )
+    fert = F.col("n_tokens").cast("double") / F.col("n_chars")
+    lfert = F.col("lt").cast("double") / F.col("lc")
+    ratio = fert / lfert
+    return (
+        m.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(fert, 6).alias("fertility"),
+            F.round(lfert, 6).alias("lang_fertility"),
+            F.round(ratio, 6).alias("ratio"),
+            F.when(ratio < 1 - _C139_TOL, "SOURCE_LOW")
+            .when(ratio > 1 + _C139_TOL, "SOURCE_HIGH")
+            .otherwise("OK")
+            .alias("verdict"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # C132: per-domain empirical-Bayes quality-prior smoothing
 # ---------------------------------------------------------------------------
 
