@@ -171,6 +171,20 @@ def main() -> int:
         except (OSError, ValueError):
             pass
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    # Per-round archive (r10 verdict task 3): BENCH_DETAIL.json alone is
+    # overwritten every round, losing per-query attribution to git
+    # archaeology. The CURRENT round is the one whose BENCH_r{N}.json
+    # the driver has not written yet, i.e. max existing + 1; repeated
+    # local runs within a round just refresh the same archive file.
+    rounds = [
+        int(p.stem.split("_r")[-1])
+        for p in Path(_REPO).glob("BENCH_r*.json")
+        if p.stem.split("_r")[-1].isdigit()
+    ]
+    this_round = max(rounds, default=0) + 1
+    (Path(_REPO) / f"BENCH_DETAIL_r{this_round:02d}.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
     for k in sorted(per_query):
         print(json.dumps({"query": k, "sec": per_query[k]},
                          separators=(",", ":")))

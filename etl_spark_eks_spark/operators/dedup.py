@@ -1191,7 +1191,12 @@ def q_c27_incremental_dedup(spark, sf_dir):
             ),
         )
         .withColumn("n", F.size("htoks"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # Eager localCheckpoint, not persist: three consumers (exact
+        # probe, prefix probe, verify fetch) read one materialization,
+        # and nothing lingers in the session cache after the query
+        # (ADVICE r10: the persist form leaked a cache entry per
+        # invocation across a 342-query session).
+        .localCheckpoint(eager=True)
     )
     corpus = toks.filter(F.col("doc_id") % 10 != 7)
     batch = toks.filter(F.col("doc_id") % 10 == 7)
@@ -4046,7 +4051,10 @@ def concept_shingle_table(spark, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # Eager localCheckpoint, not persist: both consumers (totals +
+        # pair matrix) read one materialization and no cache entry
+        # outlives the query (ADVICE r10).
+        .localCheckpoint(eager=True)
     )
 
 

@@ -2457,11 +2457,15 @@ def q_c137_pq_distortion_trajectory(spark, sf_dir):
     cb0 = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
         F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
     )
-    a0 = _pq_assign(sub, cb0).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager localCheckpoints, not persists: each assignment table has
+    # two consumers (next round's codebook + the n_moved comparison)
+    # and must not leave session-lifetime cache entries behind
+    # (ADVICE r10; the q_c127 pattern).
+    a0 = _pq_assign(sub, cb0).localCheckpoint(eager=True)
     cb1 = _pq_recenter(a0, cb0)
-    a1 = _pq_assign(sub, cb1).persist(StorageLevel.MEMORY_AND_DISK)
+    a1 = _pq_assign(sub, cb1).localCheckpoint(eager=True)
     cb2 = _pq_recenter(a1, cb1)
-    a2 = _pq_assign(sub, cb2).persist(StorageLevel.MEMORY_AND_DISK)
+    a2 = _pq_assign(sub, cb2).localCheckpoint(eager=True)
 
     def row(r, asg, prev):
         dist = asg.agg(

@@ -1135,9 +1135,14 @@ def test_suffix_lcp_bucketed_sort_not_global(spark, sf_dir):
     only range exchange allowed is the final ORDER BY doc_id on the
     per-doc report."""
     plan = plan_of(registry.QUERIES["q_c129_suffix_lcp_spans"](spark, sf_dir))
-    # the g-gram slice projects as a window grouping expression (_w1)
-    # and the suffix window's exchange hashes on it
-    assert "hashpartitioning(_w1" in plan, plan[:2000]
+    # Structural, not alias-pinned (ADVICE r10: the generated `_w1`
+    # window-alias string is an optimizer naming detail): a hash
+    # exchange must exist and the g-gram slice expression must appear
+    # in the plan (the bucket key), while the only range exchange is
+    # the final ORDER BY — a global suffix sort would rangepartition
+    # the suffix stream itself.
+    assert "hashpartitioning" in plan, plan[:2000]
+    assert "slice(suf" in plan, plan[:2000]
     assert plan.count("rangepartitioning") <= 1
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
@@ -1164,14 +1169,17 @@ def test_c27_probes_read_index_not_text(spark, sf_dir):
     the count several-fold."""
     df = registry.QUERIES["q_c27_incremental_dedup"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # Round 11: the index materializes via eager localCheckpoint (no
+    # session-cache residue — ADVICE r10), so probes read the
+    # checkpointed RDD scan; the pre-r10 pathology re-ran the
+    # sha2+tokenize pipeline once per probe per consumer (~30x).
+    assert (
+        "ExistingRDD" in plan
+        or "InMemoryTableScan" in plan
+        or "TableCacheQueryStage" in plan
+    ), plan[:2000]
     n_sha = plan.count("sha2(text")
     n_tok = plan.count("split(text")
-    # 2 persisted indexes; cache-substitution context re-renders each
-    # build plan under its scans (the q_c16 precedent: 2 standalone,
-    # low teens with a populated cache). The guarded pathology — the
-    # pre-r10 per-probe re-tokenization — consumed the corpus pipeline
-    # once per probe per consumer (~30x) and had no cache scan at all.
     assert n_sha <= 14, f"corpus text re-hashed outside the index: {n_sha}"
     assert n_tok <= 14, f"corpus text re-tokenized outside the index: {n_tok}"
     assert "CartesianProduct" not in plan

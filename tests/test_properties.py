@@ -2004,3 +2004,77 @@ def test_suffix_lcp_spans_match_brute_force(spark, docs, params):
         assert r["n_spans"] == runs, (di, dict(r.asDict()), want[di])
         assert r["dup_tokens"] == mass, (di, dict(r.asDict()), want[di])
         assert r["max_match"] == doc_max, (di, dict(r.asDict()), want[di])
+
+
+def test_rounded_ratio_columns_off_tie_grid(spark, sf_dir):
+    """ADVICE r10: several hash-oracled outputs ship ROUND(x, 6)
+    doubles, and Spark (HALF_UP on shortest-repr) vs DuckDB
+    (binary-scaled) are known to diverge when x sits exactly on (or
+    within a ulp of) the .5 tie grid at the 6th decimal (the measured
+    C134 divergence class). For every rounded ratio whose numerator
+    and denominator ship IN the output as exact integers, recompute
+    the pre-rounded value with exact rational arithmetic and assert it
+    sits >= 1e-9 away from the tie grid — a fixture change that moves
+    a value onto the grid fails here first, not as a silent oracle
+    divergence."""
+    from fractions import Fraction
+
+    from etl_spark_eks_spark import registry
+
+    registry.load_all()
+
+    def tie_distance(num: int, den: int) -> float:
+        # distance of frac(num*1e6/den) from 0.5, exact
+        f = Fraction(num * 10**6, den)
+        frac = f - (f.numerator // f.denominator)
+        return abs(float(frac - Fraction(1, 2)))
+
+    checks = []  # (query, ratio description, num, den)
+    for r in registry.QUERIES["q_c129_suffix_lcp_spans"](
+        spark, sf_dir
+    ).collect():
+        checks.append(
+            ("q_c129.dup_frac", r["dup_tokens"], r["n_tokens"])
+        )
+    for r in registry.QUERIES["q_c131_fertility_audit"](
+        spark, sf_dir
+    ).collect():
+        if r["n_chars"]:
+            checks.append(("q_c131.fertility", r["n_tokens"], r["n_chars"]))
+    c139 = registry.QUERIES["q_c139_fertility_drilldown"](
+        spark, sf_dir
+    ).collect()
+    lang_tot = {}
+    for r in c139:
+        lt, lc = lang_tot.get(r["lang"], (0, 0))
+        lang_tot[r["lang"]] = (lt + r["n_tokens"], lc + r["n_chars"])
+    for r in c139:
+        lt, lc = lang_tot[r["lang"]]
+        checks.append(("q_c139.fertility", r["n_tokens"], r["n_chars"]))
+        checks.append(("q_c139.lang_fertility", lt, lc))
+        # ratio = (t_s/c_s)/(lt/lc) = t_s*lc / (c_s*lt), exact
+        checks.append(("q_c139.ratio", r["n_tokens"] * lc, r["n_chars"] * lt))
+    for r in registry.QUERIES["q_c133_translated_shingle_alignment"](
+        spark, sf_dir
+    ).collect():
+        checks.append(
+            (
+                "q_c133.jaccard",
+                r["n_shared"],
+                r["n_a"] + r["n_b"] - r["n_shared"],
+            )
+        )
+    for r in registry.QUERIES["q_c138_concept_containment_matrix"](
+        spark, sf_dir
+    ).collect():
+        checks.append(("q_c138.containment", r["n_shared"], r["n_src"]))
+    assert checks
+    offenders = [
+        (name, num, den)
+        for name, num, den in checks
+        if den and tie_distance(num, den) < 1e-9
+    ]
+    assert not offenders, (
+        f"rounded ratios on the 6dp tie grid (cross-engine ROUND "
+        f"divergence risk): {offenders[:5]}"
+    )
