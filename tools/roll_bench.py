@@ -17,7 +17,14 @@ makes it a committed, repeatable step:
   contention swings single runs up to ~3x in both directions, SCALE.md
   r9 calibration note);
 - the provenance argument is prepended so BENCH.json carries its own
-  history.
+  history;
+- --rebaseline=k1,k2 RESETS those keys' mins to the fresh measured
+  value even if higher — for keys whose official implementation
+  legitimately changed its floor (r10 precedent: the streaming cohort
+  re-baselined at its measured engine floor; r11: the oracle
+  conversions that traded the xxhash64/numpy fast paths for
+  engine-portable arithmetic). The provenance note must say why; a
+  rebaseline without a reason in the note is a review flag.
 
 Exit code: 0 always (flags are advisory — adjudication is a human/
 agent step by contract, not a gate).
@@ -33,18 +40,27 @@ _REPO = Path(__file__).resolve().parent.parent
 
 
 def main() -> int:
-    note = sys.argv[1] if len(sys.argv) > 1 else "roll_bench merge"
+    args = [a for a in sys.argv[1:] if not a.startswith("--rebaseline=")]
+    rebase: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--rebaseline="):
+            rebase = {k for k in a.split("=", 1)[1].split(",") if k}
+    note = args[0] if args else "roll_bench merge"
     bench_path = _REPO / "BENCH.json"
     bench = json.loads(bench_path.read_text())
     mins = bench["queries"]
     new = json.loads((_REPO / "BENCH_DETAIL.json").read_text())["queries"]
 
-    flags, improved, added = [], 0, 0
+    flags, improved, added, rebased = [], 0, 0, []
     for k, v in new.items():
         old = mins.get(k)
         if old is None:
             mins[k] = v
             added += 1
+            continue
+        if k in rebase:
+            rebased.append((k, old, v))
+            mins[k] = v
             continue
         if v > 2 * old:
             flags.append((k, old, v))
@@ -67,6 +83,10 @@ def main() -> int:
                 "new_keys": added,
                 "flags_over_2x": [
                     {"query": k, "min": o, "run": v} for k, o, v in flags
+                ],
+                "rebaselined": [
+                    {"query": k, "old_min": o, "new_min": v}
+                    for k, o, v in rebased
                 ],
             }
         )
