@@ -3739,17 +3739,33 @@ def suffix_lcp_positions(
     position, the exact maximal match length in [g, cap] as
     (doc_id, n_tokens, pos, match_len) — UNFILTERED; callers apply
     their threshold. Contract and shape notes on suffix_lcp_spans /
-    q_c129."""
+    q_c129.
+
+    Suffix keys are TOKEN HASHES, not token strings (round 11, the r10
+    slope-watch task): the shuffle carries cap longs per position
+    instead of cap UTF8 strings, and the bucket-local sort compares
+    longs instead of strings. Correctness is relabeling-invariance:
+    match_len is the max LCP over all other suffixes — an order-FREE
+    quantity the sorted-neighbor property recovers under ANY total
+    order of any injectively relabeled alphabet, so hashing changes
+    the sort order inside buckets but not one match_len (up to the
+    documented 2^-64 xxhash64 token-collision class shared with
+    shingle_hashes, which is also why the string-token SQL oracle
+    still matches exactly)."""
     toks = (
         widen(d)
-        .select("doc_id", tokenize("text").alias("toks"))
-        .where(F.size("toks") >= g)
+        .select("doc_id", tokenize("text").alias("t"))
+        .where(F.size("t") >= g)
+        .select(
+            "doc_id", F.size("t").alias("n_tokens"),
+            ordered_token_hashes("t").alias("toks"),
+        )
         .select(
             "doc_id",
-            F.size("toks").alias("n_tokens"),
+            "n_tokens",
             F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (g - 1)),
+                    F.sequence(F.lit(1), F.col("n_tokens") - (g - 1)),
                     lambda p: F.slice("toks", p, cap),
                 )
             ).alias("idx", "suf"),
