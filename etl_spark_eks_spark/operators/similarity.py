@@ -1700,7 +1700,8 @@ def q_c97_semdedup(spark, sf_dir):
     Clustering is a deterministic 8-bit sign signature over the
     first 8 dims, NOT kmeans: sign buckets are SQL-expressible so
     the whole operator is oracle-checked end to end (the paper's
-    kmeans step is C30, which is rows-only by nature — swap it in at
+    kmeans step is C30 — since round 11 also hash-oracled via the
+    declarative Lloyd, as C127 demonstrates; swap it in at
     deployment and this operator's join/verdict machinery is
     unchanged). Identical vectors share every sign, so clones can
     never escape their source's bucket — the planted positives (20
@@ -1944,8 +1945,10 @@ def q_c127_semdedup(spark, sf_dir):
     at the historical k=8), and the quadratic pair stage runs per
     cluster, never per corpus; the component fold touches only
     edge-connected docs (planted pairs), and the final verdict join
-    is corpus x (tiny components table). Cluster assignment is one
-    vectorized pandas-UDF pass with a k x dim closure matrix.
+    is corpus x (tiny components table). Cluster assignment is the
+    declarative exact-arithmetic Lloyd (round 11 — one broadcast
+    k x dim centroid-table fold pass per round, which is also what
+    makes the whole operator hash-oracled end to end).
     Probe-measured at 10x/30x replicas (SCALE.md round 9): the k
     policy is what keeps the gram stage near-linear."""
     from etl_spark_eks_spark.operators.dedup import connected_components
@@ -2097,8 +2100,9 @@ def q_c134_pq_codebook_refine(spark, sf_dir):
     code, dim) with old/new centroid and the cell's population —
     joinable back into C21 the way C118's parameter table feeds C8.
 
-    Unlike C21/C30 (pandas-UDF closures, rows-only contracts), this
-    round is PURE Catalyst and hash-oracled end to end: assignment is
+    The first PURE-Catalyst, hash-oracled Lloyd round in the repo
+    (round 11 then retrofitted its recipe onto C30/C44/C127 and the
+    ANN cohort, so the whole ladder is now oracle-checked): assignment is
     a 128-row codebook BROADCAST join (the corpus never shuffles for
     it — the 16x candidate fan-out collapses back to one row per
     (vec, subspace) by a map-side-combined min_by partial BEFORE the

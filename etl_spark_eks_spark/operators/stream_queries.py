@@ -5,10 +5,13 @@ re-expressed Spark-native.
 
 The driver contract needs a batch DataFrame back, so each query runs its
 stream to completion into a parquet sink, then returns the read-back.
-B48/B49 are rows-only (append-mode watermarking withholds still-open
-windows, so the result is a strict subset of the batch answer — asserted
-in tests/test_streaming.py); B50 is a stateless transform, so its
-read-back equals the batch query exactly and carries a SQL oracle.
+Since round 11 every streaming key carries a full SQL oracle: append
+mode's withheld-open-window semantics are CLOSED-FORM under availableNow
+(the final watermark is max(event time) - delay, so the sealed set is
+the batch answer under a seal predicate — q_b48/q_b98/q_b74), dedup's
+exactly-once output is the projected input (q_b49), and stateless
+transforms equal their batch queries outright (B50). The containment
+invariants in tests/test_streaming.py remain as the mechanism checks.
 """
 
 from __future__ import annotations
