@@ -287,70 +287,106 @@ def portable_perceptual_hashes(
     guarantee (Hamming <= 3 shares a band) and effectively the same
     collision floor (n^2/2^30).
 
-    Declarative per-row Catalyst expressions end to end: hex() the
-    payload once, parse words with conv(), one md5 per word, two
-    bit-count folds — payload bytes still never cross partitions."""
+    Shape: hex() the payload once, EXPLODE the word index (words are
+    rows, not interpreted array folds — higher-order lambdas have no
+    codegen and the 75-words x 120-bits fold form measured 8.5 s at
+    sf0.1; this form runs the md5 + 120 conditional SUMs inside
+    whole-stage codegen), aggregate the per-bit vote counts back to
+    one row per doc, majority-pack. The only exchange carries
+    (doc_id, hi, lo) longs — payload bytes never cross partitions —
+    and the doc_id groupBy is map-side-combined. Docs with no full
+    word (len < 4) re-enter via the left join with phash 0, matching
+    _phash128's empty contract."""
+    n_bits = 60
     hx = F.hex(F.col(binary_col))
     n4 = (F.length(F.col(binary_col)) / 4).cast("int")
 
-    def word(i):
-        off = (i - 1) * 8
+    def byte(k):
+        # byte k of word i: hex pair at offset (i-1)*8 + 2k
+        return F.conv(
+            F.substring(
+                "hx", (F.col("i") - 1) * 8 + 2 * k + 1, 2
+            ).cast("string"),
+            16,
+            10,
+        ).cast("long")
 
-        def byte(k):
-            return F.conv(F.substring(hx, off + 2 * k + 1, 2), 16, 10).cast(
-                "long"
-            )
-
-        return (
-            byte(0) + byte(1) * 256 + byte(2) * 65536 + byte(3) * 16777216
+    words = (
+        widen(df)
+        .select(F.col(id_col).alias("doc_id"), hx.alias("hx"), n4.alias("n4"))
+        .where(F.col("n4") >= 1)
+        .select(
+            "doc_id",
+            "hx",
+            F.explode(F.sequence(F.lit(1), F.col("n4"))).alias("i"),
         )
-
-    md5s = F.when(
-        n4 >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n4), lambda i: F.md5(word(i).cast("string"))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    def half(lo_off: int) -> Column:
-        return F.transform(
-            F.col("md5s"),
-            lambda m: F.conv(F.substring(m, lo_off, 15), 16, 10).cast("long"),
+        .select(
+            "doc_id",
+            F.md5(
+                (
+                    byte(0)
+                    + byte(1) * 256
+                    + byte(2) * 65536
+                    + byte(3) * 16777216
+                ).cast("string")
+            ).alias("m"),
         )
-
-    n_bits = 60
-    zeros = F.array(*[F.lit(0) for _ in range(n_bits)])
-
-    def bit_counts(hash_arr: Column) -> Column:
-        def contrib(h: Column) -> Column:
-            return F.array(
-                *[
-                    F.shiftright(h, k).bitwiseAND(F.lit(1)).cast("int")
-                    for k in range(n_bits)
-                ]
-            )
-
-        return F.aggregate(
-            hash_arr,
-            zeros,
-            lambda acc, h: F.zip_with(acc, contrib(h), lambda a, b: a + b),
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("m", 17, 15), 16, 10).cast("long").alias("lo"),
         )
-
-    def majority_pack(counts: Column) -> Column:
-        return F.aggregate(
-            F.reverse(counts),
-            F.lit(0).cast("long"),
-            lambda acc, c: acc * 2
-            + F.when(c * 2 > F.col("n4"), 1).otherwise(0),
-        )
-
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), md5s.alias("md5s"), n4.alias("n4")
     )
-    return staged.select(
-        "doc_id",
-        majority_pack(bit_counts(half(1))).alias("phash_hi"),
-        majority_pack(bit_counts(half(17))).alias("phash_lo"),
+    # 120 per-bit vote counters would be 121 aggregate columns — past
+    # spark.sql.codegen.maxFields (100), which silently drops the whole
+    # aggregate out of codegen (measured: 6.5 s at sf0.1). Pack 3
+    # counters per long (21-bit fields; sound while a payload has
+    # < 2^21 = 2M words, i.e. 8 MB — the documented bound), so the
+    # aggregate is 41 codegen'd SUMs and the counters unpack in the
+    # projection above it.
+    FIELD = 21
+    MASK = (1 << FIELD) - 1
+
+    def ctr(col: Column, j: int) -> Column:
+        return sum(
+            F.shiftleft(
+                F.shiftright(col, 3 * j + s).bitwiseAND(F.lit(1)), FIELD * s
+            )
+            for s in range(3)
+        )
+
+    votes = words.groupBy("doc_id").agg(
+        F.count("*").alias("nw"),
+        *[
+            F.sum(ctr(col, j)).alias(f"{n}{j}")
+            for n, col in (("h", F.col("hi")), ("l", F.col("lo")))
+            for j in range(n_bits // 3)
+        ],
+    )
+
+    def pack(prefix: str) -> Column:
+        out = F.lit(0).cast("long")
+        for k in range(n_bits):
+            j, s = divmod(k, 3)
+            cnt = F.shiftright(F.col(f"{prefix}{j}"), FIELD * s).bitwiseAND(
+                F.lit(MASK)
+            )
+            out = out + F.when(
+                cnt * 2 > F.col("nw"), F.lit(1 << k)
+            ).otherwise(0).cast("long")
+        return out
+
+    packed = votes.select(
+        "doc_id", pack("h").alias("phash_hi"), pack("l").alias("phash_lo")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("phash_hi", F.lit(0).cast("long")).alias("phash_hi"),
+            F.coalesce("phash_lo", F.lit(0).cast("long")).alias("phash_lo"),
+        )
     )
 
 
