@@ -4040,6 +4040,141 @@ def q_c139_fertility_drilldown(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C143: per-source fertility TREND (C139 over ingestion epochs; the
+# longitudinal form of C41's snapshot drift report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c143_fertility_trend",
+    oracle=r"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    cells AS (
+      SELECT source, (doc_id * 4) // (SELECT m FROM mx) AS epoch,
+             CAST(SUM(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS t,
+             CAST(SUM(n_chars) AS BIGINT) AS c
+      FROM documents
+      GROUP BY source, epoch
+    ),
+    f AS (
+      SELECT source, epoch, CAST(t AS DOUBLE) / c AS f FROM cells
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_epochs,
+             CAST(SUM(epoch) AS BIGINT) AS se,
+             CAST(SUM(epoch * epoch) AS BIGINT) AS se2,
+             list_sum(list(f ORDER BY epoch)) AS sf_,
+             list_sum(list(epoch * f ORDER BY epoch)) AS sef
+      FROM f GROUP BY source
+    ),
+    sl AS (
+      SELECT source, n_epochs,
+             (n_epochs * sef - se * sf_)
+               / (n_epochs * se2 - se * se) AS slope
+      FROM s WHERE n_epochs >= 2
+    )
+    SELECT source, n_epochs, slope,
+           CAST(rnk AS INTEGER) AS drift_rank,
+           rnk <= 3 AS on_watch_list
+    FROM (SELECT source, n_epochs, slope,
+                 ROW_NUMBER() OVER (ORDER BY abs(slope) DESC, source)
+                   AS rnk
+          FROM sl)
+    ORDER BY drift_rank
+    """,
+)
+def q_c143_fertility_trend(spark, sf_dir):
+    """C143 (extension, round 11): per-source fertility TREND — the
+    longitudinal form of C41's snapshot drift report and the third
+    rung of the fertility ladder (C131 audits languages against a
+    reference, C139 localizes to sources, this watches sources over
+    TIME): the corpus is split into 4 ingestion epochs (doc_id range
+    quarters — the id is the arrival-order proxy this fixture has),
+    each (source, epoch) cell's fertility is the exact-integer
+    tokens/chars ratio, and each source gets the least-squares SLOPE
+    of fertility over its present epochs — the "this feed's tokenizer
+    behavior is drifting" signal that fires while per-snapshot
+    z-scores still look normal. The verdict is RANK-based (top-3
+    |slope| = the watch list, ties by source) rather than a fixed
+    threshold: measured slopes shrink ~5x from sf0.01 to sf0.1 (they
+    are sampling noise on this synthetic corpus), so any constant
+    threshold would starve one branch at some scale, while a pager's
+    top-movers list is scale-free and both verdict branches always
+    carry rows.
+
+    Numerics: the slope is a closed form over exact BIGINT epoch sums
+    and per-epoch ratio doubles; the two double accumulations (sum f,
+    sum e*f) fold in EPOCH ORDER on both engines (Spark: sequential
+    aggregate over array_sort(collect_list); DuckDB: list_sum over
+    list(... ORDER BY epoch) — the proven fold-equal pair), so the
+    slope doubles are bit-identical and ship UNROUNDED (C134's
+    lesson).
+
+    Scale: one map-side-combined corpus aggregate to
+    |sources| x 4 cells; everything after is sources-sized. The
+    1-row max-id fold broadcasts (the C26 class)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    cells = (
+        widen(d)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            F.expr("(doc_id * 4) div m").alias("epoch"),
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+                )
+            ).alias("tk"),
+            "n_chars",
+        )
+        .groupBy("source", "epoch")
+        .agg(
+            F.sum("tk").cast("bigint").alias("t"),
+            F.sum("n_chars").cast("bigint").alias("c"),
+        )
+    )
+    f = cells.select(
+        "source", "epoch", (F.col("t").cast("double") / F.col("c")).alias("f")
+    )
+
+    def ordered_sum(expr_col):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("epoch", expr_col.alias("v")))),
+            lambda x: x["v"],
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    s = f.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_epochs"),
+        F.sum("epoch").cast("bigint").alias("se"),
+        F.sum(F.col("epoch") * F.col("epoch")).cast("bigint").alias("se2"),
+        ordered_sum(F.col("f")).alias("sf_"),
+        ordered_sum(F.col("epoch") * F.col("f")).alias("sef"),
+    )
+    slope = (
+        F.col("n_epochs") * F.col("sef") - F.col("se") * F.col("sf_")
+    ) / (F.col("n_epochs") * F.col("se2") - F.col("se") * F.col("se"))
+    sl = s.where(F.col("n_epochs") >= 2).select(
+        "source", "n_epochs", slope.alias("slope")
+    )
+    w = Window.orderBy(F.abs("slope").desc(), "source")
+    return (
+        sl.withColumn("drift_rank", F.row_number().over(w))
+        .select(
+            "source",
+            "n_epochs",
+            "slope",
+            "drift_rank",
+            (F.col("drift_rank") <= 3).alias("on_watch_list"),
+        )
+        .orderBy("drift_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # C132: per-domain empirical-Bayes quality-prior smoothing
 # ---------------------------------------------------------------------------
 

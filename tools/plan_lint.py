@@ -55,6 +55,7 @@ ALLOW_CARTESIAN = {
     "q_c41_source_drift",      # snapshot x snapshot distribution compare (sources-sized)
     "q_c105_quality_rate_confidence",  # 1-row corpus-rate broadcast (C26's class)
     "q_c132_quality_prior_smoothing",  # 1-row moment-fold prior broadcast (C105's class)
+    "q_c143_fertility_trend",  # 1-row max-id fold broadcast (C26's class; epoch derivation)
     "q_c136_noise_corrected_prior",  # same 1-row moment-fold class as q_c132
     "q_c137_pq_distortion_trajectory",  # 3x 1-row (distortion, moved) trajectory folds
     "q_c76_epoch_upsample",    # 1-row budget x language-count rate table (docstring: zero corpus shuffle)
@@ -80,6 +81,7 @@ ALLOW_SINGLE_PART = {
     # rows built from partial-aggregated counts — the single partition
     # holds the k-byte final fold, never corpus rows
     "q_c103_dup_rate_estimation",   # 1-row six-count conditional agg
+    "q_c143_fertility_trend",       # global drift-rank window over the sources-sized slope table (~20 rows at any corpus size)
     "q_c119_id_anonymization_audit",  # 1-row collision-audit fold
     "q_c122_post_dedup_mix_report",   # 1-row mixture-total fold
     "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
