@@ -2068,6 +2068,10 @@ def test_rounded_ratio_columns_off_tie_grid(spark, sf_dir):
         spark, sf_dir
     ).collect():
         checks.append(("q_c138.containment", r["n_shared"], r["n_src"]))
+    for r in registry.QUERIES["q_c141_containment_drilldown"](
+        spark, sf_dir
+    ).collect():
+        checks.append(("q_c141.containment", r["n_contained"], r["n_doc"]))
     assert checks
     offenders = [
         (name, num, den)
