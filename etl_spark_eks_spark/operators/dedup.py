@@ -4344,15 +4344,18 @@ def q_c141_containment_drilldown(spark, sf_dir):
         "doc_id",
         F.col("lang").alias("lang_src"),
         F.explode(F.array_distinct(shingles(F.col("cs"), 3))).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
+    # The lang-level shingle table is a CONTRACTION of the doc-level
+    # one — derive it instead of re-running the whole dictionary
+    # pipeline through concept_shingle_table (one corpus pass, not
+    # two; measured 5.3 s -> ~3 s at sf0.1); three consumers read the
+    # checkpointed docsh.
     sized = docsh.groupBy("doc_id", "lang_src").agg(
         F.count("*").cast("long").alias("n_doc")
     )
-    sh = concept_shingle_table(spark, sf_dir)
+    sh = docsh.select(F.col("lang_src").alias("lang_dst"), "s").distinct()
     hits = (
-        docsh.join(
-            sh.select(F.col("lang").alias("lang_dst"), "s"), "s"
-        )
+        docsh.join(sh, "s")
         .where(F.col("lang_dst") != F.col("lang_src"))
         .groupBy("doc_id", "lang_src", "lang_dst")
         .agg(F.count("*").cast("long").alias("n_contained"))
