@@ -46,11 +46,14 @@ if _REPO not in sys.path:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = None
+    round_arg = os.environ.get("SPARK_GRAFT_ROUND")
     for arg in sys.argv[1:]:
         if arg.startswith("--only="):
             only = set(arg.split("=", 1)[1].split(","))
         elif arg.startswith("--sf-dir="):
             sf_dir = arg.split("=", 1)[1]
+        elif arg.startswith("--round="):
+            round_arg = arg.split("=", 1)[1]
 
     # sf encoded in the dir name, e.g. .../sf0.1 -> 0.1
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -173,15 +176,22 @@ def main() -> int:
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     # Per-round archive (r10 verdict task 3): BENCH_DETAIL.json alone is
     # overwritten every round, losing per-query attribution to git
-    # archaeology. The CURRENT round is the one whose BENCH_r{N}.json
-    # the driver has not written yet, i.e. max existing + 1; repeated
-    # local runs within a round just refresh the same archive file.
-    rounds = [
-        int(p.stem.split("_r")[-1])
-        for p in Path(_REPO).glob("BENCH_r*.json")
-        if p.stem.split("_r")[-1].isdigit()
-    ]
-    this_round = max(rounds, default=0) + 1
+    # archaeology. Round attribution (r11 advice): `--round=N` (or
+    # $SPARK_GRAFT_ROUND) pins the round explicitly — builders should
+    # pass it for local reruns, because the max(BENCH_r*)+1 fallback
+    # misattributes any run that happens AFTER the driver writes the
+    # current round's BENCH_r{N}.json at round close. The fallback
+    # stays correct for the driver itself (its bench run precedes its
+    # BENCH_r{N} write).
+    if round_arg is not None:
+        this_round = int(round_arg)
+    else:
+        rounds = [
+            int(p.stem.split("_r")[-1])
+            for p in Path(_REPO).glob("BENCH_r*.json")
+            if p.stem.split("_r")[-1].isdigit()
+        ]
+        this_round = max(rounds, default=0) + 1
     (Path(_REPO) / f"BENCH_DETAIL_r{this_round:02d}.json").write_text(
         json.dumps(detail, indent=1) + "\n"
     )

@@ -214,8 +214,13 @@ def simhash32(tokens: Column | str) -> Column:
 # verified bit-equal for N=8 since round 2 and for N=15 in round 11. Per-seed
 # MinHash permutations are (a_s*h + b_s) mod P over P = 2^31-1 (the classic
 # universal family, Spark MinHashLSH's shape) with sha256-derived plan-time
-# constants — integer-exact on both engines, no overflow (a,h < 2^31 and
-# 2^62 + 2^31 < 2^63). Cost vs the fast path: one md5 per token instead of
+# constants — integer-exact on both engines, no overflow: a,b <= 2^31-2 and
+# h <= 2^32-1 (portable_hash32 is 8 hex chars = 32 bits, NOT 31), so
+# max(a*h + b) = (2^31-2)*(2^32-1) + (2^31-2) = 2^63 - 2^33 — inside signed
+# 64-bit with only ~2^33 headroom. Any widening of portable_hash32 (e.g. 9
+# hex chars) overflows silently on Spark (non-ANSI wraps) while DuckDB
+# errors — divergent engines; test_portable_hash32_width_contract pins the
+# 32-bit width. Cost vs the fast path: one md5 per token instead of
 # one xxhash64, then integer ops per seed — same plan shape, same
 # shuffle-free per-row evaluation.
 

@@ -4361,7 +4361,7 @@ def q_c141_containment_drilldown(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_contained"))
     )
     return (
-        hits.join(F.broadcast(sized), ["doc_id", "lang_src"])
+        hits.join(sized, ["doc_id", "lang_src"])
         .where(
             (F.col("n_doc") >= 3)
             & (

@@ -917,7 +917,7 @@ def _c39_oracle(dim: int = 64, rdim: int = 24, rerank: int = 64,
     R = np.random.default_rng(42).standard_normal((dim, rdim)) / np.sqrt(rdim)
     cols = []
     for j in range(rdim):
-        lit = "[" + ", ".join(repr(R[i, j]) for i in range(dim)) + "]"
+        lit = "[" + ", ".join(repr(float(R[i, j])) for i in range(dim)) + "]"
         cols.append(f"CAST({_dot_sql('embedding', lit)} AS FLOAT)")
     proj = "[" + ", ".join(cols) + "]"
     return f"""

@@ -65,6 +65,109 @@ def test_minhash_candidates_superset_of_near_dups(spark, sf_dir):
     assert not missed, f"LSH missed true near-dups: {sorted(missed)[:5]}"
 
 
+def test_minhash_xxhash64_fast_arm_invariants(spark, sf_dir):
+    """C8 fast arm (r11 verdict task 3): the production xxhash64 family
+    the docstrings point users to at 100 TB must honor the SAME output
+    contract as the oracled portable family — deterministic, identical
+    docs collapse into candidate pairs, and true near-dups (J >= 0.85)
+    are never missed. Without this the fast arm is dead-untested code."""
+    from etl_spark_eks_spark.operators.dedup import minhash_lsh_candidates
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    run = lambda df: {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in minhash_lsh_candidates(
+            df, "text", "doc_id", n_hashes=32, n_bands=16,
+            family="xxhash64",
+        ).collect()
+    }
+    c1, c2 = run(d), run(d)
+    assert c1 == c2, "xxhash64 minhash arm must be deterministic"
+    truth = {
+        (r["d1"], r["d2"])
+        for r in exact_jaccard_pairs(spark, sf_dir, 0.85).collect()
+    }
+    assert truth, "fixture should contain near-dup pairs"
+    missed = truth - c1
+    assert not missed, f"fast arm missed true near-dups: {sorted(missed)[:5]}"
+    # identical-docs collapse: every clone pair (id, id+N) must be a
+    # candidate — an identical token multiset yields an identical
+    # signature, hence shares every band bucket
+    n = 1_000_000
+    cloned = d.unionByName(
+        d.select((F.col("doc_id") + n).alias("doc_id"), "text")
+    )
+    cc = run(cloned)
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    for i in ids:
+        assert (i, i + n) in cc, f"clone pair ({i},{i + n}) not a candidate"
+
+
+def test_simhash_xxhash64_fast_arm_invariants(spark, sf_dir):
+    """C9 fast arm (r11 verdict task 3): determinism, the Hamming
+    threshold bound on every reported pair, and identical-docs collapse
+    to Hamming-0 pairs — the invariants test_media_phash_neardup_invariants
+    pins for the phash fast arm, applied to simhash_near_dedup."""
+    from etl_spark_eks_spark.operators.dedup import simhash_near_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    run = lambda df: {
+        (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+        for r in simhash_near_dedup(
+            df, "text", "doc_id", max_hamming=4, family="xxhash64",
+        ).collect()
+    }
+    p1, p2 = run(d), run(d)
+    assert p1 == p2, "xxhash64 simhash arm must be deterministic"
+    for (d1, d2), h in p1.items():
+        assert d1 < d2
+        assert 0 <= h <= 4, f"pair ({d1},{d2}) violates Hamming bound: {h}"
+    n = 1_000_000
+    cloned = d.unionByName(
+        d.select((F.col("doc_id") + n).alias("doc_id"), "text")
+    )
+    cc = run(cloned)
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    for i in ids:
+        assert cc.get((i, i + n)) == 0, (
+            f"clone pair ({i},{i + n}) must be a Hamming-0 pair"
+        )
+
+
+def test_portable_hash32_width_contract(spark):
+    """functions/text.py overflow headroom (r11 advice): the portable
+    minhash family's no-overflow argument requires h < 2^32 EXACTLY —
+    a,b <= 2^31-2 gives max(a*h+b) = 2^63 - 2^33, inside signed 64-bit
+    with only ~2^33 headroom, so any widening of portable_hash32 (9+ hex
+    chars) silently wraps on Spark while DuckDB errors. Pin the width
+    against hashlib and assert the bound arithmetic."""
+    import hashlib
+
+    from etl_spark_eks_spark.functions.text import (
+        MH_PRIME,
+        portable_coeff,
+        portable_hash32,
+    )
+
+    words = ["alpha", "bravo", "", "日本語", "x" * 300]
+    got = {
+        r["w"]: r["h"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", portable_hash32("w").alias("h"))
+        .collect()
+    }
+    for w in words:
+        expect = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        assert got[w] == expect, f"width drift for {w!r}"
+        assert 0 <= got[w] < 2**32
+    a_max = b_max = MH_PRIME - 1  # coeff range [1, MH_PRIME-1]
+    assert a_max == 2**31 - 2
+    assert a_max * (2**32 - 1) + b_max == 2**63 - 2**33
+    assert a_max * (2**32 - 1) + b_max < 2**63
+    for s in range(8):
+        assert 1 <= portable_coeff("mh_a", s) <= MH_PRIME - 1
+
+
 def test_exact_dups_share_fingerprint_and_simhash(spark, sf_dir):
     """C12/C9: identical texts must collapse to identical fingerprints
     and SimHash values (hash determinism). The fixture at sf0.001 has no
