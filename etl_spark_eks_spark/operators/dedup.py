@@ -4264,10 +4264,10 @@ def q_c138_concept_containment_matrix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_c141_containment_drilldown",
-    oracle=f"""
-    WITH {_CONCEPT_SH_SQL}, docsh AS (
+# CTE chain shared by q_c141 (the drill-down) and q_c144 (its arrival-
+# epoch time view): everything through the per-(doc, dst-lang) flagged
+# containment candidates.
+_C141_FLAGGED_SQL = f"""{_CONCEPT_SH_SQL}, docsh AS (
       SELECT doc_id, lang AS lang_src,
              unnest(list_distinct(list_transform(
                range(1, greatest(len(cs) - 2, 0) + 1),
@@ -4283,15 +4283,25 @@ def q_c138_concept_containment_matrix(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n_contained
       FROM docsh d JOIN sh ON sh.s = d.s AND sh.lang <> d.lang_src
       GROUP BY d.doc_id, d.lang_src, sh.lang
-    )
-    SELECT h.doc_id, h.lang_src, h.lang_dst, z.n_doc, h.n_contained,
-           ROUND(CAST(h.n_contained AS DOUBLE) / z.n_doc, 6)
-             AS containment
-    FROM hits h JOIN sized z
-      ON z.doc_id = h.doc_id AND z.lang_src = h.lang_src
-    WHERE z.n_doc >= 3
-      AND CAST(h.n_contained AS DOUBLE) >= 0.8 * z.n_doc - 1e-9
-    ORDER BY h.doc_id, h.lang_dst
+    ),
+    flagged AS (
+      SELECT h.doc_id, h.lang_src, h.lang_dst, z.n_doc, h.n_contained,
+             ROUND(CAST(h.n_contained AS DOUBLE) / z.n_doc, 6)
+               AS containment
+      FROM hits h JOIN sized z
+        ON z.doc_id = h.doc_id AND z.lang_src = h.lang_src
+      WHERE z.n_doc >= 3
+        AND CAST(h.n_contained AS DOUBLE) >= 0.8 * z.n_doc - 1e-9
+    )"""
+
+
+@query(
+    "q_c141_containment_drilldown",
+    oracle=f"""
+    WITH {_C141_FLAGGED_SQL}
+    SELECT doc_id, lang_src, lang_dst, n_doc, n_contained, containment
+    FROM flagged
+    ORDER BY doc_id, lang_dst
     """,
 )
 def q_c141_containment_drilldown(spark, sf_dir):
@@ -4315,6 +4325,16 @@ def q_c141_containment_drilldown(spark, sf_dir):
     shingle, volume bounded by doc-shingle count x matching langs,
     never a doc x doc pair stage. Output rows are capped by
     |docs| x |langs|."""
+    return _containment_flagged(spark, sf_dir).orderBy("doc_id", "lang_dst")
+
+
+def _containment_flagged(spark, sf_dir) -> DataFrame:
+    """The flagged-candidate table q_c141 reports and q_c144 attributes
+    over time: (doc_id, lang_src, lang_dst, n_doc, n_contained,
+    containment) for every doc clearing 80% cross-language concept-
+    shingle containment with >= 3 shingles. One dictionary-pipeline
+    pass over the corpus; see q_c141's docstring for the shape
+    argument. Mirrors the ``flagged`` CTE of _C141_FLAGGED_SQL."""
     d = load_table(spark, sf_dir, "documents")
     dict_rows = [
         (term, lang, concept)
@@ -4379,7 +4399,77 @@ def q_c141_containment_drilldown(spark, sf_dir):
                 F.col("n_contained").cast("double") / F.col("n_doc"), 6
             ).alias("containment"),
         )
-        .orderBy("doc_id", "lang_dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C144: containment arrival epochs (when did the laundered copies land —
+# C141's flagged docs attributed over C143's ingestion epochs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c144_containment_arrival_epochs",
+    oracle=f"""
+    WITH {_C141_FLAGGED_SQL},
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    arr AS (
+      SELECT lang_src, lang_dst,
+             (doc_id * 4) // (SELECT m FROM mx) AS epoch,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM flagged
+      GROUP BY lang_src, lang_dst, epoch
+    )
+    SELECT lang_src, lang_dst, epoch, n_docs,
+           CAST(SUM(n_docs) OVER (PARTITION BY lang_src, lang_dst
+                                  ORDER BY epoch) AS BIGINT) AS cum_docs
+    FROM arr
+    ORDER BY lang_src, lang_dst, epoch
+    """,
+)
+def q_c144_containment_arrival_epochs(spark, sf_dir):
+    """C144 (extension, round 12): containment ARRIVAL-EPOCH view —
+    the time axis behind C141's per-document verdicts (the survey's
+    queued C141 x C143 combination): WHEN did each language pair's
+    laundered-copy candidates arrive? C141's flagged docs are
+    attributed to C143's four ingestion epochs (doc_id range quarters,
+    the arrival-order proxy this fixture has) and counted per
+    (lang_src, lang_dst, epoch), with a running cumulative per pair —
+    the arrival CURVE a contamination review reads to separate "one
+    bad backfill batch" (a single-epoch step) from "an ongoing
+    laundering feed" (monotone growth across epochs). Epochs with no
+    arrivals are absent by construction (a pager row reports events,
+    not the calendar; B83's spine densification is the
+    calendar-completion pattern if a consumer needs it).
+
+    Shape: the flagged table is the SAME single dictionary-pipeline
+    pass as q_c141 (_containment_flagged — |flagged docs| x |langs|
+    rows, corpus touched once); epoch attribution is a 1-row max-id
+    broadcast fold (C143's class, lint-allowlisted) + one map-side-
+    combined aggregate to |lang-pairs| x 4 cells; the cumulative
+    window partitions by pair over <= 4 rows each. Everything after
+    the flagged stage is pair-count-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    arr = (
+        _containment_flagged(spark, sf_dir)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "lang_src",
+            "lang_dst",
+            F.expr("(doc_id * 4) div m").alias("epoch"),
+        )
+        .groupBy("lang_src", "lang_dst", "epoch")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    w = (
+        Window.partitionBy("lang_src", "lang_dst")
+        .orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        arr.withColumn("cum_docs", F.sum("n_docs").over(w).cast("bigint"))
+        .orderBy("lang_src", "lang_dst", "epoch")
     )
 
 

@@ -2852,3 +2852,198 @@ def q_c142_pq_convergence_gate(spark, sf_dir):
         "round long, n_moved long, distortion double,"
         " rel_improvement double, converged boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# C145: convergence-gated IVF coarse-quantizer trainer (C142's gate for
+# C17's cells, with the occupancy stats an IVF layout is judged by)
+# ---------------------------------------------------------------------------
+
+_C145_K = 16  # C17's quantizer size (the 16-cell coarse codebook)
+_C145_EPS = 0.01  # same diminishing-returns bound as the C140 gate
+_C145_MAX_ROUNDS = 4  # hard cap; gate measured firing at rounds 2-3
+# across sf0.001/0.01/0.1 (rel trajectories ~0.40 -> 0.005-0.010 —
+# closest gate decision 0.01012 vs the 0.01 bound at sf0.01, a 1.2e-4
+# absolute margin over doubles that are bit-identical on both engines)
+
+
+def _c145_oracle() -> str:
+    """q_c145's oracle: the unrolled declarative Lloyd chain at C17's
+    k=16 (the same _kmeans_cte_sql engine as q_c140), with two
+    occupancy columns per round — occupied cells and the largest
+    cell's member count — read straight off each assignment CTE as
+    exact integer aggregates."""
+    rounds = _C145_MAX_ROUNDS + 1
+    traj = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({r} AS BIGINT) AS round,
+             {'CAST(0 AS BIGINT)' if r == 0 else
+              f'(SELECT CAST(COUNT(*) AS BIGINT) FROM a{r} JOIN a{r-1}'
+              f' USING (vec_id) WHERE a{r}.cluster <> a{r-1}.cluster)'}
+               AS n_moved,
+             (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+              FROM a{r}) AS distortion,
+             (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) FROM a{r})
+               AS n_nonempty,
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM a{r} GROUP BY cluster))
+               AS max_cell_n"""
+        for r in range(rounds)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    {_kmeans_cte_sql(str(_C145_K), rounds, 64)},
+    traj AS (
+{traj}
+    ),
+    t2 AS (
+      SELECT round, n_moved, distortion, n_nonempty, max_cell_n,
+             (LAG(distortion) OVER (ORDER BY round) - distortion)
+               / LAG(distortion) OVER (ORDER BY round) AS rel_improvement
+      FROM traj
+    )
+    SELECT round, n_moved, distortion, rel_improvement,
+           n_nonempty, max_cell_n,
+           COALESCE(rel_improvement < {_C145_EPS}, FALSE) AS converged
+    FROM t2
+    WHERE round <= COALESCE(
+      (SELECT MIN(round) FROM t2
+       WHERE round >= 1 AND rel_improvement < {_C145_EPS}),
+      {_C145_MAX_ROUNDS})
+    ORDER BY round
+    """
+
+
+@query("q_c145_ivf_quantizer_gate", oracle=_c145_oracle())
+def q_c145_ivf_quantizer_gate(spark, sf_dir):
+    """C145 (extension, round 12): convergence-gated IVF COARSE-
+    QUANTIZER trainer — the C142-style gate applied to C17's cells
+    (the survey's queued combination): a driver loop over the
+    declarative exact-arithmetic Lloyd round at k=16 (C17's quantizer
+    size, seeded with the same 16-smallest-vec_ids policy its oracle
+    pins) that stops when a round's relative distortion improvement
+    falls below 1% or at the hard cap. Each executed round's row
+    carries, beyond C140's trace (n_moved, distortion,
+    rel_improvement, converged), the two OCCUPANCY numbers an IVF
+    deployment actually reviews before freezing a quantizer:
+    ``n_nonempty`` (occupied cells — empty cells waste probe budget)
+    and ``max_cell_n`` (the largest cell's member count — the hot
+    cell that bounds worst-case probe fan-in and, at cluster scale,
+    the skew of the cell-keyed partition layout C17's docstring
+    designates as the partition key). Both are exact BIGINTs read off
+    the assignment table, so the trace stays hash-oracle-able.
+
+    Oracle: C140's trace trick over _kmeans_cte_sql at k=16 —
+    unrolled to the static cap, trajectory filtered past the first
+    gated round; distortion is the exact DECIMAL(38,6) fold, the
+    occupancy columns are integer aggregates, and rel_improvement
+    divides identical doubles (no rounding before the gate compare).
+
+    Scale: per round, one corpus x 16-row broadcast-centroid fold
+    pass collapsed map-side by min_by (the C30/C140 assignment
+    shape), then ONE per-cell aggregate pass producing member counts
+    AND per-cell DECIMAL distortion partials — the trace's distortion
+    total re-aggregates those 16 rows (decimal addition is
+    associative, so the two-level sum equals the flat fold
+    bit-for-bit) and the occupancy numbers are read from the same 16
+    rows: one extra k-row job per round, no second corpus pass.
+    Driver state is k x dim doubles (the C30 argument);
+    localCheckpoint bounds plan growth across the data-dependent
+    round count exactly as in C140/C142."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = widen(emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sample = (
+        emb.orderBy("vec_id").limit(_C145_K).select("embedding").collect()
+    )
+    cmat = [[float(x) for x in r["embedding"]] for r in sample]
+
+    def cb_df(mat):
+        return F.broadcast(
+            spark.createDataFrame(
+                [(c, row) for c, row in enumerate(mat)],
+                "cluster int, cv array<double>",
+            )
+        )
+
+    rows = []
+    prev_assigned = None
+    prev_distortion = None
+    for r in range(_C145_MAX_ROUNDS + 1):
+        d2 = _pq_d2(F.col("e"), F.col("cv"))
+        assigned = (
+            base.join(cb_df(cmat), how="cross")
+            .select("vec_id", "e", "cluster", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cluster", "e"), F.struct("d2", "cluster")
+                ).alias("b"),
+                F.min(F.struct("d2", "cluster")).alias("w"),
+            )
+            .select(
+                "vec_id",
+                F.col("b.cluster").alias("cluster"),
+                F.col("b.e").alias("e"),
+                F.col("w.d2").alias("d2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # one per-cell pass: member counts + DECIMAL distortion
+        # partials; the k-row re-aggregation below is exact because
+        # decimal addition is associative (matches the oracle's flat
+        # SUM(CAST(d2 AS DECIMAL(38,6))) bit-for-bit)
+        per_cell = assigned.groupBy("cluster").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("d2").cast("decimal(38,6)")).alias("dpart"),
+        )
+        st = per_cell.agg(
+            F.sum("dpart").cast("double").alias("distortion"),
+            F.count("*").cast("bigint").alias("n_nonempty"),
+            F.max("n").cast("bigint").alias("max_cell_n"),
+        ).collect()[0]
+        distortion = st["distortion"]
+        if r == 0:
+            n_moved, rel = 0, None
+        else:
+            n_moved = (
+                assigned.select("vec_id", F.col("cluster").alias("ca"))
+                .join(
+                    prev_assigned.select(
+                        "vec_id", F.col("cluster").alias("cb")
+                    ),
+                    "vec_id",
+                )
+                .where(F.col("ca") != F.col("cb"))
+                .count()
+            )
+            rel = (prev_distortion - distortion) / prev_distortion
+        converged = rel is not None and rel < _C145_EPS
+        rows.append(
+            (r, n_moved, distortion, rel,
+             st["n_nonempty"], st["max_cell_n"], converged)
+        )
+        if converged or r == _C145_MAX_ROUNDS:
+            break
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("e").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.count("*").alias("n"), dsum("v").alias("s"))
+            .collect()
+        )
+        nxt = [list(row) for row in cmat]
+        for m in means:
+            nxt[m["cluster"]][m["pos"]] = m["s"] / m["n"]
+        cmat = nxt
+        prev_assigned, prev_distortion = assigned, distortion
+    return spark.createDataFrame(
+        rows,
+        "round long, n_moved long, distortion double,"
+        " rel_improvement double, n_nonempty long, max_cell_n long,"
+        " converged boolean",
+    )

@@ -4175,6 +4175,240 @@ def q_c143_fertility_trend(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C146: drift watch-list HANDOFF (C143's trend flags joined to C139's
+# per-source level verdicts — trend + level in one pager row)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c146_drift_watchlist_handoff",
+    oracle=rf"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    cells AS (
+      SELECT lang, source, (doc_id * 4) // (SELECT m FROM mx) AS epoch,
+             CAST(SUM(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS t,
+             CAST(SUM(n_chars) AS BIGINT) AS c
+      FROM documents
+      GROUP BY lang, source, epoch
+    ),
+    m AS (
+      SELECT lang, source,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_chars
+      FROM cells GROUP BY lang, source
+    ),
+    l AS (
+      SELECT lang, SUM(n_tokens) AS lt, SUM(n_chars) AS lc
+      FROM m GROUP BY lang
+    ),
+    verd AS (
+      SELECT m.source,
+             CASE
+               WHEN (CAST(m.n_tokens AS DOUBLE) / m.n_chars)
+                    / (CAST(l.lt AS DOUBLE) / l.lc) < 1 - {_C139_TOL}
+                 THEN 'SOURCE_LOW'
+               WHEN (CAST(m.n_tokens AS DOUBLE) / m.n_chars)
+                    / (CAST(l.lt AS DOUBLE) / l.lc) > 1 + {_C139_TOL}
+                 THEN 'SOURCE_HIGH'
+               ELSE 'OK' END AS verdict
+      FROM m JOIN l ON l.lang = m.lang
+    ),
+    level AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_lang_cells,
+             CAST(COUNT(*) FILTER (WHERE verdict = 'SOURCE_LOW')
+               AS BIGINT) AS n_level_low,
+             CAST(COUNT(*) FILTER (WHERE verdict = 'SOURCE_HIGH')
+               AS BIGINT) AS n_level_high
+      FROM verd GROUP BY source
+    ),
+    sec AS (
+      SELECT source, epoch,
+             CAST(SUM(t) AS BIGINT) AS t, CAST(SUM(c) AS BIGINT) AS c
+      FROM cells GROUP BY source, epoch
+    ),
+    f AS (
+      SELECT source, epoch, CAST(t AS DOUBLE) / c AS f FROM sec
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_epochs,
+             CAST(SUM(epoch) AS BIGINT) AS se,
+             CAST(SUM(epoch * epoch) AS BIGINT) AS se2,
+             list_sum(list(f ORDER BY epoch)) AS sf_,
+             list_sum(list(epoch * f ORDER BY epoch)) AS sef
+      FROM f GROUP BY source
+    ),
+    sl AS (
+      SELECT source, n_epochs,
+             (n_epochs * sef - se * sf_)
+               / (n_epochs * se2 - se * se) AS slope
+      FROM s WHERE n_epochs >= 2
+    ),
+    rk AS (
+      SELECT source, n_epochs, slope,
+             CAST(ROW_NUMBER() OVER (ORDER BY abs(slope) DESC, source)
+               AS INTEGER) AS drift_rank
+      FROM sl
+    )
+    SELECT r.source, r.n_epochs, r.slope, r.drift_rank,
+           r.drift_rank <= 3 AS on_watch_list,
+           v.n_lang_cells, v.n_level_low, v.n_level_high,
+           CASE
+             WHEN r.drift_rank <= 3
+                  AND v.n_level_low + v.n_level_high > 0
+               THEN 'LEVEL_AND_TREND'
+             WHEN r.drift_rank <= 3 THEN 'TREND_ONLY'
+             WHEN v.n_level_low + v.n_level_high > 0 THEN 'LEVEL_ONLY'
+             ELSE 'CLEAN' END AS pager_verdict
+    FROM rk r JOIN level v ON v.source = r.source
+    ORDER BY r.drift_rank
+    """,
+)
+def q_c146_drift_watchlist_handoff(spark, sf_dir):
+    """C146 (extension, round 12): drift watch-list HANDOFF — the
+    survey's queued C143 -> C139 join: one pager row per source
+    carrying BOTH its fertility trend (C143's least-squares slope over
+    ingestion epochs, drift_rank, on_watch_list) and its fertility
+    LEVEL verdicts (how many of its per-language cells C139 flags
+    SOURCE_LOW / SOURCE_HIGH right now). The combined pager_verdict is
+    what an on-call reviewer triages by: LEVEL_AND_TREND (drifting AND
+    already outside the level band — act now), TREND_ONLY (drifting
+    but levels still in band — the early warning C143 exists for),
+    LEVEL_ONLY (static offset, no trend — likely a stable format
+    quirk), CLEAN. All four branches carry rows at sf0.001/sf0.01;
+    at sf0.1 the LEVEL flags empty out honestly (C139's ±2% band is
+    threshold-based and this synthetic corpus's per-source fertility
+    converges to its language norm as n grows — exactly the
+    scale-dependence C143's docstring cites for preferring the
+    rank-based watch list, which fires at every SF). The driver's
+    correctness gate runs at sf0.01 where all four branches are
+    exercised (asserted in tests).
+
+    Numerics: both parents' numbers are DERIVED FROM ONE SHARED
+    corpus pass — the (lang, source, epoch) cell table — and both
+    re-aggregations are exact BIGINT sums, so every ratio divides the
+    same integers as the standalone C139/C143 queries and the slope
+    reuses C143's epoch-ordered fold pair (Spark sequential aggregate
+    over array_sort(collect_list) vs DuckDB list_sum(list(... ORDER
+    BY epoch))) — bit-identical, shipped unrounded. Verdict margins
+    inherit C139's measured >= 2.2e-4 band distances and C143's
+    rank-based (tie-broken) watch list — no float tie decides any
+    output.
+
+    Scale: ONE map-side-combined corpus aggregate to
+    |langs x sources x 4| cells (the C141-contraction discipline:
+    the corpus is touched once, both parent views re-aggregate the
+    cell table); everything downstream is sources-sized. The 1-row
+    max-id fold broadcasts (C143's class); the global drift-rank
+    window runs over the ~sources-row slope table (C143's
+    lint-allowlisted class)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    cells = (
+        widen(d)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "source",
+            F.expr("(doc_id * 4) div m").alias("epoch"),
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+                )
+            ).alias("tk"),
+            "n_chars",
+        )
+        .groupBy("lang", "source", "epoch")
+        .agg(
+            F.sum("tk").cast("bigint").alias("t"),
+            F.sum("n_chars").cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # level side (C139 re-derived from the cells)
+    m = cells.groupBy("lang", "source").agg(
+        F.sum("t").cast("bigint").alias("n_tokens"),
+        F.sum("c").cast("bigint").alias("n_chars"),
+    )
+    lang_tot = m.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lt"), F.sum("n_chars").alias("lc")
+    )
+    ratio = (F.col("n_tokens").cast("double") / F.col("n_chars")) / (
+        F.col("lt").cast("double") / F.col("lc")
+    )
+    verd = m.join(F.broadcast(lang_tot), "lang").select(
+        "source",
+        F.when(ratio < 1 - _C139_TOL, "SOURCE_LOW")
+        .when(ratio > 1 + _C139_TOL, "SOURCE_HIGH")
+        .otherwise("OK")
+        .alias("verdict"),
+    )
+    level = verd.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_lang_cells"),
+        F.count_if(F.col("verdict") == "SOURCE_LOW")
+        .cast("bigint")
+        .alias("n_level_low"),
+        F.count_if(F.col("verdict") == "SOURCE_HIGH")
+        .cast("bigint")
+        .alias("n_level_high"),
+    )
+    # trend side (C143 re-derived from the cells)
+    sec = cells.groupBy("source", "epoch").agg(
+        F.sum("t").cast("bigint").alias("t"),
+        F.sum("c").cast("bigint").alias("c"),
+    )
+    f = sec.select(
+        "source", "epoch", (F.col("t").cast("double") / F.col("c")).alias("f")
+    )
+
+    def ordered_sum(expr_col):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("epoch", expr_col.alias("v")))),
+            lambda x: x["v"],
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    s = f.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_epochs"),
+        F.sum("epoch").cast("bigint").alias("se"),
+        F.sum(F.col("epoch") * F.col("epoch")).cast("bigint").alias("se2"),
+        ordered_sum(F.col("f")).alias("sf_"),
+        ordered_sum(F.col("epoch") * F.col("f")).alias("sef"),
+    )
+    slope = (
+        F.col("n_epochs") * F.col("sef") - F.col("se") * F.col("sf_")
+    ) / (F.col("n_epochs") * F.col("se2") - F.col("se") * F.col("se"))
+    sl = s.where(F.col("n_epochs") >= 2).select(
+        "source", "n_epochs", slope.alias("slope")
+    )
+    w = Window.orderBy(F.abs("slope").desc(), "source")
+    rk = sl.withColumn("drift_rank", F.row_number().over(w))
+    on_watch = F.col("drift_rank") <= 3
+    level_flagged = (F.col("n_level_low") + F.col("n_level_high")) > 0
+    return (
+        rk.join(level, "source")
+        .select(
+            "source",
+            "n_epochs",
+            "slope",
+            "drift_rank",
+            on_watch.alias("on_watch_list"),
+            "n_lang_cells",
+            "n_level_low",
+            "n_level_high",
+            F.when(on_watch & level_flagged, "LEVEL_AND_TREND")
+            .when(on_watch, "TREND_ONLY")
+            .when(level_flagged, "LEVEL_ONLY")
+            .otherwise("CLEAN")
+            .alias("pager_verdict"),
+        )
+        .orderBy("drift_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # C132: per-domain empirical-Bayes quality-prior smoothing
 # ---------------------------------------------------------------------------
 

@@ -1631,6 +1631,112 @@ def test_pq_trajectory_lloyd_convergence(spark, sf_dir):
         assert 0 < r["n_nonempty"] <= 128
 
 
+def test_c144_arrival_epochs_consistent_with_c141(spark, sf_dir):
+    """C144 is an exact re-aggregation of C141's flagged table over
+    C143's doc_id-quartile epochs: per (lang_src, lang_dst) the epoch
+    counts must sum to C141's flagged-doc count, the cumulative column
+    must be the monotone running total ending at that sum, and every
+    epoch must be one of the four quartiles."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    flagged = {}
+    for r in QUERIES["q_c141_containment_drilldown"](spark, sf_dir).collect():
+        k = (r["lang_src"], r["lang_dst"])
+        flagged[k] = flagged.get(k, 0) + 1
+    rows = QUERIES["q_c144_containment_arrival_epochs"](
+        spark, sf_dir
+    ).collect()
+    assert rows, "fixture should contain flagged arrivals"
+    seen = {}
+    last_cum = {}
+    for r in rows:
+        k = (r["lang_src"], r["lang_dst"])
+        assert 0 <= r["epoch"] <= 3
+        assert r["n_docs"] >= 1
+        expect_cum = last_cum.get(k, 0) + r["n_docs"]
+        assert r["cum_docs"] == expect_cum, f"cum break at {k} e{r['epoch']}"
+        last_cum[k] = expect_cum
+        seen[k] = seen.get(k, 0) + r["n_docs"]
+    assert seen == flagged, "epoch counts must partition C141's flags"
+
+
+def test_c145_ivf_gate_trace_invariants(spark, sf_dir):
+    """C145's quantizer-training trace: Lloyd's distortion is strictly
+    non-increasing, round 0 reports zero movement, only the final row
+    may be converged (and is, unless the hard cap fired), and the
+    occupancy stats are consistent — 1..16 occupied cells, the largest
+    cell at least the balanced share and at most the corpus."""
+    from etl_spark_eks_spark.operators.similarity import (
+        _C145_K,
+        _C145_MAX_ROUNDS,
+    )
+    from etl_spark_eks_spark.registry import QUERIES
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = QUERIES["q_c145_ivf_quantizer_gate"](spark, sf_dir).collect()
+    assert rows[0]["round"] == 0 and rows[0]["n_moved"] == 0
+    assert [r["round"] for r in rows] == list(range(len(rows)))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["distortion"] <= prev["distortion"]
+        assert not prev["converged"], "gate must stop at first converged row"
+    last = rows[-1]
+    assert last["converged"] or last["round"] == _C145_MAX_ROUNDS
+    for r in rows:
+        assert 1 <= r["n_nonempty"] <= _C145_K
+        assert r["max_cell_n"] * _C145_K >= n_vecs  # pigeonhole
+        assert r["max_cell_n"] <= n_vecs
+
+
+def test_c146_handoff_consistent_with_parents(spark, sf_dir):
+    """C146's pager rows must agree exactly with the standalone
+    parents: (slope, drift_rank, on_watch_list) bit-identical to
+    C143's (both derive per-(source, epoch) integer sums and the same
+    epoch-ordered fold), level counts a recount of C139's per-(lang,
+    source) verdicts, and the pager_verdict the cross of the two.
+    All four verdict branches must carry rows at this SF (the
+    docstring's coverage claim)."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    trend = {
+        r["source"]: r
+        for r in QUERIES["q_c143_fertility_trend"](spark, sf_dir).collect()
+    }
+    level = {}
+    for r in QUERIES["q_c139_fertility_drilldown"](spark, sf_dir).collect():
+        lo, hi, n = level.get(r["source"], (0, 0, 0))
+        level[r["source"]] = (
+            lo + (r["verdict"] == "SOURCE_LOW"),
+            hi + (r["verdict"] == "SOURCE_HIGH"),
+            n + 1,
+        )
+    rows = QUERIES["q_c146_drift_watchlist_handoff"](spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == set(trend)
+    verdicts = set()
+    for r in rows:
+        t = trend[r["source"]]
+        assert r["slope"] == t["slope"], "slope must be bit-identical"
+        assert r["drift_rank"] == t["drift_rank"]
+        assert r["on_watch_list"] == t["on_watch_list"]
+        lo, hi, n = level[r["source"]]
+        assert (r["n_level_low"], r["n_level_high"], r["n_lang_cells"]) == (
+            lo, hi, n,
+        )
+        expect = (
+            "LEVEL_AND_TREND"
+            if r["on_watch_list"] and (lo + hi) > 0
+            else "TREND_ONLY"
+            if r["on_watch_list"]
+            else "LEVEL_ONLY"
+            if (lo + hi) > 0
+            else "CLEAN"
+        )
+        assert r["pager_verdict"] == expect
+        verdicts.add(r["pager_verdict"])
+    assert verdicts == {
+        "LEVEL_AND_TREND", "TREND_ONLY", "LEVEL_ONLY", "CLEAN",
+    }, f"all four pager branches must carry rows at this SF: {verdicts}"
+
+
 def test_m9_oracle_fixture_is_ascii(spark, sf_dir):
     """q_m9's oracle operates on VARCHAR (DuckDB sha256/substr take
     strings), which hashes the same bytes Python's sha256 sees ONLY
