@@ -2275,6 +2275,80 @@ def _pq_assign(sub, cb):
     )
 
 
+def _pq_assign_np(sub, cb):
+    """Arrow-batched twin of :func:`_pq_assign` (round 12, r11 verdict
+    task 2): same output contract — (vec_id, subspace, code, sv, d2)
+    with nearest-centroid squared-L2 assignment, ties to the smaller
+    code — but the per-(row, code) d2 fold runs as a numpy
+    j-ascending accumulation inside ``mapInPandas`` instead of 16
+    interpreted Catalyst lambda folds per input row, removing the
+    per-round cost class that made q_c142 the repo's steepest scale
+    slope (0.40 at 30x; see SCALE.md).
+
+    BIT-IDENTITY argument (what lets q_c142 keep its hash oracle
+    unchanged): the declarative fold computes
+    ``acc := acc + (double(sv[j]) - double(cv[j]))^2`` left-to-right
+    over j = 1..8 in IEEE float64; here ``acc += dj * dj`` iterates
+    the same ascending j with float64 numpy arrays — the identical
+    operation sequence per element, so every d2 is the same double.
+    float32 -> float64 casts are exact; Arrow transfers both
+    directions are lossless; codebook rows arrive exactly (round-0
+    float sub-vectors cast, later rounds are the DECIMAL-mean doubles
+    _pq_recenter emits). Ties resolve identically: codes are laid out
+    ascending and ``np.argmin`` returns the FIRST minimal index —
+    Spark's ``min(struct(d2, code))`` with equal d2 doubles picks the
+    same smaller code. Asserted column-for-column against _pq_assign
+    in tests/test_tier_c.py::test_pq_assign_np_bit_identical.
+
+    Scale: the codebook is a 128-row driver pull per round (the same
+    k-row class as the trace's 1-row distortion pulls — bounded by
+    codes x subspaces, never the corpus); corpus rows stream through
+    Arrow batches with no per-row Python, no 16x row blow-up before
+    the min_by collapse, and no shuffle (the groupBy(vec_id,
+    subspace) of the declarative form disappears — each input row
+    yields its winner directly)."""
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb.collect():
+        books.setdefault(r["subspace"], []).append(
+            (r["code"], [float(x) for x in r["cv"]])
+        )
+    mats = {
+        s: (
+            np.array([c for c, _ in sorted(v)], dtype=np.int64),
+            np.array([cv for _, cv in sorted(v)], dtype=np.float64),
+        )
+        for s, v in books.items()
+    }
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            svmat = np.stack(pdf["sv"].to_numpy()).astype(np.float64)
+            code_out = np.empty(n, dtype=np.int64)
+            d2_out = np.empty(n, dtype=np.float64)
+            for s, idx in pdf.groupby("subspace").indices.items():
+                codes, cvs = mats[int(s)]
+                x = svmat[idx]
+                acc = np.zeros((len(idx), len(codes)))
+                for j in range(x.shape[1]):
+                    dj = x[:, j][:, None] - cvs[None, :, j]
+                    acc += dj * dj
+                best = np.argmin(acc, axis=1)
+                code_out[idx] = codes[best]
+                d2_out[idx] = acc[np.arange(len(idx)), best]
+            out = pdf[["vec_id", "subspace", "sv"]].copy()
+            out["code"] = code_out
+            out["d2"] = d2_out
+            yield out[["vec_id", "subspace", "code", "sv", "d2"]]
+
+    return sub.mapInPandas(
+        assign,
+        "vec_id long, subspace long, code long, sv array<float>, d2 double",
+    )
+
+
 def _pq_recenter(asg, cb_prev):
     """One Lloyd re-centering: per (subspace, code) the member mean in
     DECIMAL(38,6) (C134's exact-sum discipline), empty cells keeping
@@ -2806,13 +2880,18 @@ def q_c142_pq_convergence_gate(spark, sf_dir):
     emitted double is an exact DECIMAL fold or a division of identical
     doubles.
 
-    Scale: per round one 128-row broadcast codebook join with
-    map-side min_by collapse (C134's shape) + a 1,024-key
-    re-centering; assignments localCheckpoint because three consumers
-    read each (distortion agg, n_moved join, next comparison), and
-    the checkpoint bounds plan growth across data-dependent round
-    counts — the same driver-state argument as C140 with k x dim
-    replaced by the fixed 1,024-row codebook."""
+    Scale: per round ONE Arrow-batched assignment pass
+    (_pq_assign_np, round 12 — numpy j-ascending d2 accumulation
+    that is bit-identical to the declarative fold, so the oracle is
+    unchanged; replaces the 16-interpreted-folds-per-row plan that
+    made this the repo's steepest 30x slope, 0.40 — re-measured
+    after the change in SCALE.md) + a 1,024-key re-centering; the
+    128-row codebook is a per-round driver pull (the same k-row
+    class as the 1-row distortion pulls). Assignments localCheckpoint
+    because three consumers read each (distortion agg, n_moved join,
+    next comparison), and the checkpoint bounds plan growth across
+    data-dependent round counts — the same driver-state argument as
+    C140 with k x dim replaced by the fixed 1,024-row codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
     sub = _pq_subspaces(widen(emb)).localCheckpoint(eager=True)
     cb = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
@@ -2822,7 +2901,7 @@ def q_c142_pq_convergence_gate(spark, sf_dir):
     prev_assigned = None
     prev_distortion = None
     for r in range(_C142_MAX_ROUNDS + 1):
-        assigned = _pq_assign(sub, cb).localCheckpoint(eager=True)
+        assigned = _pq_assign_np(sub, cb).localCheckpoint(eager=True)
         distortion = assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
         if r == 0:
             n_moved, rel = 0, None

@@ -1687,6 +1687,47 @@ def test_c145_ivf_gate_trace_invariants(spark, sf_dir):
         assert r["max_cell_n"] <= n_vecs
 
 
+def test_pq_assign_np_bit_identical(spark, sf_dir):
+    """_pq_assign_np (q_c142's Arrow-batched assignment, r11 verdict
+    task 2) must be BIT-identical to the declarative _pq_assign —
+    same code, same winning d2 double for every (vec, subspace) —
+    against both codebook generations: the round-0 float32 sub-vector
+    codebook and a DECIMAL-re-centered double codebook. This is what
+    lets q_c142 keep its unchanged hash oracle."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.operators.similarity import (
+        _PQ_CODES,
+        _pq_assign,
+        _pq_assign_np,
+        _pq_recenter,
+        _pq_subspaces,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_subspaces(emb).localCheckpoint(eager=True)
+    cb = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
+        F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
+    )
+    for generation in ("float-seed", "recentered-double"):
+        ref = {
+            (r["vec_id"], r["subspace"]): (r["code"], r["d2"])
+            for r in _pq_assign(sub, cb)
+            .select("vec_id", "subspace", "code", "d2")
+            .collect()
+        }
+        got = {
+            (r["vec_id"], r["subspace"]): (r["code"], r["d2"])
+            for r in _pq_assign_np(sub, cb)
+            .select("vec_id", "subspace", "code", "d2")
+            .collect()
+        }
+        assert got == ref, f"divergence on the {generation} codebook"
+        cb = _pq_recenter(
+            _pq_assign(sub, cb).localCheckpoint(eager=True), cb
+        ).localCheckpoint(eager=True)
+
+
 def test_c146_handoff_consistent_with_parents(spark, sf_dir):
     """C146's pager rows must agree exactly with the standalone
     parents: (slope, drift_rank, on_watch_list) bit-identical to
