@@ -2343,6 +2343,36 @@ def q_c116_eval_proximity_report(spark, sf_dir):
     — bench-bounded cardinality; the argmax window partitions by
     bench item. The lexical sibling of C98's embedding argmax,
     sharing its broadcast-the-small-side plan."""
+    bench_tot, hits = _eval_proximity_tables(spark, sf_dir)
+    w = Window.partitionBy("bench_doc").orderBy(
+        F.col("shared").desc(), "cand_doc"
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        bench_tot.join(best, "bench_doc", "left")
+        .select(
+            F.col("bench_doc"),
+            "n_shingles",
+            F.col("cand_doc").cast("long").alias("nearest_train_doc"),
+            F.coalesce(F.col("shared"), F.lit(0))
+            .cast("long")
+            .alias("shared_shingles"),
+        )
+        .orderBy("bench_doc")
+    )
+
+
+def _eval_proximity_tables(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """The shared benchmark-proximity pass behind q_c116 (the nearest-
+    neighbor report) and q_c147 (its arrival-epoch view): one persisted
+    corpus+plants shingle pipeline, returning ``bench_tot`` (bench_doc,
+    n_shingles) and ``hits`` (bench_doc, cand_doc, shared) — both
+    bench-bounded, eagerly localCheckpoint-ed so the expensive shingle
+    stage runs once and its cache is released before returning."""
     from etl_spark_eks_spark.functions.text import (
         ordered_token_hashes,
         shingle_hashes,
@@ -2386,34 +2416,118 @@ def q_c116_eval_proximity_report(spark, sf_dir):
         cand.join(F.broadcast(bench), "s")
         .groupBy("bench_doc", "cand_doc")
         .agg(F.count("*").alias("shared"))
-    )
-    w = Window.partitionBy("bench_doc").orderBy(
-        F.col("shared").desc(), "cand_doc"
-    )
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .localCheckpoint(eager=True)
     )
     bench_tot = (
         bench.groupBy("bench_doc")
         .agg(F.count("*").cast("long").alias("n_shingles"))
-    )
-    report = (
-        bench_tot.join(best, "bench_doc", "left")
-        .select(
-            F.col("bench_doc"),
-            "n_shingles",
-            F.col("cand_doc").cast("long").alias("nearest_train_doc"),
-            F.coalesce(F.col("shared"), F.lit(0))
-            .cast("long")
-            .alias("shared_shingles"),
-        )
-        .orderBy("bench_doc")
         .localCheckpoint(eager=True)
     )
     sh.unpersist()
-    return report
+    return bench_tot, hits
+
+
+@query(
+    "q_c147_contamination_arrival_epochs",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id IN (0, 97)
+    ), t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 4, 0) + 1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])
+             ))) AS s
+      FROM t
+    ), bench_tot AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh
+      WHERE doc_id % 97 = 0 AND doc_id < 2000000 GROUP BY doc_id
+    ), hits AS (
+      SELECT b.doc_id AS bench_doc, c.doc_id AS cand_doc,
+             COUNT(*) AS shared
+      FROM sh b JOIN sh c ON b.s = c.s
+      WHERE b.doc_id % 97 = 0 AND b.doc_id < 2000000
+        AND (c.doc_id % 97 <> 0 OR c.doc_id >= 2000000)
+      GROUP BY b.doc_id, c.doc_id
+    ), flag AS (
+      SELECT h.bench_doc, h.cand_doc, h.shared
+      FROM hits h JOIN bench_tot bt ON bt.doc_id = h.bench_doc
+      WHERE h.shared * 10 >= bt.n_sh
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    arr AS (
+      SELECT bench_doc,
+             ((cand_doc % 2000000) * 4) // (SELECT m FROM mx) AS epoch,
+             CAST(COUNT(*) AS BIGINT) AS n_cands,
+             CAST(MAX(shared) AS BIGINT) AS max_shared
+      FROM flag GROUP BY bench_doc, epoch
+    )
+    SELECT bench_doc, epoch, n_cands, max_shared,
+           CAST(SUM(n_cands) OVER (PARTITION BY bench_doc
+                                   ORDER BY epoch) AS BIGINT) AS cum_cands
+    FROM arr
+    ORDER BY bench_doc, epoch
+    """,
+)
+def q_c147_contamination_arrival_epochs(spark, sf_dir):
+    """C147 (extension, round 12): contamination ARRIVAL-EPOCH view —
+    C144's time-axis pattern applied to C116's eval-proximity hits
+    (the round-12 survey queue): WHEN did each benchmark item's
+    contaminating neighbors enter the corpus? A candidate counts as
+    contaminating when it shares >= 10% of the bench item's distinct
+    5-shingles (``shared * 10 >= n_shingles`` — integer
+    cross-multiplied, C64's fp-slack-free discipline; the verbatim
+    plants guarantee full-overlap positives every run). Each
+    contaminator is attributed to C143's doc_id-quartile ingestion
+    epoch of its ORIGINAL document (plant clones map back via
+    ``cand_doc % 2000000`` — the clone models a re-crawl of the same
+    underlying page, so its arrival is the original's), then counted
+    per (bench_doc, epoch) with max_shared and a per-item cumulative
+    — the curve that separates "contaminated since epoch 0" (freeze
+    the eval) from "one recent feed introduced it" (roll back the
+    feed).
+
+    Shape: the shingle pipeline, broadcast bench join, and
+    bench-bounded hit table are the SAME single pass as q_c116
+    (shared _eval_proximity_tables helper — corpus touched once,
+    results eagerly checkpointed at bench size); the epoch
+    attribution is a 1-row max-id broadcast fold (C143's class,
+    lint-allowlisted) and everything downstream is bench-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    bench_tot, hits = _eval_proximity_tables(spark, sf_dir)
+    flag = hits.join(bench_tot, "bench_doc").where(
+        F.col("shared") * 10 >= F.col("n_shingles")
+    )
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    arr = (
+        flag.crossJoin(F.broadcast(mx))
+        .select(
+            "bench_doc",
+            F.expr("((cand_doc % 2000000) * 4) div m").alias("epoch"),
+            "shared",
+        )
+        .groupBy("bench_doc", "epoch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cands"),
+            F.max("shared").cast("bigint").alias("max_shared"),
+        )
+    )
+    w = (
+        Window.partitionBy("bench_doc")
+        .orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        arr.withColumn("cum_cands", F.sum("n_cands").over(w).cast("bigint"))
+        .orderBy("bench_doc", "epoch")
+    )
 
 
 # C119: anonymized-id space — 2^24 slots over ~n docs makes a planted,

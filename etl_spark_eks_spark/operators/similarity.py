@@ -3126,3 +3126,173 @@ def q_c145_ivf_quantizer_gate(spark, sf_dir):
         " rel_improvement double, n_nonempty long, max_cell_n long,"
         " converged boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# C148: IVF probe-policy planner (C118's design-table pattern applied to
+# C17's cells — probe budget vs scan cost/skew as data)
+# ---------------------------------------------------------------------------
+
+
+_C148_ORACLE = f"""
+WITH quant AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cemb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cdots AS (
+  SELECT e.vec_id, q.cell, {{dot}} AS d
+  FROM embeddings e, quant q
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS p
+  FROM cdots
+),
+occ AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n
+  FROM ranked WHERE p = 1 GROUP BY cell
+),
+occ_full AS (
+  SELECT CAST(r.i AS INTEGER) AS cell, COALESCE(o.cell_n, 0) AS cell_n
+  FROM range(0, 16) r(i) LEFT JOIN occ o ON o.cell = r.i
+),
+cum AS (
+  SELECT r.vec_id, r.p,
+         SUM(f.cell_n) OVER (PARTITION BY r.vec_id ORDER BY r.p) AS cscan
+  FROM ranked r JOIN occ_full f ON f.cell = r.cell
+),
+per_p AS (
+  SELECT p, CAST(SUM(cscan) AS BIGINT) AS scan_total,
+         CAST(COUNT(*) AS BIGINT) AS n_queries
+  FROM cum GROUP BY p
+),
+worst AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cell_n DESC, cell) AS p,
+         CAST(SUM(cell_n) OVER (ORDER BY cell_n DESC, cell) AS BIGINT)
+           AS worst_scan
+  FROM occ_full
+)
+SELECT CAST(per_p.p AS INTEGER) AS n_probes, w.worst_scan,
+       per_p.scan_total, per_p.n_queries,
+       CAST(per_p.scan_total AS DOUBLE) / per_p.n_queries AS mean_scan,
+       CAST(per_p.p * per_p.n_queries AS DOUBLE) / 16 AS balanced_scan,
+       CAST(w.worst_scan * 16 AS DOUBLE) / (per_p.p * per_p.n_queries)
+         AS worst_skew
+FROM per_p JOIN worst w ON w.p = per_p.p
+ORDER BY n_probes
+""".format(dot=_dot_sql("e.embedding", "q.cemb"))
+
+
+@query("q_c148_ivf_probe_policy_plan", oracle=_C148_ORACLE)
+def q_c148_ivf_probe_policy_plan(spark, sf_dir):
+    """C148 (extension, round 12): IVF PROBE-POLICY planner — C118's
+    design-table pattern (tuning knobs as queryable data, not
+    hard-coded constants) applied to C17's cells, per the round-12
+    survey queue: for every probe budget p = 1..16 against the frozen
+    C17 quantizer (the 16 smallest vec_ids, its exact assignment
+    semantics — fold-dot argmax, ties to the smaller cell), one row
+    with the numbers an ANN deployment trades off when picking
+    nprobe: ``mean_scan`` (average candidates scanned per query — the
+    throughput cost; every corpus vector plays the query role, the
+    C103-sampling analogue of a query log), ``worst_scan`` (sum of
+    the p LARGEST cells — the adversarial query that lands in the
+    hottest cells, the tail-latency bound), ``balanced_scan``
+    (p*n/16, what a perfectly balanced quantizer would scan) and
+    ``worst_skew`` (worst/balanced — C145's max_cell_n skew signal
+    propagated to the per-budget decision). C17 runs nprobe=2; this
+    table is the evidence for or against that choice at each corpus
+    snapshot, and re-derives after each C145 retrain.
+
+    Numerics: every scan count is an exact BIGINT (cell occupancies
+    and their window sums); the three doubles divide identical exact
+    integers on both engines. The full 16-deep per-vector cell
+    ranking is safe to mirror: minimum adjacent fold-dot gap measured
+    1.46e-7 across all fixture SFs (vs ~1e-13 BLAS-vs-fold noise;
+    floor pinned in test_ann_oracle_decision_margins), so numpy
+    argsort and the oracle's ROW_NUMBER agree at every rank.
+
+    Shape: ONE Arrow-batched pass computes each vector's full cell
+    ranking (n x 16 rows — the same per-vector fan-out C17's
+    assignment already pays, reused for every p at once instead of
+    16 separate probe simulations); occupancy is the rank-1 slice
+    re-aggregated, the per-vector cumulative window runs over 16
+    rows per vector, and everything after is 16-row. The worst-case
+    curve's global window runs over the 16-row occupancy table
+    (lint-allowlisted single-partition, by construction tiny). At
+    cluster scale the ranking pass is the map-side of the existing
+    cell-assignment write; the planner table is a free by-product."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = (
+        emb.orderBy("vec_id").limit(16).select("embedding").collect()
+    )
+    cmat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def cell_ranking(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        order = np.argsort(-(m @ cmat.T), axis=1, kind="stable")
+        return pd.Series(list(order.astype("int32")))
+
+    ranked = (
+        widen(emb)
+        .select(
+            "vec_id", F.posexplode(cell_ranking("embedding")).alias(
+                "pos", "cell"
+            )
+        )
+        .select(
+            "vec_id", (F.col("pos") + 1).cast("int").alias("p"), "cell"
+        )
+        .localCheckpoint(eager=True)  # two consumers: occupancy + cum
+    )
+    occ = (
+        ranked.where(F.col("p") == 1)
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("cell_n"))
+    )
+    occ_full = F.broadcast(
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("cell"))
+        .join(occ, "cell", "left")
+        .select("cell", F.coalesce("cell_n", F.lit(0)).alias("cell_n"))
+    )
+    wv = (
+        Window.partitionBy("vec_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranked.join(occ_full, "cell").withColumn(
+        "cscan", F.sum("cell_n").over(wv)
+    )
+    per_p = cum.groupBy("p").agg(
+        F.sum("cscan").cast("bigint").alias("scan_total"),
+        F.count("*").cast("bigint").alias("n_queries"),
+    )
+    w_desc = Window.orderBy(F.col("cell_n").desc(), "cell")
+    worst = occ_full.select(
+        F.row_number().over(w_desc).cast("int").alias("p"),
+        F.sum("cell_n")
+        .over(w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("worst_scan"),
+    )
+    return (
+        per_p.join(F.broadcast(worst), "p")
+        .select(
+            F.col("p").alias("n_probes"),
+            "worst_scan",
+            "scan_total",
+            "n_queries",
+            (F.col("scan_total").cast("double") / F.col("n_queries"))
+            .alias("mean_scan"),
+            ((F.col("p") * F.col("n_queries")).cast("double") / 16)
+            .alias("balanced_scan"),
+            (
+                (F.col("worst_scan") * 16).cast("double")
+                / (F.col("p") * F.col("n_queries"))
+            ).alias("worst_skew"),
+        )
+        .orderBy("n_probes")
+    )

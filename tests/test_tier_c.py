@@ -1687,6 +1687,69 @@ def test_c145_ivf_gate_trace_invariants(spark, sf_dir):
         assert r["max_cell_n"] <= n_vecs
 
 
+def test_c147_arrival_epochs_consistent_with_c116(spark, sf_dir):
+    """C147 invariants: every row belongs to a benchmark item, epochs
+    are doc_id quartiles, cumulatives are monotone running totals, the
+    two verbatim plants surface as FULL-overlap contaminators for
+    bench docs 0 and 97 attributed to their ORIGINAL docs' epochs, and
+    max_shared never exceeds the item's shingle count from C116."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    tot = {
+        r["bench_doc"]: r["n_shingles"]
+        for r in QUERIES["q_c116_eval_proximity_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = QUERIES["q_c147_contamination_arrival_epochs"](
+        spark, sf_dir
+    ).collect()
+    assert rows, "plants guarantee at least the two full-overlap rows"
+    last_cum = {}
+    best = {}
+    for r in rows:
+        assert r["bench_doc"] % 97 == 0
+        assert 0 <= r["epoch"] <= 3
+        assert 1 <= r["n_cands"]
+        assert r["max_shared"] <= tot[r["bench_doc"]]
+        expect = last_cum.get(r["bench_doc"], 0) + r["n_cands"]
+        assert r["cum_cands"] == expect
+        last_cum[r["bench_doc"]] = expect
+        best[r["bench_doc"]] = max(
+            best.get(r["bench_doc"], 0), r["max_shared"]
+        )
+    for plant in (0, 97):
+        assert best.get(plant) == tot[plant], (
+            f"bench {plant}'s verbatim plant must be a full-overlap "
+            f"contaminator"
+        )
+
+
+def test_c148_probe_plan_invariants(spark, sf_dir):
+    """C148's planner table: one row per probe budget 1..16; scan
+    costs are monotone in the budget; at p=16 every query scans the
+    whole corpus (mean = worst = balanced = n) and the skew collapses
+    to exactly 1; the worst case always dominates both the mean and
+    the balanced reference (sum of p largest cells >= p * n/16)."""
+    from etl_spark_eks_spark.registry import QUERIES
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = QUERIES["q_c148_ivf_probe_policy_plan"](spark, sf_dir).collect()
+    assert [r["n_probes"] for r in rows] == list(range(1, 17))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["worst_scan"] >= prev["worst_scan"]
+        assert cur["mean_scan"] >= prev["mean_scan"]
+    for r in rows:
+        assert r["n_queries"] == n
+        assert r["mean_scan"] <= r["worst_scan"] + 1e-9
+        assert r["worst_skew"] >= 1.0 - 1e-12
+        assert r["balanced_scan"] == r["n_probes"] * n / 16
+    last = rows[-1]
+    assert last["worst_scan"] == n
+    assert last["mean_scan"] == float(n)
+    assert last["worst_skew"] == 1.0
+
+
 def test_pq_assign_np_bit_identical(spark, sf_dir):
     """_pq_assign_np (q_c142's Arrow-batched assignment, r11 verdict
     task 2) must be BIT-identical to the declarative _pq_assign —
@@ -1885,6 +1948,9 @@ def test_ann_oracle_decision_margins(spark, sf_dir):
     d = np.sort(M @ cmat.T, axis=1)
     assert (d[:, -1] - d[:, -2]).min() > 1e-9  # c17 nearest cell
     assert (d[:, -2] - d[:, -3]).min() > 1e-9  # c17 second probe
+    # c148 ranks ALL 16 cells per vector: every adjacent gap must clear
+    # the floor (measured min 1.46e-7 across fixture SFs)
+    assert np.diff(d, axis=1).min() > 1e-9
     sub = M.shape[1] // 4
     for i in range(4):  # c21 per-subspace code assignment
         s = np.sort(

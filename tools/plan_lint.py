@@ -57,6 +57,7 @@ ALLOW_CARTESIAN = {
     "q_c132_quality_prior_smoothing",  # 1-row moment-fold prior broadcast (C105's class)
     "q_c143_fertility_trend",  # 1-row max-id fold broadcast (C26's class; epoch derivation)
     "q_c144_containment_arrival_epochs",  # same 1-row max-id fold broadcast (C143's epoch class)
+    "q_c147_contamination_arrival_epochs",  # same 1-row max-id fold broadcast (C143's epoch class)
     "q_c136_noise_corrected_prior",  # same 1-row moment-fold class as q_c132
     "q_c137_pq_distortion_trajectory",  # 3x 1-row (distortion, moved) trajectory folds
     "q_c76_epoch_upsample",    # 1-row budget x language-count rate table (docstring: zero corpus shuffle)
@@ -85,6 +86,8 @@ ALLOW_SINGLE_PART = {
     "q_c143_fertility_trend",       # global drift-rank window over the sources-sized slope table (~20 rows at any corpus size)
     "q_c144_containment_arrival_epochs",  # 1-row max-id fold feeding the epoch broadcast (C143's class)
     "q_c146_drift_watchlist_handoff",  # C143's drift-rank window over the sources-sized slope table + the 1-row max-id fold
+    "q_c147_contamination_arrival_epochs",  # 1-row max-id fold feeding the epoch broadcast (C143's class)
+    "q_c148_ivf_probe_policy_plan",  # worst-case-curve window over the 16-row cell-occupancy table (by-construction tiny)
     "q_c119_id_anonymization_audit",  # 1-row collision-audit fold
     "q_c122_post_dedup_mix_report",   # 1-row mixture-total fold
     "q_b146_output_file_sizing",    # 1-row content/audit fold + per-file stats agg
