@@ -664,6 +664,105 @@ def kmeans_lloyd(
     return kmeans_lloyd_with_centroids(corpus, k, iters)[0]
 
 
+def _km_assign_decl(base: DataFrame, cmat, vcol: str) -> DataFrame:
+    """Declarative full-vector nearest-centroid assignment — the
+    expression the DuckDB Lloyd oracles (:func:`_kmeans_cte_sql`)
+    evaluate: per (row, cluster) the exact fixed-order d2 fold
+    (`_pq_d2`), argmin via min_by with ties to the smaller cluster.
+    Returns (vec_id, cluster, <vcol>, d2). Kept as the documented twin
+    of :func:`_km_assign_np` (bit-identity pinned in
+    tests/test_tier_c.py::test_km_assign_np_bit_identical); the hot
+    paths run the Arrow-batched form."""
+    spark = base.sparkSession
+    cb = F.broadcast(
+        spark.createDataFrame(
+            [(c, [float(x) for x in row]) for c, row in enumerate(cmat)],
+            "cluster int, cv array<double>",
+        )
+    )
+    d2 = _pq_d2(F.col(vcol), F.col("cv"))
+    return (
+        base.join(cb, how="cross")
+        .select("vec_id", vcol, "cluster", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cluster", vcol), F.struct("d2", "cluster")
+            ).alias("b"),
+            F.min(F.struct("d2", "cluster")).alias("w"),
+        )
+        .select(
+            "vec_id",
+            F.col("b.cluster").alias("cluster"),
+            F.col(f"b.{vcol}").alias(vcol),
+            F.col("w.d2").alias("d2"),
+        )
+    )
+
+
+def _km_assign_np(base: DataFrame, cmat, vcol: str, vtype: str) -> DataFrame:
+    """Arrow-batched twin of :func:`_km_assign_decl` (round 12 — the
+    `_pq_assign_np` pattern applied to the FULL-vector Lloyd stage):
+    nearest-centroid squared-L2 assignment with ties to the smaller
+    cluster, returning (vec_id, cluster, <vcol>, d2), but the
+    per-(row, cluster) d2 fold runs as a numpy j-ascending float64
+    accumulation inside ``mapInPandas`` instead of k interpreted
+    64-element Catalyst lambda folds per input row — and each input
+    row emits its winner directly, so the declarative form's k-times
+    row blow-up AND its groupBy(vec_id) corpus shuffle per Lloyd round
+    both disappear.
+
+    BIT-IDENTITY argument (what keeps q_c30/q_c44/q_c127/q_c140/
+    q_c145's hash oracles unchanged — the same four clauses accepted
+    for `_pq_assign_np`): (1) the declarative fold computes
+    ``acc := acc + (double(v[j]) - cv[j])^2`` left-to-right over
+    j = 1..dim in IEEE float64; here ``acc += dj * dj`` iterates the
+    identical ascending j with float64 numpy arrays — the same
+    operation sequence per element, so every d2 is the same double.
+    (2) float32 -> float64 casts are exact; Arrow transfers are
+    lossless in both directions. (3) centroid doubles are used
+    driver-side EXACTLY as the declarative arm would embed them in
+    its LocalRelation (round 0: float() of float32 embedding values,
+    exact; later rounds: the dsum-decimal mean doubles s/n — Python
+    float division of the collected double s by int n, the identical
+    IEEE division the oracle's ``m.s / m.n`` performs). (4) ties
+    resolve identically: clusters are laid out ascending and
+    ``np.argmin`` returns the FIRST minimal index — Spark's
+    ``min(struct(d2, cluster))`` with equal d2 doubles picks the same
+    smaller cluster. Asserted column-for-column against
+    :func:`_km_assign_decl` on both centroid generations in
+    tests/test_tier_c.py::test_km_assign_np_bit_identical.
+
+    Scale: centroids are a k x dim driver-side closure (model-sized,
+    never corpus-sized); corpus rows stream through Arrow batches
+    with no per-row Python loop and no shuffle — at 1000 executors
+    each task assigns its own partition and the only per-round
+    synchronization left is the k*dim-row re-centering aggregate."""
+    cvs = np.array(
+        [[float(x) for x in row] for row in cmat], dtype=np.float64
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            acc = np.zeros((n, cvs.shape[0]))
+            for j in range(x.shape[1]):
+                dj = x[:, j][:, None] - cvs[None, :, j]
+                acc += dj * dj
+            best = np.argmin(acc, axis=1)
+            out = pdf[["vec_id", vcol]].copy()
+            out["cluster"] = best.astype(np.int32)
+            out["d2"] = acc[np.arange(n), best]
+            yield out[["vec_id", "cluster", vcol, "d2"]]
+
+    return base.mapInPandas(
+        assign, f"vec_id long, cluster int, {vcol} {vtype}, d2 double"
+    )
+
+
 def kmeans_lloyd_with_centroids(
     corpus: DataFrame, k: int = 8, iters: int = 3
 ):
@@ -671,60 +770,39 @@ def kmeans_lloyd_with_centroids(
     curation pipeline runs for topic balancing / diversity sampling.
 
     Init is the first ``k`` vectors by id (deterministic; same policy as
-    the IVF/PQ quantizers). Each iteration: (1) ASSIGN — the exact
-    fixed-order d2 fold (`_pq_d2`, C134's expression) against the k x dim
-    centroid literals broadcast as a tiny dimension table, argmin via
-    min_by with ties to the smaller cluster; (2) UPDATE — posexplode +
-    groupBy(cluster, dim) with COUNT + dsum (exact DECIMAL(38,6)
-    accumulation — C134/C137's re-centering discipline, which is what
-    makes the round DETERMINISTIC: a double avg would vary with
-    partial-agg order) and c = s/n, then k x dim rows collect to the
-    driver to become the next round's literals. The driver-side loop is
-    the right shape for an iterative fixpoint (same argument as C18's
-    connected components): per-round driver state is k x dim doubles,
-    never corpus-sized, and each round's plan starts fresh from literal
-    centroids so there is no plan growth to checkpoint away. Empty
-    clusters keep their previous centroid.
+    the IVF/PQ quantizers). Each iteration: (1) ASSIGN — nearest
+    centroid by squared L2 with ties to the smaller cluster, run as the
+    Arrow-batched `_km_assign_np` (round 12), which is BIT-identical to
+    the declarative fold-d2 + min_by expression the DuckDB oracle
+    evaluates (`_km_assign_decl`; identity argument in the helper's
+    docstring, pinned by test_km_assign_np_bit_identical) while paying
+    neither the k-times row blow-up nor the per-round groupBy(vec_id)
+    corpus shuffle; (2) UPDATE — posexplode + groupBy(cluster, dim)
+    with COUNT + dsum (exact DECIMAL(38,6) accumulation — C134/C137's
+    re-centering discipline, which is what makes the round
+    DETERMINISTIC: a double avg would vary with partial-agg order) and
+    c = s/n, then k x dim rows collect to the driver to become the next
+    round's centroids. The driver-side loop is the right shape for an
+    iterative fixpoint (same argument as C18's connected components):
+    per-round driver state is k x dim doubles, never corpus-sized, and
+    each round's plan starts fresh from literal centroids so there is
+    no plan growth to checkpoint away. Empty clusters keep their
+    previous centroid.
 
-    Round 11 (was a numpy pandas-UDF argmin): every expression is now
-    the one the DuckDB oracle evaluates — fold d2, exact decimal means,
+    Round 11 (was a numpy pandas-UDF argmin): every value is the one
+    the DuckDB oracle evaluates — fold-order d2, exact decimal means,
     double division — so assignments are bit-identical cross-engine and
-    q_c30/q_c44/q_c127 carry full hash oracles. The numpy closure form
-    survives in git history; at fixture scale the declarative form
-    measures within noise of it and at cluster scale both are one
-    broadcast-join pass per round."""
-    spark = corpus.sparkSession
+    q_c30/q_c44/q_c127 carry full hash oracles. Round 12 restores the
+    numpy execution under that unchanged contract."""
     sample = corpus.orderBy("vec_id").limit(k).select("embedding").collect()
     cmat = [[float(x) for x in r["embedding"]] for r in sample]
-    dim = len(cmat[0])
     wide = widen(corpus).select("vec_id", "embedding")
-
-    def cb_df(mat):
-        return F.broadcast(
-            spark.createDataFrame(
-                [(c, row) for c, row in enumerate(mat)],
-                "cluster int, cv array<double>",
-            )
-        )
 
     assigned = None
     for _ in range(iters):
-        d2 = _pq_d2(F.col("embedding"), F.col("cv"))
-        assigned = (
-            wide.join(cb_df(cmat), how="cross")
-            .select("vec_id", "embedding", "cluster", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cluster", "embedding"), F.struct("d2", "cluster")
-                ).alias("b")
-            )
-            .select(
-                "vec_id",
-                F.col("b.cluster").alias("cluster"),
-                F.col("b.embedding").alias("embedding"),
-            )
-        )
+        assigned = _km_assign_np(
+            wide, cmat, "embedding", "array<float>"
+        ).drop("d2")
         means = (
             assigned.select(
                 "cluster", F.posexplode("embedding").alias("pos", "v")
@@ -820,10 +898,11 @@ def q_c30_kmeans(spark, sf_dir):
     exactly once, clusters in range, inertia non-increasing with more
     iterations, deterministic rerun — are asserted in tests.
 
-    Oracle (round 11, was rows-only): kmeans_lloyd now runs the
-    declarative exact-arithmetic Lloyd (fold d2 + DECIMAL re-centering,
-    the C134/C137 recipe), so the DuckDB unrolled-round mirror
-    reproduces every assignment bit for bit."""
+    Oracle (round 11, was rows-only): kmeans_lloyd computes the
+    exact-arithmetic Lloyd (fold-order d2 + DECIMAL re-centering, the
+    C134/C137 recipe), so the DuckDB unrolled-round mirror reproduces
+    every assignment bit for bit; round 12 executes the assignment as
+    the Arrow-batched `_km_assign_np` under that unchanged contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=8, iters=3)
 
@@ -1946,9 +2025,10 @@ def q_c127_semdedup(spark, sf_dir):
     cluster, never per corpus; the component fold touches only
     edge-connected docs (planted pairs), and the final verdict join
     is corpus x (tiny components table). Cluster assignment is the
-    declarative exact-arithmetic Lloyd (round 11 — one broadcast
-    k x dim centroid-table fold pass per round, which is also what
-    makes the whole operator hash-oracled end to end).
+    exact-arithmetic Lloyd (round 11 — declarative-fold-contract
+    values, which is what makes the whole operator hash-oracled end
+    to end; round 12 — executed Arrow-batched via `_km_assign_np`,
+    one shuffle-free pass per round).
     Probe-measured at 10x/30x replicas (SCALE.md round 9): the k
     policy is what keeps the gram stage near-linear."""
     from etl_spark_eks_spark.operators.dedup import connected_components
@@ -2664,9 +2744,11 @@ def q_c140_lloyd_convergence_gate(spark, sf_dir):
     improvement ratios divide the identical doubles, so every emitted
     row hash-matches.
 
-    Scale: per round one corpus x k-row broadcast-centroid fold pass
-    + a k*dim-row re-centering collect (driver state is k x dim
-    doubles, the C30 argument); assignments are localCheckpoint-ed
+    Scale: per round one Arrow-batched assignment pass (`_km_assign_np`
+    — no shuffle, centroids a k x dim closure; bit-identical to the
+    declarative fold the oracle runs, see its docstring) + a k*dim-row
+    re-centering collect (driver state is k x dim doubles, the C30
+    argument); assignments are localCheckpoint-ed
     because each is read three times (distortion agg, n_moved join,
     next round's comparison) — eager + short-lived, the q_c127
     pattern, no session-lifetime cache residue."""
@@ -2677,37 +2759,13 @@ def q_c140_lloyd_convergence_gate(spark, sf_dir):
     sample = emb.orderBy("vec_id").limit(_C140_K).select("embedding").collect()
     cmat = [[float(x) for x in r["embedding"]] for r in sample]
 
-    def cb_df(mat):
-        return F.broadcast(
-            spark.createDataFrame(
-                [(c, row) for c, row in enumerate(mat)],
-                "cluster int, cv array<double>",
-            )
-        )
-
     rows = []
     prev_assigned = None
     prev_distortion = None
     for r in range(_C140_MAX_ROUNDS + 1):
-        d2 = _pq_d2(F.col("e"), F.col("cv"))
-        assigned = (
-            base.join(cb_df(cmat), how="cross")
-            .select("vec_id", "e", "cluster", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cluster", "e"), F.struct("d2", "cluster")
-                ).alias("b"),
-                F.min(F.struct("d2", "cluster")).alias("w"),
-            )
-            .select(
-                "vec_id",
-                F.col("b.cluster").alias("cluster"),
-                F.col("b.e").alias("e"),
-                F.col("w.d2").alias("d2"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        assigned = _km_assign_np(
+            base, cmat, "e", "array<double>"
+        ).localCheckpoint(eager=True)
         distortion = assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
         if r == 0:
             n_moved, rel = 0, None
@@ -3020,9 +3078,11 @@ def q_c145_ivf_quantizer_gate(spark, sf_dir):
     occupancy columns are integer aggregates, and rel_improvement
     divides identical doubles (no rounding before the gate compare).
 
-    Scale: per round, one corpus x 16-row broadcast-centroid fold
-    pass collapsed map-side by min_by (the C30/C140 assignment
-    shape), then ONE per-cell aggregate pass producing member counts
+    Scale: per round, one Arrow-batched assignment pass over the
+    corpus (`_km_assign_np`, the C30/C140 assignment — no shuffle,
+    16 x dim centroid closure, bit-identical to the declarative fold
+    the oracle runs), then ONE per-cell aggregate pass producing
+    member counts
     AND per-cell DECIMAL distortion partials — the trace's distortion
     total re-aggregates those 16 rows (decimal addition is
     associative, so the two-level sum equals the flat fold
@@ -3040,37 +3100,13 @@ def q_c145_ivf_quantizer_gate(spark, sf_dir):
     )
     cmat = [[float(x) for x in r["embedding"]] for r in sample]
 
-    def cb_df(mat):
-        return F.broadcast(
-            spark.createDataFrame(
-                [(c, row) for c, row in enumerate(mat)],
-                "cluster int, cv array<double>",
-            )
-        )
-
     rows = []
     prev_assigned = None
     prev_distortion = None
     for r in range(_C145_MAX_ROUNDS + 1):
-        d2 = _pq_d2(F.col("e"), F.col("cv"))
-        assigned = (
-            base.join(cb_df(cmat), how="cross")
-            .select("vec_id", "e", "cluster", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cluster", "e"), F.struct("d2", "cluster")
-                ).alias("b"),
-                F.min(F.struct("d2", "cluster")).alias("w"),
-            )
-            .select(
-                "vec_id",
-                F.col("b.cluster").alias("cluster"),
-                F.col("b.e").alias("e"),
-                F.col("w.d2").alias("d2"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        assigned = _km_assign_np(
+            base, cmat, "e", "array<double>"
+        ).localCheckpoint(eager=True)
         # one per-cell pass: member counts + DECIMAL distortion
         # partials; the k-row re-aggregation below is exact because
         # decimal addition is associative (matches the oracle's flat

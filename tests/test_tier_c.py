@@ -1750,6 +1750,75 @@ def test_c148_probe_plan_invariants(spark, sf_dir):
     assert last["worst_skew"] == 1.0
 
 
+def test_km_assign_np_bit_identical(spark, sf_dir):
+    """_km_assign_np (the round-12 Arrow-batched FULL-vector Lloyd
+    assignment behind q_c30/q_c44/q_c127/q_c140/q_c145) must be
+    BIT-identical to the declarative _km_assign_decl — same cluster,
+    same winning d2 double for every vector — against both centroid
+    generations (the round-0 float-seed matrix and a DECIMAL-
+    re-centered double matrix) and BOTH vector column types the call
+    sites use (array<float> 'embedding' in kmeans_lloyd, array<double>
+    'e' in the C140/C145 gated loops). This is what lets all five
+    queries keep their unchanged hash oracles."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.functions.exact import dsum
+    from etl_spark_eks_spark.operators.similarity import (
+        _km_assign_decl,
+        _km_assign_np,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    variants = [
+        (emb.select("vec_id", "embedding"), "embedding", "array<float>"),
+        (
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            ),
+            "e",
+            "array<double>",
+        ),
+    ]
+    for base, vcol, vtype in variants:
+        base = base.localCheckpoint(eager=True)
+        sample = (
+            emb.orderBy("vec_id").limit(8).select("embedding").collect()
+        )
+        cmat = [[float(x) for x in r["embedding"]] for r in sample]
+        for generation in ("float-seed", "recentered-double"):
+            ref = {
+                r["vec_id"]: (r["cluster"], r["d2"])
+                for r in _km_assign_decl(base, cmat, vcol).collect()
+            }
+            got = {
+                r["vec_id"]: (r["cluster"], r["d2"])
+                for r in _km_assign_np(base, cmat, vcol, vtype).collect()
+            }
+            assert got == ref, (
+                f"divergence on the {generation} centroids ({vcol})"
+            )
+            # re-center exactly as kmeans_lloyd does (posexplode +
+            # COUNT + dsum, c = s/n in Python float division) so the
+            # second generation exercises decimal-mean doubles
+            means = (
+                _km_assign_np(base, cmat, vcol, vtype)
+                .select("cluster", F.posexplode(vcol).alias("pos", "v"))
+                .select(
+                    "cluster",
+                    "pos",
+                    F.col("v").cast("double").alias("v"),
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.count("*").alias("n"), dsum("v").alias("s"))
+                .collect()
+            )
+            nxt = [list(row) for row in cmat]
+            for m in means:
+                nxt[m["cluster"]][m["pos"]] = m["s"] / m["n"]
+            cmat = nxt
+
+
 def test_pq_assign_np_bit_identical(spark, sf_dir):
     """_pq_assign_np (q_c142's Arrow-batched assignment, r11 verdict
     task 2) must be BIT-identical to the declarative _pq_assign —

@@ -45,8 +45,6 @@ ALLOW_CARTESIAN = {
     "q_b149_calendar_gap_fill",   # keys x broadcast 1-row date-bounds fold (the spine construction; never touches the fact table)
     "q_c107_exact_apportionment", # strata x broadcast 1-row total/target fold (the quota derivation)
     "q_c21_knn_pq",            # probe x codebook (k-sized)
-    "q_c30_kmeans",            # corpus x k-row broadcast centroid table per Lloyd round (declarative assign; kmeans_lloyd_with_centroids docstring)
-    "q_c44_coreset_medoids",   # same k-row centroid broadcast class as q_c30 (assignment + final-distance folds)
     "q_c39_knn_random_projection",
     "q_c43_embedding_winsorize",  # 1-row bounds table
     "q_c59_split_divergence",  # tiny distribution x distribution compare
