@@ -169,6 +169,15 @@ PROBE_QUERIES = (
     "q_c135_dedup_threshold_curve",
     "q_c136_noise_corrected_prior",
     "q_c137_pq_distortion_trajectory",
+    # round-12 (recovered session): the full Lloyd family joins the
+    # standing list now that its assignment is the Arrow-batched
+    # _km_assign_np (q_c44 rides kmeans + a broadcast distance pass;
+    # q_c140/q_c145/q_c142 are the convergence-gated trainers whose
+    # per-round cost is exactly what the probe must watch).
+    "q_c44_coreset_medoids",
+    "q_c140_lloyd_convergence_gate",
+    "q_c145_ivf_quantizer_gate",
+    "q_c142_pq_convergence_gate",
 )
 # q_c18/q_c2/q_c58 (blocked ALL-PAIRS Jaccard) are deliberately absent: their
 # blocking contract is (lang, token-count band), so block population —
