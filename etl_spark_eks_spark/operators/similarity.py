@@ -700,6 +700,81 @@ def _km_assign_decl(base: DataFrame, cmat, vcol: str) -> DataFrame:
     )
 
 
+_KM_PREFILTER_MIN_K = 64
+
+
+def _km_assign_batch(x: "np.ndarray", cvs: "np.ndarray", prefilter=None):
+    """One batch of exact nearest-centroid assignment: returns
+    (code_idx, d2) where code_idx indexes rows of ``cvs`` and d2 is the
+    EXACT j-ascending-fold squared L2 to the winner — bit-identical to
+    the declarative `_pq_d2` fold regardless of which arm ran.
+
+    Two arms, same result:
+
+    - plain (k < ``_KM_PREFILTER_MIN_K``): accumulate
+      ``acc += dj * dj`` over ascending j for every (row, centroid) —
+      the literal fold, n*k*dim work.
+    - prefilter (k >= the threshold; C127's k = n/65 regime, where
+      n*k*dim is the corpus-quadratic cost that dominated the 100x
+      probe): compute approximate distances by BLAS
+      (||x||^2 + ||c||^2 - 2 x.c — one dgemm), keep per row every
+      centroid within a PROVEN error slack of the batch minimum, and
+      run the exact fold only on those survivors (~1-3 per row).
+
+      Exactness argument (a guaranteed superset, not a heuristic):
+      every floating sum of m nonnegative (or mixed) terms t_j, in ANY
+      association order, deviates from the exact value by at most
+      ~m*u*sum|t_j| (u = 2^-53). For d2a = fl(xn + cn - 2G) that gives
+      |d2a - d2_exact| <= C*u*(||x||^2 + ||c||^2) with C a small
+      multiple of dim — the ABSOLUTE form matters because the matmul
+      identity cancels catastrophically exactly where C127's planted
+      near-clones live (d2 -> 0 while the bound stays ~u*||x||^2).
+      The fold arm's own error is <= dim*u*d2 <= the same bound. With
+      slack = 4096*u*(xn + max cn) (>= 5x the worst constant for
+      dim=64), the true fold-winner w satisfies
+      d2a(w) <= d2(w) + slack <= d2(c) + slack <= d2a(c) + 2*slack
+      for every c — so w (and every exact tie) survives the
+      ``d2a <= min(d2a) + 2*slack`` cut, and the exact fold over
+      survivors decides with the identical doubles. Ties resolve by
+      lexsort (row, d2, code): first per row == smaller code on equal
+      d2 == Spark's min(struct(d2, cluster)). Asserted against the
+      plain arm (both forced) in
+      tests/test_tier_c.py::test_km_assign_prefilter_bit_identical.
+    """
+    n = x.shape[0]
+    k = cvs.shape[0]
+    if prefilter is None:
+        prefilter = k >= _KM_PREFILTER_MIN_K
+    if not prefilter:
+        acc = np.zeros((n, k))
+        for j in range(x.shape[1]):
+            dj = x[:, j][:, None] - cvs[None, :, j]
+            acc += dj * dj
+        best = np.argmin(acc, axis=1)
+        return best, acc[np.arange(n), best]
+    xn = (x * x).sum(axis=1)
+    cn = (cvs * cvs).sum(axis=1)
+    d2a = xn[:, None] + cn[None, :] - 2.0 * (x @ cvs.T)
+    slack = 4096.0 * 2.0**-53 * (xn + cn.max())
+    keep_r, keep_c = np.nonzero(
+        d2a <= (d2a.min(axis=1) + 2.0 * slack)[:, None]
+    )
+    # exact fold over the survivors only, ascending j — the identical
+    # IEEE operation sequence per element as the plain arm
+    xs = x[keep_r]
+    cs = cvs[keep_c]
+    acc = np.zeros(len(keep_r))
+    for j in range(x.shape[1]):
+        dj = xs[:, j] - cs[:, j]
+        acc += dj * dj
+    order = np.lexsort((keep_c, acc, keep_r))
+    # rows appear grouped ascending after the lexsort and every row
+    # keeps at least its own minimum, so the first occurrence per row
+    # IS the (min d2, then min code) winner, already row-ordered
+    sel = order[np.unique(keep_r[order], return_index=True)[1]]
+    return keep_c[sel], acc[sel]
+
+
 def _km_assign_np(base: DataFrame, cmat, vcol: str, vtype: str) -> DataFrame:
     """Arrow-batched twin of :func:`_km_assign_decl` (round 12 — the
     `_pq_assign_np` pattern applied to the FULL-vector Lloyd stage):
@@ -737,25 +812,26 @@ def _km_assign_np(base: DataFrame, cmat, vcol: str, vtype: str) -> DataFrame:
     never corpus-sized); corpus rows stream through Arrow batches
     with no per-row Python loop and no shuffle — at 1000 executors
     each task assigns its own partition and the only per-round
-    synchronization left is the k*dim-row re-centering aggregate."""
+    synchronization left is the k*dim-row re-centering aggregate.
+    Per batch the work runs through :func:`_km_assign_batch`, which
+    at k >= 64 (C127's k = n/65 regime) swaps the dense n*k*dim
+    fold for a BLAS prefilter + exact-fold-on-survivors pass that is
+    PROVABLY bit-identical (see its docstring) — the corpus-quadratic
+    assignment cost the 100x probe exposed is paid by one dgemm
+    instead of 64 interpreted broadcast ops."""
     cvs = np.array(
         [[float(x) for x in row] for row in cmat], dtype=np.float64
     )
 
     def assign(batches):
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
-            acc = np.zeros((n, cvs.shape[0]))
-            for j in range(x.shape[1]):
-                dj = x[:, j][:, None] - cvs[None, :, j]
-                acc += dj * dj
-            best = np.argmin(acc, axis=1)
+            best, d2 = _km_assign_batch(x, cvs)
             out = pdf[["vec_id", vcol]].copy()
             out["cluster"] = best.astype(np.int32)
-            out["d2"] = acc[np.arange(n), best]
+            out["d2"] = d2
             yield out[["vec_id", "cluster", vcol, "d2"]]
 
     return base.mapInPandas(
@@ -800,9 +876,21 @@ def kmeans_lloyd_with_centroids(
 
     assigned = None
     for _ in range(iters):
-        assigned = _km_assign_np(
-            wide, cmat, "embedding", "array<float>"
-        ).drop("d2")
+        # localCheckpoint (the C140/C145 loop discipline): each
+        # round's assignment has TWO consumers — this round's
+        # re-centering aggregate and (for the last round) the
+        # caller's downstream plan. Uncached, every consumer re-runs
+        # the n x k x dim assignment pass, which is exactly the cost
+        # that dominates at corpus scale under C127's k = n/65 policy
+        # (measured: one pass at the 100x probe is minutes; the pin
+        # cuts the query's assign passes from 3 to iters). Eager +
+        # short-lived, the q_c127 pattern — no session-lifetime
+        # cache residue.
+        assigned = (
+            _km_assign_np(wide, cmat, "embedding", "array<float>")
+            .drop("d2")
+            .localCheckpoint(eager=True)
+        )
         means = (
             assigned.select(
                 "cluster", F.posexplode("embedding").alias("pos", "v")

@@ -1819,6 +1819,63 @@ def test_km_assign_np_bit_identical(spark, sf_dir):
             cmat = nxt
 
 
+def test_km_assign_prefilter_bit_identical(spark, sf_dir):
+    """The BLAS-prefilter arm of _km_assign_batch must return the
+    IDENTICAL (code, d2) pair as the plain fold arm — same winner,
+    same bit-for-bit fold double — with both arms FORCED on the same
+    inputs, across (a) the real fixture embeddings against a large
+    k=128 centroid matrix (the k >= 64 regime where the prefilter
+    auto-engages in production and which no sf-fixture oracle run
+    reaches), (b) a recentered-double generation of the same, and
+    (c) an adversarial near-clone set where d2 -> 0 makes the matmul
+    identity cancel catastrophically — the exact case the absolute
+    error slack exists for. Ties (exact duplicate centroids) must
+    resolve to the smaller code on both arms."""
+    import numpy as np
+
+    from etl_spark_eks_spark.operators.similarity import _km_assign_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.orderBy("vec_id").select("embedding").limit(400).collect()
+    )
+    x = np.array(
+        [[float(v) for v in r["embedding"]] for r in rows],
+        dtype=np.float64,
+    )
+    # (a) float-seed generation: first 128 vectors as centroids
+    cvs = x[:128].copy()
+    for label in ("float-seed", "recentered-double"):
+        c_plain, d_plain = _km_assign_batch(x, cvs, prefilter=False)
+        c_pref, d_pref = _km_assign_batch(x, cvs, prefilter=True)
+        assert (c_plain == c_pref).all(), label
+        assert (d_plain == d_pref).all(), label  # bitwise: == on doubles
+        # (b) derive a decimal-free but representative double
+        # generation: the per-cluster mean in float64 (close to the
+        # dsum/n doubles the Lloyd loop produces)
+        nxt = cvs.copy()
+        for c in range(len(cvs)):
+            m = x[c_plain == c]
+            if len(m):
+                nxt[c] = m.mean(axis=0)
+        cvs = nxt
+    # (c) adversarial near-clones + exact-duplicate centroids: rows
+    # at d2 ~ 1e-4 and ~0 of their centroid, plus centroid 5 == 6
+    rng_base = x[:8].copy()
+    cvs2 = np.vstack([rng_base] * 16)  # k=128, many exact dup centroids
+    clones = rng_base.copy()
+    clones[:, 0] += 5e-3  # the C127 planted-clone offset class
+    xq = np.vstack([rng_base, clones])
+    c_plain, d_plain = _km_assign_batch(xq, cvs2, prefilter=False)
+    c_pref, d_pref = _km_assign_batch(xq, cvs2, prefilter=True)
+    assert (c_plain == c_pref).all()
+    assert (d_plain == d_pref).all()
+    # every exact-copy row must pick the FIRST of its duplicated
+    # centroids (smaller code) with d2 exactly 0.0 on both arms
+    assert (c_plain[:8] == np.arange(8)).all()
+    assert (d_plain[:8] == 0.0).all()
+
+
 def test_pq_assign_np_bit_identical(spark, sf_dir):
     """_pq_assign_np (q_c142's Arrow-batched assignment, r11 verdict
     task 2) must be BIT-identical to the declarative _pq_assign —
