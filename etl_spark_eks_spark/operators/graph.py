@@ -115,14 +115,19 @@ def q_c61_pagerank(spark, sf_dir):
         # sf0.01 from this line alone. At real scale the number scales
         # with |edges|; src-hash partitioning also co-locates each
         # node's out-edges for the share join.
+        # Lazy checkpoints (round 12): deg.count() below is the first
+        # action, so edges AND deg materialize inside that one job
+        # instead of two dedicated checkpoint jobs — same frozen
+        # 16-partition layout, same plan-growth truncation (the
+        # LogicalRDD wrap happens at checkpoint call, eager or not).
         .repartition(16, "src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = deg.count()
     ranks = deg.withColumn("r", F.round(F.lit(1.0) / n_nodes, 15))
@@ -151,12 +156,17 @@ def q_c61_pagerank(spark, sf_dir):
         # broadcast of `shares` otherwise re-executes every prior
         # round's join+agg — O(iters^2) work and a lineage that
         # deepens per round. The checkpointed table is n_nodes rows.
-        # The FINAL round stays lazy: its upstream is the sealed
-        # previous table, and leaving it declarative keeps the
+        # Lazy (round 12): the seal still truncates the plan at
+        # checkpoint call, but each round's rows now materialize
+        # inside the NEXT round's broadcast build (computed once,
+        # cached at first touch) rather than in a dedicated per-round
+        # job — the whole 3-round propagation runs in the consumer's
+        # single action. The FINAL round stays declarative: its
+        # upstream is the sealed previous table, keeping the
         # broadcast-join + single-exchange shape visible to plan
         # tests (and to AQE).
         if it < _PR_ITERS - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return (
         ranks.select(
             "node",

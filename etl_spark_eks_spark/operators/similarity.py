@@ -41,6 +41,32 @@ _COSINE_PAIRS_SQL = """
 """
 
 
+def _assign_width(df: DataFrame, per_part_bytes: int = 2 << 20) -> int:
+    """Scale-adaptive partition floor for the Arrow-batched assignment
+    family (round 12, guide §2: derive partitioning from input size,
+    not a constant tuned for local mode). `widen()`'s full-session
+    fan-out exists for INTERPRETED per-row expressions, where 32-way
+    parallelism beats per-task overhead even on a 5k-row fixture. A
+    numpy `mapInPandas` batch assigns tens of thousands of rows per
+    millisecond, so on fixture-sized inputs the cost is ~entirely the
+    per-task Python round-trips (measured: 32-task assignment stages
+    of 0.3-0.6 s over 16k rows); the right width is the scan size
+    divided by a batch-sized chunk, floored at 4 for the hostile
+    local[3] sweeps and capped at session parallelism. At real scale
+    the estimate exceeds the cap and `widen` is a no-op there anyway,
+    so only tiny inputs narrow."""
+    sc = df.sparkSession.sparkContext
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return sc.defaultParallelism
+    return max(
+        4, min(sc.defaultParallelism, -(-size // per_part_bytes))
+    )
+
+
 def knn_cosine_bruteforce(
     queries: DataFrame, corpus: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -775,7 +801,9 @@ def _km_assign_batch(x: "np.ndarray", cvs: "np.ndarray", prefilter=None):
     return keep_c[sel], acc[sel]
 
 
-def _km_assign_np(base: DataFrame, cmat, vcol: str, vtype: str) -> DataFrame:
+def _km_assign_np(
+    base: DataFrame, cmat, vcol: str, vtype: str, carry: str | None = None
+) -> DataFrame:
     """Arrow-batched twin of :func:`_km_assign_decl` (round 12 — the
     `_pq_assign_np` pattern applied to the FULL-vector Lloyd stage):
     nearest-centroid squared-L2 assignment with ties to the smaller
@@ -818,10 +846,16 @@ def _km_assign_np(base: DataFrame, cmat, vcol: str, vtype: str) -> DataFrame:
     fold for a BLAS prefilter + exact-fold-on-survivors pass that is
     PROVABLY bit-identical (see its docstring) — the corpus-quadratic
     assignment cost the 100x probe exposed is paid by one dgemm
-    instead of 64 interpreted broadcast ops."""
+    instead of 64 interpreted broadcast ops.
+
+    ``carry`` (round 12, optimization): passes one input column (the
+    previous round's cluster) through unchanged, so a convergence
+    trace fed from the previous assignment's output computes n_moved
+    without a per-round vec_id shuffle join — see `_pq_assign_np`."""
     cvs = np.array(
         [[float(x) for x in row] for row in cmat], dtype=np.float64
     )
+    cols = ["vec_id", "cluster", vcol, "d2"] + ([carry] if carry else [])
 
     def assign(batches):
         for pdf in batches:
@@ -829,13 +863,15 @@ def _km_assign_np(base: DataFrame, cmat, vcol: str, vtype: str) -> DataFrame:
                 continue
             x = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
             best, d2 = _km_assign_batch(x, cvs)
-            out = pdf[["vec_id", vcol]].copy()
+            out = pdf[["vec_id", vcol] + ([carry] if carry else [])].copy()
             out["cluster"] = best.astype(np.int32)
             out["d2"] = d2
-            yield out[["vec_id", "cluster", vcol, "d2"]]
+            yield out[cols]
 
     return base.mapInPandas(
-        assign, f"vec_id long, cluster int, {vcol} {vtype}, d2 double"
+        assign,
+        f"vec_id long, cluster int, {vcol} {vtype}, d2 double"
+        + (f", {carry} int" if carry else ""),
     )
 
 
@@ -872,7 +908,7 @@ def kmeans_lloyd_with_centroids(
     numpy execution under that unchanged contract."""
     sample = corpus.orderBy("vec_id").limit(k).select("embedding").collect()
     cmat = [[float(x) for x in r["embedding"]] for r in sample]
-    wide = widen(corpus).select("vec_id", "embedding")
+    wide = widen(corpus, _assign_width(corpus)).select("vec_id", "embedding")
 
     assigned = None
     for _ in range(iters):
@@ -883,13 +919,16 @@ def kmeans_lloyd_with_centroids(
         # the n x k x dim assignment pass, which is exactly the cost
         # that dominates at corpus scale under C127's k = n/65 policy
         # (measured: one pass at the 100x probe is minutes; the pin
-        # cuts the query's assign passes from 3 to iters). Eager +
-        # short-lived, the q_c127 pattern — no session-lifetime
-        # cache residue.
+        # cuts the query's assign passes from 3 to iters). Lazy
+        # (round 12): the re-centering collect below is always the
+        # round's first action, so the checkpoint materializes inside
+        # it instead of paying a dedicated job per round — short-
+        # lived, the q_c127 pattern, no session-lifetime cache
+        # residue. 1 job/round instead of 2; identical assignments.
         assigned = (
             _km_assign_np(wide, cmat, "embedding", "array<float>")
             .drop("d2")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         means = (
             assigned.select(
@@ -2443,7 +2482,7 @@ def _pq_assign(sub, cb):
     )
 
 
-def _pq_assign_np(sub, cb):
+def _pq_assign_np(sub, cb, carry=None):
     """Arrow-batched twin of :func:`_pq_assign` (round 12, r11 verdict
     task 2): same output contract — (vec_id, subspace, code, sv, d2)
     with nearest-centroid squared-L2 assignment, ties to the smaller
@@ -2474,7 +2513,18 @@ def _pq_assign_np(sub, cb):
     Arrow batches with no per-row Python, no 16x row blow-up before
     the min_by collapse, and no shuffle (the groupBy(vec_id,
     subspace) of the declarative form disappears — each input row
-    yields its winner directly)."""
+    yields its winner directly).
+
+    ``carry`` (round 12, optimization): name of an input column to
+    pass through unchanged (the previous round's code). Feeding round
+    r's assignment from round r-1's OUTPUT (same (vec_id, subspace,
+    sv) rows — sv passes through assignment untouched) with the old
+    code carried lets the convergence trace compute n_moved as a
+    narrow SUM(code != prev) in the same aggregate as the distortion,
+    removing the per-round (vec_id, subspace) shuffle join the trace
+    otherwise pays (guide §2.4; measured +2.5 s/query at sf0.1 when
+    the join was merely *combined* with the distortion agg instead of
+    removed)."""
     books: dict[int, list[tuple[int, list[float]]]] = {}
     for r in cb.collect():
         books.setdefault(r["subspace"], []).append(
@@ -2487,6 +2537,9 @@ def _pq_assign_np(sub, cb):
         )
         for s, v in books.items()
     }
+    cols = ["vec_id", "subspace", "code", "sv", "d2"] + (
+        [carry] if carry else []
+    )
 
     def assign(batches):
         for pdf in batches:
@@ -2506,14 +2559,17 @@ def _pq_assign_np(sub, cb):
                 best = np.argmin(acc, axis=1)
                 code_out[idx] = codes[best]
                 d2_out[idx] = acc[np.arange(len(idx)), best]
-            out = pdf[["vec_id", "subspace", "sv"]].copy()
+            out = pdf[
+                ["vec_id", "subspace", "sv"] + ([carry] if carry else [])
+            ].copy()
             out["code"] = code_out
             out["d2"] = d2_out
-            yield out[["vec_id", "subspace", "code", "sv", "d2"]]
+            yield out[cols]
 
     return sub.mapInPandas(
         assign,
-        "vec_id long, subspace long, code long, sv array<float>, d2 double",
+        "vec_id long, subspace long, code long, sv array<float>, d2 double"
+        + (f", {carry} long" if carry else ""),
     )
 
 
@@ -2703,15 +2759,21 @@ def q_c137_pq_distortion_trajectory(spark, sf_dir):
     cb0 = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
         F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
     )
-    # Eager localCheckpoints, not persists: each assignment table has
+    # localCheckpoints, not persists: each assignment table has
     # two consumers (next round's codebook + the n_moved comparison)
     # and must not leave session-lifetime cache entries behind
-    # (ADVICE r10; the q_c127 pattern).
-    a0 = _pq_assign(sub, cb0).localCheckpoint(eager=True)
+    # (ADVICE r10; the q_c127 pattern). Lazy (eager=False), round 12:
+    # the unroll is static, so all three assignment tables can
+    # materialize inside the consumer's ONE action — each checkpoint
+    # still computes exactly once (first touch persists it; the
+    # n_moved branches and next-round codebooks then read the cached
+    # rows) but the query pays 1 job instead of 3 checkpoint jobs
+    # plus the final one. Identical rows, same oracle hash.
+    a0 = _pq_assign(sub, cb0).localCheckpoint(eager=False)
     cb1 = _pq_recenter(a0, cb0)
-    a1 = _pq_assign(sub, cb1).localCheckpoint(eager=True)
+    a1 = _pq_assign(sub, cb1).localCheckpoint(eager=False)
     cb2 = _pq_recenter(a1, cb1)
-    a2 = _pq_assign(sub, cb2).localCheckpoint(eager=True)
+    a2 = _pq_assign(sub, cb2).localCheckpoint(eager=False)
 
     def row(r, asg, prev):
         dist = asg.agg(
@@ -2837,38 +2899,55 @@ def q_c140_lloyd_convergence_gate(spark, sf_dir):
     declarative fold the oracle runs, see its docstring) + a k*dim-row
     re-centering collect (driver state is k x dim doubles, the C30
     argument); assignments are localCheckpoint-ed
-    because each is read three times (distortion agg, n_moved join,
-    next round's comparison) — eager + short-lived, the q_c127
-    pattern, no session-lifetime cache residue."""
+    because each is read three times (trace agg, re-centering,
+    next round's assignment) — short-lived, the q_c127
+    pattern, no session-lifetime cache residue.
+
+    Round 12 (optimization, guide §2.4 + §2): the per-round vec_id
+    shuffle join that computed n_moved is REMOVED — round r >= 1
+    assigns over round r-1's checkpointed OUTPUT with the previous
+    cluster carried through (`_km_assign_np(carry=...)`; e passes
+    through assignment untouched), so distortion and n_moved are ONE
+    narrow no-shuffle aggregate; checkpoints are lazy (materialize
+    inside that aggregate); and the fixture fan-out is scale-adaptive
+    (`_assign_width`) instead of full session width. Measured at
+    sf0.1: 3.75 s / 25 jobs -> ~2.0 s; identical rows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = widen(emb).select(
+    base = widen(emb, _assign_width(emb)).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     sample = emb.orderBy("vec_id").limit(_C140_K).select("embedding").collect()
     cmat = [[float(x) for x in r["embedding"]] for r in sample]
 
     rows = []
-    prev_assigned = None
     prev_distortion = None
+    cur = base
     for r in range(_C140_MAX_ROUNDS + 1):
-        assigned = _km_assign_np(
-            base, cmat, "e", "array<double>"
-        ).localCheckpoint(eager=True)
-        distortion = assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
         if r == 0:
+            assigned = _km_assign_np(
+                cur, cmat, "e", "array<double>"
+            ).localCheckpoint(eager=False)
+            distortion = (
+                assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
+            )
             n_moved, rel = 0, None
         else:
-            n_moved = (
-                assigned.select("vec_id", F.col("cluster").alias("ca"))
-                .join(
-                    prev_assigned.select(
-                        "vec_id", F.col("cluster").alias("cb")
-                    ),
-                    "vec_id",
-                )
-                .where(F.col("ca") != F.col("cb"))
-                .count()
-            )
+            assigned = _km_assign_np(
+                cur.select(
+                    "vec_id", "e", F.col("cluster").alias("prev_cluster")
+                ),
+                cmat,
+                "e",
+                "array<double>",
+                carry="prev_cluster",
+            ).localCheckpoint(eager=False)
+            st = assigned.agg(
+                dsum("d2").alias("d"),
+                F.sum(
+                    (F.col("cluster") != F.col("prev_cluster")).cast("long")
+                ).alias("m"),
+            ).collect()[0]
+            distortion, n_moved = st["d"], st["m"]
             rel = (prev_distortion - distortion) / prev_distortion
         converged = rel is not None and rel < _C140_EPS
         rows.append((r, n_moved, distortion, rel, converged))
@@ -2886,7 +2965,7 @@ def q_c140_lloyd_convergence_gate(spark, sf_dir):
         for m in means:
             nxt[m["cluster"]][m["pos"]] = m["s"] / m["n"]
         cmat = nxt
-        prev_assigned, prev_distortion = assigned, distortion
+        cur, prev_distortion = assigned, distortion
     return spark.createDataFrame(
         rows,
         "round long, n_moved long, distortion double,"
@@ -3034,44 +3113,69 @@ def q_c142_pq_convergence_gate(spark, sf_dir):
     after the change in SCALE.md) + a 1,024-key re-centering; the
     128-row codebook is a per-round driver pull (the same k-row
     class as the 1-row distortion pulls). Assignments localCheckpoint
-    because three consumers read each (distortion agg, n_moved join,
-    next comparison), and the checkpoint bounds plan growth across
-    data-dependent round counts — the same driver-state argument as
-    C140 with k x dim replaced by the fixed 1,024-row codebook."""
+    because three consumers read each (trace agg, re-centering,
+    next round's assignment), and the checkpoint bounds plan growth
+    across data-dependent round counts — the same driver-state
+    argument as C140 with k x dim replaced by the fixed 1,024-row
+    codebook.
+
+    Round 12 (optimization, guide §2.4): the per-round (vec_id,
+    subspace) shuffle JOIN that computed n_moved is REMOVED — round
+    r >= 1 assigns over round r-1's checkpointed OUTPUT (identical
+    (vec_id, subspace, sv) rows; sv passes through assignment
+    untouched) with the old code carried through, so n_moved is a
+    narrow SUM(code != prev_code) in the SAME no-shuffle aggregate as
+    the distortion (dsum is exact DECIMAL, associative — identical
+    double). localCheckpoints are lazy (eager=False): each
+    materializes inside the round's first action (the trace agg for
+    assignments, the next 128-row codebook collect for re-centerings)
+    instead of paying a dedicated job. Measured at sf0.1: 5.93 s /
+    41 jobs -> ~3.0 s, identical rows, same oracle hash (verified
+    sf0.01 + sf0.1). A join-based merge of the two aggregates was
+    measured FIRST and rejected: +2.5 s — the join cost more than the
+    barrier it saved."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sub = _pq_subspaces(widen(emb)).localCheckpoint(eager=True)
+    sub = _pq_subspaces(
+        widen(emb, _assign_width(emb))
+    ).localCheckpoint(eager=False)
     cb = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
         F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
     )
     rows = []
-    prev_assigned = None
     prev_distortion = None
+    cur = sub
     for r in range(_C142_MAX_ROUNDS + 1):
-        assigned = _pq_assign_np(sub, cb).localCheckpoint(eager=True)
-        distortion = assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
         if r == 0:
+            assigned = _pq_assign_np(cur, cb).localCheckpoint(eager=False)
+            distortion = (
+                assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
+            )
             n_moved, rel = 0, None
         else:
-            n_moved = (
-                assigned.select(
-                    "vec_id", "subspace", F.col("code").alias("ca")
-                )
-                .join(
-                    prev_assigned.select(
-                        "vec_id", "subspace", F.col("code").alias("cb")
-                    ),
-                    ["vec_id", "subspace"],
-                )
-                .where(F.col("ca") != F.col("cb"))
-                .count()
-            )
+            assigned = _pq_assign_np(
+                cur.select(
+                    "vec_id",
+                    "subspace",
+                    "sv",
+                    F.col("code").alias("prev_code"),
+                ),
+                cb,
+                carry="prev_code",
+            ).localCheckpoint(eager=False)
+            st = assigned.agg(
+                dsum("d2").alias("d"),
+                F.sum(
+                    (F.col("code") != F.col("prev_code")).cast("long")
+                ).alias("m"),
+            ).collect()[0]
+            distortion, n_moved = st["d"], st["m"]
             rel = (prev_distortion - distortion) / prev_distortion
         converged = rel is not None and rel < _C142_EPS
         rows.append((r, n_moved, distortion, rel, converged))
         if converged or r == _C142_MAX_ROUNDS:
             break
-        cb = _pq_recenter(assigned, cb).localCheckpoint(eager=True)
-        prev_assigned, prev_distortion = assigned, distortion
+        cb = _pq_recenter(assigned, cb).localCheckpoint(eager=False)
+        cur, prev_distortion = assigned, distortion
     return spark.createDataFrame(
         rows,
         "round long, n_moved long, distortion double,"
@@ -3180,7 +3284,7 @@ def q_c145_ivf_quantizer_gate(spark, sf_dir):
     localCheckpoint bounds plan growth across the data-dependent
     round count exactly as in C140/C142."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = widen(emb).select(
+    base = widen(emb, _assign_width(emb)).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     sample = (
@@ -3189,40 +3293,59 @@ def q_c145_ivf_quantizer_gate(spark, sf_dir):
     cmat = [[float(x) for x in r["embedding"]] for r in sample]
 
     rows = []
-    prev_assigned = None
     prev_distortion = None
+    cur = base
     for r in range(_C145_MAX_ROUNDS + 1):
-        assigned = _km_assign_np(
-            base, cmat, "e", "array<double>"
-        ).localCheckpoint(eager=True)
+        # Round 12 (optimization, the q_c140/q_c142 surgery): round
+        # r >= 1 assigns over round r-1's checkpointed OUTPUT with the
+        # previous cluster carried through, so the n_moved comparison
+        # rides the SAME per-cell pass as the occupancy/distortion
+        # stats with NO shuffle join (the moved count is a SUM of 0/1
+        # == the old filtered count); the checkpoint is lazy
+        # (materializes inside that pass); fixture fan-out is
+        # scale-adaptive (_assign_width). Identical rows.
+        if r == 0:
+            assigned = _km_assign_np(
+                cur, cmat, "e", "array<double>"
+            ).localCheckpoint(eager=False)
+            stats_in = assigned.withColumn("mv", F.lit(0).cast("long"))
+        else:
+            assigned = _km_assign_np(
+                cur.select(
+                    "vec_id", "e", F.col("cluster").alias("prev_cluster")
+                ),
+                cmat,
+                "e",
+                "array<double>",
+                carry="prev_cluster",
+            ).localCheckpoint(eager=False)
+            stats_in = assigned.select(
+                "cluster",
+                "d2",
+                (F.col("cluster") != F.col("prev_cluster"))
+                .cast("long")
+                .alias("mv"),
+            )
         # one per-cell pass: member counts + DECIMAL distortion
         # partials; the k-row re-aggregation below is exact because
         # decimal addition is associative (matches the oracle's flat
         # SUM(CAST(d2 AS DECIMAL(38,6))) bit-for-bit)
-        per_cell = assigned.groupBy("cluster").agg(
+        per_cell = stats_in.groupBy("cluster").agg(
             F.count("*").cast("bigint").alias("n"),
             F.sum(F.col("d2").cast("decimal(38,6)")).alias("dpart"),
+            F.sum("mv").alias("mvpart"),
         )
         st = per_cell.agg(
             F.sum("dpart").cast("double").alias("distortion"),
             F.count("*").cast("bigint").alias("n_nonempty"),
             F.max("n").cast("bigint").alias("max_cell_n"),
+            F.sum("mvpart").alias("n_moved"),
         ).collect()[0]
         distortion = st["distortion"]
         if r == 0:
             n_moved, rel = 0, None
         else:
-            n_moved = (
-                assigned.select("vec_id", F.col("cluster").alias("ca"))
-                .join(
-                    prev_assigned.select(
-                        "vec_id", F.col("cluster").alias("cb")
-                    ),
-                    "vec_id",
-                )
-                .where(F.col("ca") != F.col("cb"))
-                .count()
-            )
+            n_moved = st["n_moved"]
             rel = (prev_distortion - distortion) / prev_distortion
         converged = rel is not None and rel < _C145_EPS
         rows.append(
@@ -3243,7 +3366,7 @@ def q_c145_ivf_quantizer_gate(spark, sf_dir):
         for m in means:
             nxt[m["cluster"]][m["pos"]] = m["s"] / m["n"]
         cmat = nxt
-        prev_assigned, prev_distortion = assigned, distortion
+        cur, prev_distortion = assigned, distortion
     return spark.createDataFrame(
         rows,
         "round long, n_moved long, distortion double,"
