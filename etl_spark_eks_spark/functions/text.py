@@ -320,6 +320,90 @@ def portable_minhash_band_sql(n_hashes: int, n_bands: int, hcol: str = "h") -> l
     return out
 
 
+def portable_minhash_bands_np(
+    df, tokens: Column, id_col: str, n_hashes: int, n_bands: int
+):
+    """Arrow-batched twin of ``portable_token_hashes`` +
+    ``portable_minhash_band_hashes`` (round 12, optimization): takes
+    the TOKENIZED document (tokenize stays a Catalyst expression, so
+    splitting semantics are byte-identical) and returns (doc_id,
+    bands array<long>) computed with hashlib + numpy inside
+    ``mapInPandas`` instead of 32 interpreted per-seed array
+    transforms + 16 md5 band expressions per row.
+
+    BIT-IDENTITY argument (the _km_assign_np clause structure):
+    (1) the 32-bit token hash is ``int(md5(token_utf8)[:8], 16)`` —
+    hashlib md5 over the token's UTF-8 bytes is the same digest the
+    JVM computes, and the 8-hex-char prefix parse matches
+    conv(substr(..),16,10); (2) per-seed minima min((a*h+b) % P) are
+    order-independent over the DISTINCT hash set, exact in int64
+    (max a*h+b = 2^63 - 2^33, the documented headroom bound);
+    (3) the band value is md5 of the comma-joined decimal minima
+    ("m0,m1"), ``str(int)`` == CAST(long AS STRING); an empty token
+    set makes every per-seed min NULL, which concat_ws SKIPS — the
+    band value is md5 of the empty string, replicated here verbatim.
+    Asserted column-for-column against the declarative form in
+    tests/test_tier_c.py::test_portable_minhash_np_bit_identical.
+
+    Scale: same dataflow (signature per row, shuffle-free; only
+    doc_id + 16 band longs come out); the per-task md5 memo across
+    repeated tokens is guide §4.5's init-once applied to a cache."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    rows = n_hashes // n_bands
+    A = np.array(
+        [portable_coeff("mh_a", s) for s in range(n_hashes)], dtype=np.int64
+    )
+    B = np.array(
+        [portable_coeff("mh_b", s) for s in range(n_hashes)], dtype=np.int64
+    )
+
+    def batches(it):
+        memo: dict[str, int] = {}
+
+        def h32(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(
+                    hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16
+                )
+                memo[tok] = v
+            return v
+
+        for pdf in it:
+            out = []
+            for toks in pdf["__toks"]:
+                hs = {h32(t) for t in toks}
+                if hs:
+                    h = np.fromiter(hs, dtype=np.int64, count=len(hs))
+                    mins = ((A[:, None] * h[None, :]) + B[:, None]) % MH_PRIME
+                    mins = mins.min(axis=1)
+                    strs = [
+                        ",".join(
+                            str(int(mins[b * rows + r])) for r in range(rows)
+                        )
+                        for b in range(n_bands)
+                    ]
+                else:
+                    strs = [""] * n_bands
+                out.append(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in strs
+                    ]
+                )
+            res = pdf[["doc_id"]].copy()
+            res["bands"] = out
+            yield res
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), tokens.alias("__toks")
+    ).mapInPandas(batches, "doc_id long, bands array<long>")
+
+
 def portable_shingle_hashes(token_hash_col: Column | str, k: int = 3) -> Column:
     """Portable k-token shingle hashes from an ordered portable
     token-hash column: shingle i -> portable_hash64 of the comma-joined

@@ -572,21 +572,31 @@ def minhash_lsh_candidates(
     DuckDB, the q_c8 oracle family; see functions/text.py).
     """
     if family == "portable":
+        # Round 12: the portable signature pipeline runs Arrow-batched
+        # (portable_minhash_bands_np — hashlib md5 + numpy minima,
+        # bit-identical to the declarative 32-transform + 16-band-md5
+        # expression; identity argument in its docstring, pinned by
+        # test_portable_minhash_np_bit_identical). The interpreted
+        # higher-order lambdas were the signature stage's entire cost
+        # (no codegen, no CSE — measured 1.65 s of q_c8's 2.5 s floor
+        # at sf0.1); tokenize stays Catalyst so split semantics are
+        # byte-identical.
         from etl_spark_eks_spark.functions.text import (
-            portable_minhash_band_hashes,
-            portable_token_hashes,
+            portable_minhash_bands_np,
         )
 
-        hash_fn, band_fn = portable_token_hashes, portable_minhash_band_hashes
+        sigs = portable_minhash_bands_np(
+            widen(df), tokenize(F.col(text_col)), id_col, n_hashes, n_bands
+        )
     else:
-        hash_fn, band_fn = token_hashes, minhash_band_hashes
-    htoks = widen(df).select(
-        F.col(id_col).alias("doc_id"),
-        hash_fn(tokenize(F.col(text_col))).alias("htoks"),
-    )
-    sigs = htoks.select(
-        "doc_id", band_fn("htoks", n_hashes, n_bands).alias("bands")
-    )
+        htoks = widen(df).select(
+            F.col(id_col).alias("doc_id"),
+            token_hashes(tokenize(F.col(text_col))).alias("htoks"),
+        )
+        sigs = htoks.select(
+            "doc_id",
+            minhash_band_hashes("htoks", n_hashes, n_bands).alias("bands"),
+        )
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     ).persist(StorageLevel.MEMORY_AND_DISK)

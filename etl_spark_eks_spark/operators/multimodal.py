@@ -390,6 +390,97 @@ def portable_perceptual_hashes(
     )
 
 
+def portable_perceptual_hashes_np(
+    df: DataFrame, binary_col: str, id_col: str
+) -> DataFrame:
+    """Arrow-batched twin of :func:`portable_perceptual_hashes`
+    (round 12, optimization — the `_km_assign_np` pattern applied to
+    the portable phash): same output contract — (doc_id, phash_hi,
+    phash_lo), 2 x 60-bit majority-vote signatures over one md5 per
+    aligned little-endian 4-byte word — but computed with hashlib +
+    numpy inside ``mapInPandas`` instead of the declarative
+    explode + 41-packed-SUM aggregate + 120-CASE pack projection.
+
+    WHY: the declarative form's cost at sf0.1 is not execution — the
+    profiler attributes ~0.9 s of its 3.9 s to jobs — it is the
+    DRIVER analyzing/optimizing/codegening the ~300-node expression
+    tree every run (guide §1.2: fix the algorithm's constant factors
+    where they actually are). The np twin's plan is one ArrowEval
+    node; the payload still never shuffles (only 16 hash bytes come
+    out, same as before).
+
+    BIT-IDENTITY argument (the _km_assign_np clause structure):
+    (1) the word value is the little-endian uint32 of each aligned
+    4-byte group — ``np.frombuffer('<u4')`` == the hex-pair
+    byte(0) + byte(1)*256 + ... fold; (2) md5 of the word's decimal
+    string is the same 32 hex chars in hashlib and the JVM
+    (``str(int)`` == ``CAST(long AS STRING)`` for non-negative
+    values); (3) hi/lo take hex chars [1,15] / [17,31] (1-based) ==
+    Python ``m[0:15]`` / ``m[16:31]``, 60 bits each — exact in int64;
+    (4) the majority vote ``2*cnt > n4`` is the identical integer
+    compare, and docs with no full word (len < 4) emit (0, 0),
+    matching the declarative left-join + coalesce. Asserted
+    column-for-column in tests/test_tier_c.py::
+    test_portable_phash_np_bit_identical.
+
+    Scale: identical dataflow to the splitmix64 `perceptual_hashes`
+    (decode+hash once per payload, Arrow batches, per-task md5 memo
+    across repeated words — guide §4.5's init-once applied to a
+    cache); the declarative twin remains the oracle-shaped reference.
+    """
+    import hashlib
+
+    import numpy as np
+
+    n_bits = 60
+    shifts = np.arange(n_bits, dtype=np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, tuple[int, int]] = {}
+
+        def word_hashes(w: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+            his = np.empty(len(w), dtype=np.uint64)
+            los = np.empty(len(w), dtype=np.uint64)
+            for i, x in enumerate(w.tolist()):
+                hl = memo.get(x)
+                if hl is None:
+                    m = hashlib.md5(str(x).encode()).hexdigest()
+                    hl = (int(m[0:15], 16), int(m[16:31], 16))
+                    memo[x] = hl
+                his[i], los[i] = hl
+            return his, los
+
+        for pdf in it:
+            out_hi = np.zeros(len(pdf), dtype=np.int64)
+            out_lo = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, payload in enumerate(pdf[binary_col]):
+                b = bytes(payload)
+                n4 = len(b) // 4
+                if n4 == 0:
+                    continue
+                w = np.frombuffer(b[: n4 * 4], dtype="<u4")
+                his, los = word_hashes(w)
+                hcnt = ((his[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                lcnt = ((los[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                out_hi[row_i] = int(
+                    ((hcnt * 2 > n4).astype(np.uint64) << shifts).sum()
+                )
+                out_lo[row_i] = int(
+                    ((lcnt * 2 > n4).astype(np.uint64) << shifts).sum()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "phash_hi": out_hi,
+                    "phash_lo": out_lo,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, "doc_id long, phash_hi long, phash_lo long"
+    )
+
+
 def _m4_oracle() -> str:
     """q_m4's DuckDB oracle, mirroring portable_perceptual_hashes:
     hex-parsed little-endian words, one md5 per word, 2 x 60-bit
@@ -461,12 +552,18 @@ def q_m4_media_phash_neardup(spark, sf_dir):
     Invariants (identical payloads collapse, determinism, threshold
     bound) are asserted in tests/test_tier_c.py.
 
-    Oracle (round 11, was rows-only): the official query runs
-    portable_perceptual_hashes (one md5 per 4-byte word instead of the
-    splitmix64 pair — uint64 wraparound is not DuckDB-expressible, md5
-    is), so signatures, bands, and Hamming distances hash-match; the
+    Oracle (round 11, was rows-only): the official query computes the
+    portable phash (one md5 per 4-byte word instead of the splitmix64
+    pair — uint64 wraparound is not DuckDB-expressible, md5 is), so
+    signatures, bands, and Hamming distances hash-match; the
     splitmix64 mapInPandas fast path (perceptual_hashes) remains the
     decode-plumbing demonstration under the same output contract.
+    Round 12: the portable signatures run through the Arrow-batched
+    twin (portable_perceptual_hashes_np — bit-identity argument in
+    its docstring, pinned by test_portable_phash_np_bit_identical);
+    the declarative explode-aggregate form cost ~2.5 s/run of DRIVER
+    plan analysis+codegen on its ~300-node tree at sf0.1, not
+    execution (profiler: 0.9 s of 3.9 s in jobs).
 
     Scale: the expensive step (decode + hash) is one Arrow-batched
     pass — payload bytes never cross partitions; only 16 hash bytes
@@ -480,7 +577,7 @@ def q_m4_media_phash_neardup(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    hashes = portable_perceptual_hashes(d, "payload", "doc_id")
+    hashes = portable_perceptual_hashes_np(d, "payload", "doc_id")
     mask30 = F.lit((1 << 30) - 1).cast("long")
     band_exprs = []
     for i, col in enumerate(("phash_hi", "phash_lo")):

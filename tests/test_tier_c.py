@@ -647,6 +647,87 @@ def test_media_phash_neardup_invariants(spark, sf_dir):
         assert ch[doc_id + n] == ph
 
 
+def test_portable_phash_np_bit_identical(spark, sf_dir):
+    """The Arrow-batched portable phash (round 12, q_m4's official
+    path) must be BIT-identical to the declarative explode-aggregate
+    form on every doc — same md5-derived 60-bit majority votes,
+    including the empty-payload (0, 0) contract. This is what lets
+    q_m4 keep its hash oracle across the swap."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.operators.multimodal import (
+        portable_perceptual_hashes,
+        portable_perceptual_hashes_np,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    # plant an empty and a sub-word payload to pin the (0, 0) branch
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    planted = d.unionByName(
+        d.limit(2).select(
+            (F.col("doc_id") + n).alias("doc_id"),
+            F.expr("substring(payload, 1, doc_id % 4)").alias("payload"),
+        )
+    )
+    decl = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in portable_perceptual_hashes(
+            planted, "payload", "doc_id"
+        ).collect()
+    }
+    np_ = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in portable_perceptual_hashes_np(
+            planted, "payload", "doc_id"
+        ).collect()
+    }
+    assert decl == np_
+
+
+def test_portable_minhash_np_bit_identical(spark, sf_dir):
+    """The Arrow-batched portable MinHash band table (round 12,
+    q_c8's official signature path) must be BIT-identical to the
+    declarative portable_token_hashes + portable_minhash_band_hashes
+    expression on every doc — including the empty-token-set band
+    contract (md5 of "") — which is what lets q_c8 keep its hash
+    oracle across the swap."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.functions.text import (
+        portable_minhash_band_hashes,
+        portable_minhash_bands_np,
+        portable_token_hashes,
+        tokenize,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    planted = d.unionByName(
+        d.limit(1).select(
+            (F.col("doc_id") + n).alias("doc_id"),
+            F.lit("").alias("text"),
+        )
+    )
+    decl = {
+        r["doc_id"]: r["bands"]
+        for r in planted.select(
+            "doc_id",
+            portable_minhash_band_hashes(
+                portable_token_hashes(tokenize(F.col("text"))), 32, 16
+            ).alias("bands"),
+        ).collect()
+    }
+    np_ = {
+        r["doc_id"]: r["bands"]
+        for r in portable_minhash_bands_np(
+            planted, tokenize(F.col("text")), "doc_id", 32, 16
+        ).collect()
+    }
+    assert decl == np_
+
+
 def test_random_projection_recall_vs_bruteforce(spark, sf_dir):
     """C39: JL-projected coarse search (64 -> 24 dims) + exact rerank
     of the top-64 must achieve >= 60% top-5 recall vs brute force on
