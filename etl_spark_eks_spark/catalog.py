@@ -81,6 +81,31 @@ def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(partitions)
 
 
+def adaptive_width(df: DataFrame, per_part_bytes: int = 2 << 20) -> int:
+    """Scale-adaptive partition floor for CODEGEN/Arrow-batched stages
+    (round 12, guide §2: derive partitioning from input size, not a
+    constant tuned for local mode). ``widen()``'s full-session fan-out
+    is load-bearing for INTERPRETED per-row expressions (no codegen,
+    no CSE — 32-way parallelism beats per-task overhead even on a
+    5k-row fixture), but once a pipeline's per-row work is integer
+    codegen or a numpy batch kernel, fixture-sized inputs pay ~10 ms
+    of scheduling per task per stage for nothing (measured: 32-task
+    stages of 0.3-0.6 s over KB-scale tables). The right width is the
+    scan-size estimate divided by a chunk, floored at 4 (hostile
+    local[3] sweeps still overlap) and capped at session parallelism.
+    At real scale the estimate exceeds the cap and ``widen`` is a
+    no-op anyway, so only tiny inputs narrow — pass the result as
+    ``widen(df, adaptive_width(df))``."""
+    sc = df.sparkSession.sparkContext
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return sc.defaultParallelism
+    return max(4, min(sc.defaultParallelism, -(-size // per_part_bytes)))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table and register it as a temp view (SURVEY §2 B1).
 

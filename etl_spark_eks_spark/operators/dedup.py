@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from etl_spark_eks_spark.catalog import load_table, widen
+from etl_spark_eks_spark.catalog import adaptive_width, load_table, widen
 from etl_spark_eks_spark.functions.text import (
     hamming64,
     minhash_band_hashes,
@@ -151,11 +151,25 @@ def jaccard_near_dedup(
     sizes — hence Jaccard values — are preserved up to a 2^-64
     collision, so the exact SQL oracle still matches.
     """
+    # Fan-out width (round 12): the adaptive strategy's mask path does
+    # only integer-codegen work per row after tokenization, so its
+    # fixture fan-out derives from the scan size (adaptive_width, the
+    # _assign_width pattern) instead of full session width — measured
+    # ~0.7 s off q_c18 at sf0.1. The prefix/allpairs strategies keep
+    # the full widen: their per-pair array_intersect verify is
+    # interpreted, which is exactly the regime widen() exists for.
+    # (The adaptive->prefix fallback inherits the narrow width; it
+    # only fires on wide-vocab corpora, where at scale the scan
+    # already carries the partitions and widen is a no-op.)
+    wdf = (
+        widen(df, adaptive_width(df)) if strategy == "adaptive"
+        else widen(df)
+    )
     if shingle_k is None:
         sets = F.array_distinct(
             F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
         )
-        toks = widen(df).select(
+        toks = wdf.select(
             F.col(id_col).alias("doc_id"),
             *[F.col(c) for c in block_cols],
             F.array_sort(sets).alias("toks"),
@@ -165,7 +179,7 @@ def jaccard_near_dedup(
         # be a NAMED column before shingle_hashes element_at's into it
         # (the q_c8 plan rule — CollapseProject leaves the expensive
         # alias alone, an inline expression gets re-expanded k times).
-        th = widen(df).select(
+        th = wdf.select(
             F.col(id_col).alias("doc_id"),
             *[F.col(c) for c in block_cols],
             ordered_token_hashes(tokenize(F.col(text_col))).alias("th"),
@@ -3173,7 +3187,11 @@ def _c113_sized_corpus(spark, sf_dir):
 
     toks is the sorted distinct xxhash64 token-set; plants are the
     nested-set clones described in q_c113_threshold_sweep_curve."""
-    base = widen(load_table(spark, sf_dir, "documents")).select(
+    # adaptive_width (round 12): the bitmask path downstream is pure
+    # integer codegen, so the planted fixture corpus does not need the
+    # full 32-way fan-out — measured 5.7 -> 3.0 s warm on q_c113.
+    d0 = load_table(spark, sf_dir, "documents")
+    base = widen(d0, adaptive_width(d0)).select(
         "doc_id", "lang", tokenize("text").alias("raw")
     )
     plants = [

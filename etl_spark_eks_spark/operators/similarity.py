@@ -43,28 +43,13 @@ _COSINE_PAIRS_SQL = """
 
 def _assign_width(df: DataFrame, per_part_bytes: int = 2 << 20) -> int:
     """Scale-adaptive partition floor for the Arrow-batched assignment
-    family (round 12, guide §2: derive partitioning from input size,
-    not a constant tuned for local mode). `widen()`'s full-session
-    fan-out exists for INTERPRETED per-row expressions, where 32-way
-    parallelism beats per-task overhead even on a 5k-row fixture. A
-    numpy `mapInPandas` batch assigns tens of thousands of rows per
-    millisecond, so on fixture-sized inputs the cost is ~entirely the
-    per-task Python round-trips (measured: 32-task assignment stages
-    of 0.3-0.6 s over 16k rows); the right width is the scan size
-    divided by a batch-sized chunk, floored at 4 for the hostile
-    local[3] sweeps and capped at session parallelism. At real scale
-    the estimate exceeds the cap and `widen` is a no-op there anyway,
-    so only tiny inputs narrow."""
-    sc = df.sparkSession.sparkContext
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return sc.defaultParallelism
-    return max(
-        4, min(sc.defaultParallelism, -(-size // per_part_bytes))
-    )
+    family — see :func:`etl_spark_eks_spark.catalog.adaptive_width`
+    (round 12; a numpy ``mapInPandas`` batch assigns tens of thousands
+    of rows per millisecond, so fixture-sized inputs only pay per-task
+    Python round-trips past a handful of partitions)."""
+    from etl_spark_eks_spark.catalog import adaptive_width
+
+    return adaptive_width(df, per_part_bytes)
 
 
 def knn_cosine_bruteforce(
