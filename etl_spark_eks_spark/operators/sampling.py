@@ -2175,35 +2175,89 @@ def q_c112_benchmark_contamination_matrix(spark, sf_dir):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out = None
-    for bench, m in _C112_BENCHES:
-        bset = (
-            sh.filter(
-                (F.col("doc_id") % m == 0) & (F.col("doc_id") < 2_000_000)
-            )
-            .select(F.col("sh").alias("bsh"))
-            .distinct()
+    # Round 12 (optimization, guide §2.4): ONE corpus pass for the
+    # whole suite instead of one per benchmark. The three benchmark
+    # shingle sets fold into a single broadcast membership table
+    # (shingle -> per-bench 0/1 flags), the per-doc hit counts for
+    # every benchmark ride the SAME groupBy(doc_id, source), and the
+    # per-bench candidate exclusion becomes a post-aggregation
+    # predicate on doc_id (per_doc still carries it) — same counts,
+    # same rows, re-verified vs the oracle. Before: 3 broadcast-build
+    # jobs + 3 per-doc aggregations over the persisted shingle table;
+    # after: 1 + 1. Adding a benchmark now adds one flag column.
+    bench_pred = [
+        (F.col("doc_id") % m == 0) & (F.col("doc_id") < 2_000_000)
+        for _, m in _C112_BENCHES
+    ]
+    bmap = (
+        sh.filter(F.array_contains(F.array(*bench_pred), True))
+        .groupBy(F.col("sh").alias("bsh"))
+        .agg(
+            *[
+                F.max(p.cast("int")).alias(f"in_{i}")
+                for i, p in enumerate(bench_pred)
+            ]
         )
-        cand = sh.filter(
-            (F.col("doc_id") % m != 0) | (F.col("doc_id") >= 2_000_000)
+    )
+    per_doc = (
+        sh.join(F.broadcast(bmap), sh["sh"] == bmap["bsh"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_sh"),
+            *[
+                F.count(F.when(F.col(f"in_{i}") == 1, True)).alias(
+                    f"h_{i}"
+                )
+                for i in range(len(_C112_BENCHES))
+            ],
         )
-        per_doc = (
-            cand.join(F.broadcast(bset), cand["sh"] == bset["bsh"], "left")
-            .groupBy("doc_id", "source")
-            .agg(
-                F.count("*").alias("n_sh"),
-                F.count("bsh").alias("n_hit"),
+    )
+    # candidate exclusion per bench, applied post-aggregation (per_doc
+    # keeps doc_id); both suite counters fold into ONE groupBy(source)
+    # and the (bench, counts) rows unroll via a struct explode — no
+    # second pass, no union of re-aggregations.
+    cand_pred = [
+        (F.col("doc_id") % m != 0) | (F.col("doc_id") >= 2_000_000)
+        for _, m in _C112_BENCHES
+    ]
+    stats = per_doc.groupBy("source").agg(
+        *[
+            c
+            for i, cp in enumerate(cand_pred)
+            for c in (
+                F.count(F.when(cp, True))
+                .cast("long")
+                .alias(f"nc_{i}"),
+                F.count(
+                    F.when(
+                        cp & (2 * F.col(f"h_{i}") >= F.col("n_sh")), True
+                    )
+                )
+                .cast("long")
+                .alias(f"nx_{i}"),
             )
-        )
-        row = per_doc.groupBy("source").agg(
-            F.count("*").cast("long").alias("n_candidates"),
-            F.count(
-                F.when(2 * F.col("n_hit") >= F.col("n_sh"), True)
+        ]
+    )
+    out = stats.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bench).alias("bench"),
+                        F.col(f"nc_{i}").alias("n_candidates"),
+                        F.col(f"nx_{i}").alias("n_contaminated"),
+                    )
+                    for i, (bench, _) in enumerate(_C112_BENCHES)
+                ]
             )
-            .cast("long")
-            .alias("n_contaminated"),
-        ).select(F.lit(bench).alias("bench"), "*")
-        out = row if out is None else out.unionByName(row)
+        ).alias("b"),
+    ).select(
+        F.col("b.bench").alias("bench"),
+        "source",
+        F.col("b.n_candidates").alias("n_candidates"),
+        F.col("b.n_contaminated").alias("n_contaminated"),
+    )
     result = out.orderBy("bench", "source").localCheckpoint(eager=True)
     sh.unpersist()
     return result
