@@ -803,9 +803,19 @@ def q_b109_interval_overlap_join(spark, sf_dir):
             ).alias("bkt"),
         )
 
+    # Pin the bucket exchange's width (round 12, guide §2.5's AQE
+    # blind spot): the per-side exchanges are KB-scale, so AQE
+    # coalesces the join to 1-2 partitions — but the pairwise
+    # candidate EXPANSION happens after the shuffle read, serializing
+    # the bucket products + distinct onto those cores (measured: one
+    # 1.3 s 2-task job holding most of the query). An explicit
+    # repartition(N, bkt) disables coalescing for exactly this
+    # exchange; N = defaultParallelism scales with the cluster and
+    # the ~one-bucket-per-hour key has plenty of entropy for it.
+    width = spark.sparkContext.defaultParallelism
     cand = (
-        gridded(sess, "s")
-        .join(gridded(burst, "b"), "bkt")
+        gridded(sess, "s").repartition(width, "bkt")
+        .join(gridded(burst, "b").repartition(width, "bkt"), "bkt")
         .filter((F.col("s_a") < F.col("b_b")) & (F.col("b_a") < F.col("s_b")))
         # an (interval, interval) pair may share several buckets: keep one
         .select("s_key", "s_a", "s_b", "b_key", "b_a", "b_b")
