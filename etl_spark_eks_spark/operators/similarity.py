@@ -2747,13 +2747,13 @@ def q_c137_pq_distortion_trajectory(spark, sf_dir):
     # localCheckpoints, not persists: each assignment table has
     # two consumers (next round's codebook + the n_moved comparison)
     # and must not leave session-lifetime cache entries behind
-    # (ADVICE r10; the q_c127 pattern). Lazy (eager=False), round 12:
-    # the unroll is static, so all three assignment tables can
-    # materialize inside the consumer's ONE action — each checkpoint
-    # still computes exactly once (first touch persists it; the
-    # n_moved branches and next-round codebooks then read the cached
-    # rows) but the query pays 1 job instead of 3 checkpoint jobs
-    # plus the final one. Identical rows, same oracle hash.
+    # (ADVICE r10; the q_c127 pattern). Lazy (eager=False) since
+    # round 12 for consistency with the gate family; A/B at sf0.1
+    # measured parity with eager (4.0-4.9 s both ways, min-of-5 warm)
+    # because each declarative assignment embeds shuffles whose AQE
+    # stages materialize at checkpoint-call time either way — the
+    # interpreted _pq_d2 folds, which this query KEEPS on purpose as
+    # C134's cost-comparison exhibit, dominate. Identical rows.
     a0 = _pq_assign(sub, cb0).localCheckpoint(eager=False)
     cb1 = _pq_recenter(a0, cb0)
     a1 = _pq_assign(sub, cb1).localCheckpoint(eager=False)
