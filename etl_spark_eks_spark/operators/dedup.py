@@ -206,6 +206,13 @@ def jaccard_near_dedup(
             return _bitmask_exact_pairs(
                 masked, block_cols, threshold, length_band
             )
+        # Fallback boundary (round 12): the adaptive entry narrowed the
+        # fan-out for the mask path's codegen work, but the prefix
+        # machinery below is INTERPRETED (per-pair array_intersect) —
+        # re-widen the signature table to full session width before it
+        # (a cheap repartition of ids + hashed sets; the 10x probe
+        # measured the narrow fallback superlinear without this).
+        toks = widen(toks)
         strategy = "prefix"
     # The signature table feeds multiple consumers (prefix explode +
     # two array fetch-backs, or the triangle join's two sides) whose
@@ -3173,7 +3180,12 @@ def q_c113_threshold_sweep_curve(spark, sf_dir):
         )
         out = _c113_fold_bands(_c113_bitmask_pairs(sized, bit_tbl, masked))
     else:
-        out = _c113_band_curve(sized, _c113_prefix_candidates(sized))
+        # Fallback boundary (round 12): re-widen the persisted corpus
+        # to full session width before the INTERPRETED prefix path —
+        # the adaptive narrow entry is sized for the bitmask path's
+        # codegen work only (see jaccard_near_dedup's identical note).
+        sized_w = widen(sized)
+        out = _c113_band_curve(sized_w, _c113_prefix_candidates(sized_w))
     result = out.localCheckpoint(eager=True)
     if masked is not None:
         masked.unpersist()

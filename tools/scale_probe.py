@@ -156,6 +156,12 @@ PROBE_QUERIES = (
     "q_c97_semdedup",
     "q_c30_kmeans",
     "q_c128_bitmap_prefilter_dedup",
+    # round-12 (optimization): the CC local-finish + adaptive-width
+    # keys join the standing list — the probe is what bounds the
+    # union-find cap's regime (bridges grow ~linearly in the
+    # namespaced replicas) and the width estimate's growth.
+    "q_c18_dedup_clusters",
+    "q_c113_threshold_sweep_curve",
     # round-10 additions over documents/embeddings. q_c133 is absent:
     # the replicas namespace every token, so the lexicon join drops
     # all non-copy-0 tokens and a probe would measure the scan gate,
