@@ -374,9 +374,19 @@ def portable_minhash_bands_np(
             return v
 
         for pdf in it:
+            # Bound the per-task memo (ADVICE r12): a task's distinct
+            # token vocabulary grows without bound across Arrow batches
+            # at production scale; reset past a cap so executor Python
+            # heap stays bounded (hit rate within a batch is what the
+            # memo exists for).
+            if len(memo) > 1_000_000:
+                memo.clear()
             out = []
             for toks in pdf["__toks"]:
-                hs = {h32(t) for t in toks}
+                # NULL text arrives as None (ADVICE r12): the
+                # declarative twin's concat_ws null-skipping yields the
+                # md5('') bands for it — same as an empty token set.
+                hs = {h32(t) for t in toks} if toks is not None else set()
                 if hs:
                     h = np.fromiter(hs, dtype=np.int64, count=len(hs))
                     mins = ((A[:, None] * h[None, :]) + B[:, None]) % MH_PRIME

@@ -1008,6 +1008,14 @@ def connected_components(
         # exactly as before; the gate costs them one limit-scan job.
         import os as _os
 
+        # NOTE (ADVICE r12): for under-cap graphs the union-find below
+        # returns the TRUE component-min fixpoint, while the loop can
+        # return truncated (non-fixpoint) labels if a contracted chain
+        # outlives max_iter — so on such adversarial graphs the output
+        # legitimately varies with SPARK_GRAFT_CC_LOCAL_EDGES, and the
+        # local path is the more correct one. The loop logs a warning
+        # when it exhausts max_iter unconverged so the divergence is
+        # traceable.
         cap = int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "200000"))
         head = g.limit(cap + 1).collect() if cap > 0 else None
         if head is not None and len(head) <= cap:
@@ -1049,6 +1057,7 @@ def connected_components(
                     F.broadcast(mdf), "label", "left"
                 ).select("node", F.coalesce("m", "label").alias("label"))
             return assign
+        converged = False
         for _ in range(max_iter):
             # Min-label pass on the contracted graph. `moves` holds
             # only label-nodes that improve; if none can, assign is
@@ -1068,6 +1077,7 @@ def connected_components(
             )
             n_moves = moves.count()
             if n_moves == 0:
+                converged = True
                 break
             # Broadcast the remap table only when the count we already
             # paid for says it fits (~16 bytes/row; 4M rows ≈ 64 MB).
@@ -1100,6 +1110,19 @@ def connected_components(
                 # growth without it); materialization rides along in
                 # the NEXT round's moves.count() job.
                 .localCheckpoint(eager=False)
+            )
+        if not converged:
+            # ADVICE r12: a non-fixpoint return is legal here (bounded
+            # iteration) but must be traceable — the local-finish path
+            # above would have returned the true fixpoint instead.
+            import warnings
+
+            warnings.warn(
+                "connected_components hit max_iter "
+                f"({max_iter}) before convergence; labels may be a "
+                "non-fixpoint truncation (raise max_iter or "
+                "SPARK_GRAFT_CC_LOCAL_EDGES)",
+                stacklevel=2,
             )
     finally:
         if prev is not None:

@@ -451,9 +451,19 @@ def portable_perceptual_hashes_np(
             return his, los
 
         for pdf in it:
+            # Bound the per-task memo (ADVICE r12): reset past a cap so
+            # a task's Python heap stays bounded across Arrow batches
+            # at production scale.
+            if len(memo) > 1_000_000:
+                memo.clear()
             out_hi = np.zeros(len(pdf), dtype=np.int64)
             out_lo = np.zeros(len(pdf), dtype=np.int64)
             for row_i, payload in enumerate(pdf[binary_col]):
+                if payload is None:
+                    # NULL payload (ADVICE r12): the declarative twin's
+                    # left-join + coalesce emits (0, 0) — keep that
+                    # contract instead of crashing on bytes(None).
+                    continue
                 b = bytes(payload)
                 n4 = len(b) // 4
                 if n4 == 0:
