@@ -104,13 +104,17 @@ def jaccard_near_dedup(
     ``strategy="adaptive"`` — **the C113 playbook** (round-8 verdict:
     the fix that took that key 26.7 s -> 4.8 s): measure one 1-row
     statistic — the max per-block vocabulary bit index — and pick the
-    exact path it licenses. Vocabulary fits 64 bits (this fixture: 31
-    tokens/lang) -> BITMASK-SET pairs: each doc folds to one 64-bit
-    integer, i = bit_count(a & b), and the pairwise stage is a
-    broadcast hash join whose per-pair verify is two integer
-    instructions instead of an array intersection. Otherwise -> the
-    exact prefix filter below, which is what an open-vocabulary corpus
-    at 100 TB takes (selective there by Zipf). Both branches have
+    exact path it licenses. Vocabulary fits ``64 * W`` bits (W <=
+    ``_mask_max_words()``, default 8 words = 512 bits; this fixture:
+    31 tokens/lang -> one word) -> BITMASK-SET pairs: each doc folds
+    to W 64-bit integers, i = sum_w bit_count(a_w & b_w), and the
+    pairwise stage is a broadcast hash join whose per-pair verify is
+    2W integer instructions instead of an array intersection (the
+    round-13 multi-word rung — dense-but-bounded vocabularies used to
+    fall off this path at 64 bits and degrade to ~all-pairs prefix
+    candidates). Otherwise -> the exact prefix filter below, which is
+    what an open-vocabulary corpus at 100 TB takes (selective there
+    by Zipf). Both branches have
     recall EXACTLY 1 — C8's MinHash banding can NOT serve as the
     candidate source for an oracle-hash-matched operator (recall < 1
     at any finite (bands, rows); C118's planner quantifies the miss
@@ -201,10 +205,11 @@ def jaccard_near_dedup(
         tok_long = toks.select(
             "doc_id", *block_cols, F.explode("toks").alias("tok")
         )
-        masked = _block_bitmask_table(tok_long, block_cols)
-        if masked is not None:
+        fit = _block_bitmask_table(tok_long, block_cols)
+        if fit is not None:
+            masked, n_words = fit
             return _bitmask_exact_pairs(
-                masked, block_cols, threshold, length_band
+                masked, block_cols, threshold, length_band, n_words
             )
         # Fallback boundary (round 12): the adaptive entry narrowed the
         # fan-out for the mask path's codegen work, but the prefix
@@ -357,9 +362,62 @@ def _allpairs_triangle_join(
     )
 
 
+def _mask_max_words() -> int:
+    """Width cap (in 64-bit words) for the dense set-mask rung
+    (round 13, verdict task 1): vocabularies up to ``64 * W`` distinct
+    tokens per block keep the codegen bitmask verify (W ANDs + W
+    popcounts per pair); wider vocabularies fall back to the exact
+    prefix filter, which is selective exactly there (genuinely open
+    vocabularies prune by Zipf, where a dense mask would cost
+    O(vocab/64) per pair AND stop fitting a broadcast row). Default 8
+    words = 512 bits — a mask still smaller than the sorted hash
+    array it replaces for typical ~23-token sets; the env knob is a
+    deployment override, not a fixture tune."""
+    import os as _os
+
+    return max(1, int(_os.environ.get("SPARK_GRAFT_MASK_WORDS", "8")))
+
+
+def _mask_word_cols(n_words: int, bit_col: str = "bit") -> list:
+    """The per-word ``bit_or`` fold columns m0..m{W-1}: token with bit
+    index b sets bit (b mod 64) of word (b div 64). Single-word keeps
+    the exact legacy expression (shift over the raw index)."""
+    if n_words == 1:
+        return [F.bit_or(F.expr(f"shiftleft(1L, {bit_col})")).alias("m0")]
+    return [
+        F.bit_or(
+            F.when(
+                F.col(bit_col).between(64 * w, 64 * w + 63),
+                F.expr(f"shiftleft(1L, {bit_col} - {64 * w})"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"m{w}")
+        for w in range(n_words)
+    ]
+
+
+def _mask_popcount(n_words: int, side: str | None = None):
+    """``bit_count`` summed over the mask words (set size / overlap)."""
+    pre = f"{side}." if side else ""
+    out = F.bit_count(F.col(f"{pre}m0"))
+    for w in range(1, n_words):
+        out = out + F.bit_count(F.col(f"{pre}m{w}"))
+    return out
+
+
+def _mask_intersection(n_words: int):
+    """i = sum_w bit_count(a.m_w & b.m_w) — the W-word overlap count."""
+    out = F.bit_count(F.col("a.m0").bitwiseAND(F.col("b.m0")))
+    for w in range(1, n_words):
+        out = out + F.bit_count(
+            F.col(f"a.m{w}").bitwiseAND(F.col(f"b.m{w}"))
+        )
+    return out
+
+
 def _block_bitmask_table(tok: DataFrame, block_cols: list[str]):
-    """Fold each doc's hashed token set into ONE 64-bit mask, or None
-    when any block's vocabulary exceeds 64 distinct tokens.
+    """Fold each doc's hashed token set into a W-word (W <=
+    ``_mask_max_words()``) bitmask, or None when any block's
+    vocabulary exceeds ``64 * W`` distinct tokens.
 
     The C113 playbook, generalized for ``jaccard_near_dedup``: a
     per-block vocabulary table assigns each token a rarest-first bit
@@ -368,7 +426,21 @@ def _block_bitmask_table(tok: DataFrame, block_cols: list[str]):
     long form (doc_id, *block_cols, tok) with per-doc-DISTINCT token
     hashes. ``None`` (vocabulary too wide, or an empty corpus — max()
     is NULL) tells the caller to fall back to the exact prefix filter,
-    which is the path a real open-vocabulary corpus takes at scale."""
+    which is the path a real open-vocabulary corpus takes at scale.
+
+    Round 13 (verdict task 1 — the dense-vocab scale-killer): the
+    single-long mask grew a MULTI-WORD rung. The gate reads the max
+    bit index FIRST (the same single 1-row agg job over the persisted
+    vocab table as before — shiftleft wraps silently at >= 64, so no
+    mask is ever planned before the width is known), then builds the
+    fold at exactly ceil((vmax+1)/64) words. Returns (masked_df,
+    n_words). Persisting the fold matters because the probe side AND
+    the broadcast build both read it; materialization stays LAZY —
+    the fold runs inside the consumer's first action. Callers that
+    narrow the shuffle width for an iterative loop must checkpoint
+    their pair join first so the fold materializes at full session
+    width (q_c18/q_c58 do; same caller contract
+    connected_components documents)."""
     bit_tbl = (
         tok.groupBy(*block_cols, "tok")
         .agg(F.count("*").alias("df"))
@@ -382,38 +454,19 @@ def _block_bitmask_table(tok: DataFrame, block_cols: list[str]):
         .select(*block_cols, "tok", "bit")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Persist the fold: the probe side AND the broadcast build both
-    # read it (without the persist each re-runs explode + join +
-    # groupBy — measured as the whole gap vs the allpairs rolling
-    # min). Materialization stays LAZY: the single gate job below
-    # (one 1-row agg over the persisted vocab table) is the only
-    # barrier this helper pays, and the mask fold then materializes
-    # inside the consumer's first action — callers that narrow the
-    # shuffle width for an iterative loop must checkpoint their pair
-    # join first so the fold materializes at full session width
-    # (q_c18/q_c58 do; it is the same caller contract
-    # connected_components already documents). The `least(bit, 63)`
-    # cap makes the mask expression SAFE to plan before the
-    # vocabulary-width gate is read (shiftleft wraps silently at
-    # >= 64): in the fit case it is a no-op, in the wide-vocab case
-    # the masks are discarded unbuilt below.
+    vmax = bit_tbl.agg(F.max("bit").alias("m")).first()["m"]
+    if vmax is None or vmax >= 64 * _mask_max_words():
+        bit_tbl.unpersist()
+        return None
+    n_words = vmax // 64 + 1
     masked = (
         tok.join(F.broadcast(bit_tbl), [*block_cols, "tok"])
         .groupBy("doc_id", *block_cols)
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(1L, least(bit, 63))")
-            ).alias("mask")
-        )
-        .withColumn("n_toks", F.bit_count("mask").cast("int"))
+        .agg(*_mask_word_cols(n_words))
+        .withColumn("n_toks", _mask_popcount(n_words).cast("int"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vmax = bit_tbl.agg(F.max("bit").alias("m")).first()["m"]
-    if vmax is None or vmax >= 64:
-        masked.unpersist()
-        bit_tbl.unpersist()
-        return None
-    return masked
+    return masked, n_words
 
 
 def _bitmask_exact_pairs(
@@ -421,12 +474,13 @@ def _bitmask_exact_pairs(
     block_cols: list[str],
     threshold: float,
     length_band: float,
+    n_words: int = 1,
 ) -> DataFrame:
-    """Exact Jaccard >= ``threshold`` pairs when every doc's set is one
-    64-bit mask: i = bit_count(mask_a & mask_b), u = n_a + n_b - i —
-    the per-pair verify drops from an array intersection to two
+    """Exact Jaccard >= ``threshold`` pairs when every doc's set is a
+    W-word bitmask: i = sum_w bit_count(m_w_a & m_w_b), u = n_a + n_b
+    - i — the per-pair verify drops from an array intersection to 2W
     integer instructions inside whole-stage codegen, and the probe
-    side is a doc-count-sized broadcast (one row per doc, 8-byte
+    side is a doc-count-sized broadcast (one row per doc, 8W-byte
     mask), so NO shuffle reaches the pair stage. Same multiplied-form
     threshold predicate as the prefix branch (inclusive-only fp
     slack), so the pair set is bit-identical to allpairs/prefix."""
@@ -437,9 +491,7 @@ def _bitmask_exact_pairs(
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    i = F.bit_count(
-        F.col("a.mask").bitwiseAND(F.col("b.mask"))
-    ).cast("long")
+    i = _mask_intersection(n_words).cast("long")
     s = (F.col("a.n_toks") + F.col("b.n_toks")).cast("long")
     bound = i.cast("double") * (1.0 + threshold) >= (
         threshold * s.cast("double") - 1e-6
@@ -3165,13 +3217,17 @@ def q_c113_threshold_sweep_curve(spark, sf_dir):
     cross-check. The registered query now ADAPTS on a measured
     1-row statistic (max per-lang vocabulary, one tiny aggregate):
 
-    * vocabulary fits 64 bits (this fixture: 31 tokens/lang) ->
-      BITMASK-SET path: each doc's distinct-token set becomes one
-      64-bit integer (bit index = rarest-first (df, tok) rank, a
-      155-row window); i = bit_count(mask_a & mask_b), u = n_a +
-      n_b - i — the verify drops from array intersection to two
-      integer instructions per pair, and the probe side is a
-      5k-row broadcast so NO shuffle reaches the pair stage.
+    * vocabulary fits 64 * W bits (W <= _mask_max_words(), default 8
+      words; this fixture: 31 tokens/lang -> one word) -> BITMASK-SET
+      path: each doc's distinct-token set becomes W 64-bit integers
+      (bit index = rarest-first (df, tok) rank, a 155-row window);
+      i = sum_w bit_count(m_w_a & m_w_b), u = n_a + n_b - i — the
+      verify drops from array intersection to 2W integer
+      instructions per pair, and the probe side is a 5k-row
+      broadcast so NO shuffle reaches the pair stage. (Round 13:
+      the multi-word rung — dense-but-bounded vocabularies, e.g.
+      namespaced 10x replicas at 310 tokens/lang, used to fall off
+      at 64 bits into the degenerate-prefix regime.)
     * otherwise -> EXACT PREFIX FILTERING (AllPairs/PPJoin,
       Bayardo et al. WWW'07): per lang, tokens totally ordered
       rarest-first by (df, tok); a doc of n distinct tokens emits
@@ -3197,11 +3253,18 @@ def q_c113_threshold_sweep_curve(spark, sf_dir):
     # vmax is NULL on an empty corpus (no rows survive the size(raw)>0
     # filter): fall through to the prefix path, which degrades to an
     # empty curve instead of a NoneType comparison crash.
-    if vmax is not None and vmax < 64:
-        masked = _c113_doc_masks(sized, bit_tbl).persist(
+    # Round 13 (verdict task 1): the mask rung now serves vocabularies
+    # up to 64 * _mask_max_words() bits (multi-word masks, W ANDs +
+    # popcounts per pair) — the dense-but-bounded regime that used to
+    # degrade to ~all-pairs prefix candidates (10x probe: 160-219 s).
+    if vmax is not None and vmax < 64 * _mask_max_words():
+        n_words = vmax // 64 + 1
+        masked = _c113_doc_masks(sized, bit_tbl, n_words).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        out = _c113_fold_bands(_c113_bitmask_pairs(sized, bit_tbl, masked))
+        out = _c113_fold_bands(
+            _c113_bitmask_pairs(sized, bit_tbl, masked, n_words)
+        )
     else:
         # Fallback boundary (round 12): re-widen the persisted corpus
         # to full session width before the INTERPRETED prefix path —
@@ -3336,28 +3399,28 @@ def _c113_bit_table(sized):
     )
 
 
-def _c113_doc_masks(sized, bit_tbl):
-    """Fold each doc's distinct-token set into one 64-bit mask."""
+def _c113_doc_masks(sized, bit_tbl, n_words: int = 1):
+    """Fold each doc's distinct-token set into a W-word bitmask."""
     return (
         sized.select("doc_id", "lang", F.explode("toks").alias("tok"))
         .join(F.broadcast(bit_tbl), ["lang", "tok"])
         .groupBy("doc_id", "lang")
-        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("mask"))
-        .withColumn("n", F.bit_count("mask").cast("int"))
+        .agg(*_mask_word_cols(n_words))
+        .withColumn("n", _mask_popcount(n_words).cast("int"))
     )
 
 
-def _c113_bitmask_pairs(sized, bit_tbl, masked=None):
-    """Exact (d1, d2, i, u) pairs via 64-bit set masks (vocab <= 64).
+def _c113_bitmask_pairs(sized, bit_tbl, masked=None, n_words: int = 1):
+    """Exact (d1, d2, i, u) pairs via W-word set masks (vocab <= 64W).
 
-    Each doc folds to one long (bit index from bit_tbl); the pair
+    Each doc folds to W longs (bit index from bit_tbl); the pair
     stage is a broadcast hash join on lang with the full J >= 0.5
-    pigeonhole length gate, i via bit_count(mask & mask) — pure
+    pigeonhole length gate, i via summed bit_count(m_w & m_w) — pure
     codegen integer ops, no shuffle on the probe side and no arrays
     at pair time. Pass a persisted `masked` (from _c113_doc_masks)
     so the broadcast build does not recompute the fold."""
     if masked is None:
-        masked = _c113_doc_masks(sized, bit_tbl)
+        masked = _c113_doc_masks(sized, bit_tbl, n_words)
     a, b = masked.alias("a"), F.broadcast(masked.alias("b"))
     pairs = a.join(
         b,
@@ -3365,9 +3428,7 @@ def _c113_bitmask_pairs(sized, bit_tbl, masked=None):
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & _c113_length_compatible(),
     )
-    i = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask"))).cast(
-        "long"
-    )
+    i = _mask_intersection(n_words).cast("long")
     return pairs.select(
         F.col("a.doc_id").alias("d1"),
         F.col("b.doc_id").alias("d2"),
