@@ -2783,7 +2783,15 @@ def q_c102_substring_span_surgery(spark, sf_dir):
     The rebuilt text hash-matches DuckDB's ORDER BY string_agg
     byte-for-byte — the reconstruction really is position-exact."""
     d = load_table(spark, sf_dir, "documents")
-    spans = exact_dup_spans(d)
+    # Round 13 (verdict task 4): the span stage (gram explode + gram
+    # window + island merge — the query's only corpus-scale work) is
+    # read by THREE subtrees (affected twice via the tok_rows join and
+    # the final left join, plus the anti-join's span side); unpersisted
+    # it re-ran per consumer (profiler: three repeated ~1 s 33-task
+    # jobs). Persist the small span table (affected docs x islands) so
+    # one execution feeds all three (guide §5 / the c18 phase-split
+    # pattern).
+    spans = exact_dup_spans(d).persist(StorageLevel.MEMORY_AND_DISK)
     affected = spans.groupBy("doc_id").agg(
         F.min("n_tokens").cast("bigint").alias("n_tokens_before")
     )

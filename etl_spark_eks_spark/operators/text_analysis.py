@@ -2198,10 +2198,21 @@ def q_c92_perplexity_buckets(spark, sf_dir):
         running_total_before,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     tok = widen(d).select(
         "doc_id", "lang", F.explode(tokenize("text")).alias("token")
     )
+    # Round 13 (verdict task 5, the WP1 barrier audit): doc feeds
+    # three consumers (the prefix-sum bucket build, the n_l broadcast,
+    # the final rank join) — unpersisted, each broadcast-build job
+    # re-ran the whole explode+join+count pipeline (profiler: four
+    # 33-task corpus explodes; two remain — freq's and doc's).
+    # Persisting freq TOO was measured and REJECTED (3.7-5.6 s vs
+    # 2.7 s): an InMemoryRelation hides the size estimate AQE uses to
+    # keep the vocab join a broadcast, so the cached freq bought a
+    # shuffle join that cost more than the explode it saved.
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
     doc = (
@@ -2215,6 +2226,7 @@ def q_c92_perplexity_buckets(spark, sf_dir):
                 6,
             ).alias("score"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keyed = doc.withColumn(
         "sort_key",
@@ -2752,16 +2764,28 @@ def q_c101_source_divergence_matrix(spark, sf_dir):
     rounds at the edge (C26/C52's measured ln/sum-order contract).
     JSD in nats, bounded by ln 2 ~= 0.6931; the fixture matrix spans
     ~0.15-0.35 — both near and far pairs carry signal."""
+    from pyspark.storagelevel import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     toks = widen(d).select(
         "source", F.explode(tokenize("text")).alias("token")
     )
-    counts = toks.groupBy("token", "source").agg(F.count("*").alias("n"))
+    # Round 13 (verdict task 5): counts feeds tokmap + the totals
+    # collect, and tokmap feeds the inter collect + the final
+    # crossJoin — unpersisted, the two driver pulls and the final job
+    # each re-ran the corpus explode + count. Persist the CONTRACTED
+    # tables (vocab x sources / vocab rows); the corpus is now touched
+    # by exactly one token count, as the docstring promises.
+    counts = (
+        toks.groupBy("token", "source")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tokmap = counts.groupBy("token").agg(
         F.map_from_entries(
             F.collect_list(F.struct("source", "n"))
         ).alias("m")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = {
         r["source"]: (r["nt"], r["vs"])
         for r in counts.groupBy("source")
