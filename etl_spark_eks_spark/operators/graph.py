@@ -130,22 +130,34 @@ def q_c61_pagerank(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     n_nodes = deg.count()
+    # Round 13: attach the DESTINATION degree to the edge table once
+    # (broadcast join over the node-sized deg; lazy checkpoint rides
+    # round 0's aggregate), so each round's groupBy(dst) carries deg
+    # as a constant-per-group MIN instead of paying a broadcast(deg)
+    # join — one fewer broadcast-build job per round (3 total), same
+    # values by construction (every deg long rides unchanged).
+    edged = edges.join(
+        F.broadcast(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
+        ),
+        "dst",
+    ).localCheckpoint(eager=False)
     ranks = deg.withColumn("r", F.round(F.lit(1.0) / n_nodes, 15))
     for it in range(_PR_ITERS):
         shares = ranks.select(
             "node", F.round(F.col("r") / F.col("deg"), 15).alias("share")
         )
         ranks = (
-            edges.join(F.broadcast(shares), edges.src == shares.node)
+            edged.join(F.broadcast(shares), edged.src == shares.node)
             .groupBy("dst")
             .agg(
                 F.sum(F.col("share").cast("decimal(38,18)"))
                 .cast("double")
-                .alias("in_sum")
+                .alias("in_sum"),
+                F.min("ddeg").alias("deg"),
             )
-            .join(F.broadcast(deg), F.col("dst") == deg.node)
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 "deg",
                 F.round(
                     0.15 / n_nodes + _PR_DAMP * F.col("in_sum"), 15
