@@ -2467,6 +2467,18 @@ def _pq_assign(sub, cb):
     )
 
 
+def _pq_collect_books(cb) -> dict:
+    """Collect a (code, subspace, cv) codebook DataFrame into the
+    driver dict {subspace: [(code, [float..])]} that `_pq_assign_np`
+    broadcasts through its closure — the k-row pull class."""
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb.collect():
+        books.setdefault(r["subspace"], []).append(
+            (r["code"], [float(x) for x in r["cv"]])
+        )
+    return books
+
+
 def _pq_assign_np(sub, cb, carry=None):
     """Arrow-batched twin of :func:`_pq_assign` (round 12, r11 verdict
     task 2): same output contract — (vec_id, subspace, code, sv, d2)
@@ -2509,12 +2521,14 @@ def _pq_assign_np(sub, cb, carry=None):
     removing the per-round (vec_id, subspace) shuffle join the trace
     otherwise pays (guide §2.4; measured +2.5 s/query at sf0.1 when
     the join was merely *combined* with the distortion agg instead of
-    removed)."""
-    books: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in cb.collect():
-        books.setdefault(r["subspace"], []).append(
-            (r["code"], [float(x) for x in r["cv"]])
-        )
+    removed).
+
+    ``cb`` may be a codebook DataFrame (collected here — a 128-row
+    driver pull) or an already-collected dict as returned by
+    :func:`_pq_collect_books` (round 13: q_c142 re-centers ON THE
+    DRIVER from the same per-cell partials its trace aggregate
+    collects, so no codebook DataFrame exists between rounds)."""
+    books = cb if isinstance(cb, dict) else _pq_collect_books(cb)
     mats = {
         s: (
             np.array([c for c, _ in sorted(v)], dtype=np.int64),
@@ -3118,24 +3132,53 @@ def q_c142_pq_convergence_gate(spark, sf_dir):
     41 jobs -> ~3.0 s, identical rows, same oracle hash (verified
     sf0.01 + sf0.1). A join-based merge of the two aggregates was
     measured FIRST and rejected: +2.5 s — the join cost more than the
-    barrier it saved."""
+    barrier it saved.
+
+    Round 13 (guide §2.4, verdict task 6): the residual per-round
+    re-centering exchange is gone too — ONE GROUPING SETS ((subspace,
+    code), ()) aggregate per round returns the trace totals AND the
+    128 per-cell (count, per-dim exact-DECIMAL sum) partials that
+    _pq_recenter used to shuffle for; the codebook division happens
+    on the driver (the identical IEEE double division over identical
+    doubles — s_j is the same DECIMAL(38,6) fold cast double, n the
+    same member count — and empty cells keep the previous centroid),
+    so each round is ONE corpus-pass job and the codebook never
+    exists as a distributed table between rounds."""
     emb = load_table(spark, sf_dir, "embeddings")
     sub = _pq_subspaces(
         widen(emb, _assign_width(emb))
     ).localCheckpoint(eager=False)
-    cb = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
-        F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
+    books = _pq_collect_books(
+        _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
+            F.col("vec_id").alias("code"),
+            "subspace",
+            F.col("sv").alias("cv"),
+        )
     )
+    # Round 13 (verdict task 6): the per-round posexplode + (subspace,
+    # code, dim) shuffle that re-centered the codebook is GONE — ONE
+    # GROUPING SETS ((subspace, code), ()) aggregate per round carries
+    # the trace totals (global row: exact-DECIMAL distortion, n_moved)
+    # AND the 128 per-cell re-centering partials (count + 8 per-dim
+    # DECIMAL sums, the same folds _pq_recenter computed), and the new
+    # codebook is divided out ON THE DRIVER (s_j / n in IEEE double —
+    # the identical division Spark ran; empty cells keep the previous
+    # centroid). Per round that is ONE corpus-pass job instead of the
+    # trace agg + the recenter materialization inside the next
+    # assignment's codebook collect.
+    dim_sums = [
+        dsum(F.element_at("sv", j).cast("double")).alias(f"s{j}")
+        for j in range(1, _PQ_SUB + 1)
+    ]
     rows = []
     prev_distortion = None
     cur = sub
     for r in range(_C142_MAX_ROUNDS + 1):
         if r == 0:
-            assigned = _pq_assign_np(cur, cb).localCheckpoint(eager=False)
-            distortion = (
-                assigned.agg(dsum("d2").alias("d")).collect()[0]["d"]
+            assigned = _pq_assign_np(cur, books).localCheckpoint(
+                eager=False
             )
-            n_moved, rel = 0, None
+            moved = F.sum(F.lit(0).cast("long")).alias("m")
         else:
             assigned = _pq_assign_np(
                 cur.select(
@@ -3144,22 +3187,55 @@ def q_c142_pq_convergence_gate(spark, sf_dir):
                     "sv",
                     F.col("code").alias("prev_code"),
                 ),
-                cb,
+                books,
                 carry="prev_code",
             ).localCheckpoint(eager=False)
-            st = assigned.agg(
+            moved = F.sum(
+                (F.col("code") != F.col("prev_code")).cast("long")
+            ).alias("m")
+        stats = (
+            assigned.groupingSets(
+                [["subspace", "code"], []], "subspace", "code"
+            )
+            .agg(
+                F.grouping_id().alias("gid"),
+                F.count("*").alias("cnt"),
                 dsum("d2").alias("d"),
-                F.sum(
-                    (F.col("code") != F.col("prev_code")).cast("long")
-                ).alias("m"),
-            ).collect()[0]
-            distortion, n_moved = st["d"], st["m"]
-            rel = (prev_distortion - distortion) / prev_distortion
+                moved,
+                *dim_sums,
+            )
+            .collect()
+        )
+        tot = next(x for x in stats if x["gid"] == 3)
+        distortion = tot["d"]
+        n_moved = tot["m"] if r > 0 else 0
+        rel = (
+            None
+            if r == 0
+            else (prev_distortion - distortion) / prev_distortion
+        )
         converged = rel is not None and rel < _C142_EPS
         rows.append((r, n_moved, distortion, rel, converged))
         if converged or r == _C142_MAX_ROUNDS:
             break
-        cb = _pq_recenter(assigned, cb).localCheckpoint(eager=False)
+        cell = {
+            (x["subspace"], x["code"]): x for x in stats if x["gid"] == 0
+        }
+        books = {
+            s: [
+                (
+                    code,
+                    [
+                        cell[(s, code)][f"s{j}"] / cell[(s, code)]["cnt"]
+                        for j in range(1, _PQ_SUB + 1)
+                    ]
+                    if (s, code) in cell
+                    else old_cv,
+                )
+                for code, old_cv in entries
+            ]
+            for s, entries in books.items()
+        }
         cur, prev_distortion = assigned, distortion
     return spark.createDataFrame(
         rows,

@@ -2110,6 +2110,66 @@ def test_pq_assign_np_bit_identical(spark, sf_dir):
         ).localCheckpoint(eager=True)
 
 
+def test_c142_driver_recenter_bit_identical(spark, sf_dir):
+    """Round 13: q_c142's driver-side re-centering (grouping-sets
+    per-cell partials + IEEE division on the driver) must be
+    BIT-identical to the distributed _pq_recenter it replaced — every
+    centroid double equal, empty cells keeping the old centroid."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_eks_spark.functions.exact import dsum
+    from etl_spark_eks_spark.operators.similarity import (
+        _PQ_CODES,
+        _PQ_SUB,
+        _pq_assign_np,
+        _pq_collect_books,
+        _pq_recenter,
+        _pq_subspaces,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_subspaces(emb).localCheckpoint(eager=True)
+    cb = _pq_subspaces(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
+        F.col("vec_id").alias("code"), "subspace", F.col("sv").alias("cv")
+    )
+    books = _pq_collect_books(cb)
+    assigned = _pq_assign_np(sub, books).localCheckpoint(eager=True)
+    ref = {
+        (s, c): tuple(cv)
+        for s, entries in _pq_collect_books(
+            _pq_recenter(assigned, cb)
+        ).items()
+        for c, cv in entries
+    }
+    dim_sums = [
+        dsum(F.element_at("sv", j).cast("double")).alias(f"s{j}")
+        for j in range(1, _PQ_SUB + 1)
+    ]
+    stats = (
+        assigned.groupingSets(
+            [["subspace", "code"], []], "subspace", "code"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("cnt"),
+            *dim_sums,
+        )
+        .collect()
+    )
+    cell = {(x["subspace"], x["code"]): x for x in stats if x["gid"] == 0}
+    got = {}
+    for s, entries in books.items():
+        for code, old_cv in entries:
+            if (s, code) in cell:
+                x = cell[(s, code)]
+                got[(s, code)] = tuple(
+                    x[f"s{j}"] / x["cnt"] for j in range(1, _PQ_SUB + 1)
+                )
+            else:
+                got[(s, code)] = tuple(old_cv)
+    assert got == ref
+
+
 def test_c146_handoff_consistent_with_parents(spark, sf_dir):
     """C146's pager rows must agree exactly with the standalone
     parents: (slope, drift_rank, on_watch_list) bit-identical to
