@@ -50,6 +50,49 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _derived_shuffle_partitions(cpus: int) -> int:
+    """Size-derived shuffle-partition default (round 13, guide §2.2).
+
+    The default used to be a constant (= cpus). At bench scale that
+    constant dominates the suite: sf0.1 is ~17 MB of parquet, so every
+    exchange fanned KB-scale data out to 32 sub-MB partitions whose
+    per-task scheduling latency was ~40% of total bench seconds — and
+    streaming state stores (which AQE never coalesces) paid it per
+    micro-batch. Derive the default from the INPUT size instead:
+
+        partitions = clamp(input_bytes / 2 MiB, 4, 2 * parallelism)
+
+    2 MiB of compressed input per partition is the smallest slice
+    whose task outlives its scheduling overhead (compressed shuffle
+    bytes are the same ballpark as compressed parquet input; AQE's own
+    useful-partition floor, ``coalescePartitions.minPartitionSize``,
+    is 1 MiB). The rule is scale-adaptive, not local tuning: at sf0.1
+    it derives ~9, at 10x probe scale ~64+, and on any real corpus it
+    saturates the cap immediately — at which point the deployment sets
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (the documented knob, ~2-3x
+    total executor cores, partitions sized 100 MB-1 GB per guide §2.2)
+    and this default never engages. AQE coalescing stays on above it.
+
+    Reads ``$SPARK_GRAFT_SF_DIR`` (the same contract bench.py and the
+    driver use); unreadable/absent dir falls back to the legacy
+    constant (= cpus) so nothing breaks off-bench.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    if total <= 0:
+        return cpus
+    return max(4, min(2 * cpus, -(-total // (2 << 20))))
+
+
 def get_spark(
     app_name: str = "etl-spark-eks-spark",
     master: str | None = None,
@@ -60,7 +103,9 @@ def get_spark(
     """Create (or get) a SparkSession with the engine profile applied.
 
     Defaults come from env: ``SPARK_GRAFT_CPUS`` (local parallelism) and
-    ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (explicit deployment override;
+    otherwise derived from the input size — see
+    :func:`_derived_shuffle_partitions`).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
@@ -72,8 +117,9 @@ def get_spark(
     # spark-operator-taxi.yaml:120-124).
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if shuffle_partitions is None:
-        shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+        env_p = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = (
+            int(env_p) if env_p else _derived_shuffle_partitions(cpus)
         )
 
     builder = SparkSession.builder.appName(app_name).master(master)
