@@ -1377,56 +1377,103 @@ def q_c27_incremental_dedup(spark, sf_dir):
         .withColumnRenamed("b_doc", "b_id")
     )
 
-    # ---- near probe: exact prefix-filter equi-join + verification --
-    prefix_len = (
-        F.col("n") - F.ceil(F.lit(0.8) * F.col("n") - 1e-9) + 1
+    # ---- near probe: adaptive, the C113/C18 playbook (round 13) ----
+    # The interpreted per-candidate array_intersect verify was this
+    # key's entire remaining floor (profiler: two ~2 s 32-task jobs on
+    # a 12-job query — candidate gen + verify). When the per-lang
+    # vocabulary fits the W-word mask rung (one cheap 1-row gate over
+    # the checkpointed index), both probe sides fold to masks and the
+    # verify becomes summed bit_count inside whole-stage codegen —
+    # i = |intersection| and n are the IDENTICAL integers (token
+    # hashes are array_distinct), so jac and the match set are
+    # value-identical to the prefix+intersect form, which remains the
+    # open-vocabulary fallback below (selective by Zipf exactly
+    # there). In production the masks live in the standing index the
+    # way htoks do.
+    fit = _block_bitmask_table(
+        toks.select("doc_id", "lang", F.explode("htoks").alias("tok")),
+        ["lang"],
     )
-
-    def prefix_of(df, id_alias):
-        return df.select(
-            F.col("doc_id").alias(id_alias),
-            F.explode(F.slice("htoks", F.lit(1), prefix_len)).alias("p"),
+    if fit is not None:
+        masked, n_words = fit
+        a = masked.filter(F.col("doc_id") % 10 != 7).alias("a")
+        b = F.broadcast(
+            masked.filter(F.col("doc_id") % 10 == 7).alias("b")
         )
-
-    # No .distinct(): a pair sharing several prefix elements repeats,
-    # but the MIN(c_id) rollup absorbs duplicates and dropping the
-    # dedup removes a full (b_id, c_id) exchange — each repeat pays
-    # one extra in-memory verify, bounded by the prefix length.
-    cand_nr = (
-        F.broadcast(prefix_of(batch, "b_id"))
-        .join(prefix_of(corpus, "c_id"), "p")
-        .select("b_id", "c_id")
-    )
-    b_side = F.broadcast(
-        batch.select(
-            F.col("doc_id").alias("b_id"),
-            F.col("lang").alias("b_lang"),
-            F.col("htoks").alias("b_htoks"),
-            F.col("n").alias("b_n"),
+        inter = _mask_intersection(n_words).cast("int")
+        jac = inter.cast("double") / (
+            F.col("b.n_toks") + F.col("a.n_toks") - inter
         )
-    )
-    c_side = corpus.select(
-        F.col("doc_id").alias("c_id"),
-        F.col("lang").alias("c_lang"),
-        F.col("htoks").alias("c_htoks"),
-        F.col("n").alias("c_n"),
-    )
-    inter = F.size(F.array_intersect("b_htoks", "c_htoks"))
-    jac = inter.cast("double") / (F.col("b_n") + F.col("c_n") - inter)
-    nr = (
-        cand_nr.join(b_side, "b_id")
-        .join(c_side, "c_id")
-        .filter(
-            (F.col("b_lang") == F.col("c_lang"))
-            & (
-                F.abs(F.col("b_n") - F.col("c_n"))
-                <= 0.2 * F.greatest(F.col("b_n"), F.col("c_n"))
+        nr = (
+            a.join(
+                b,
+                (F.col("b.lang") == F.col("a.lang"))
+                & (
+                    F.abs(F.col("b.n_toks") - F.col("a.n_toks"))
+                    <= 0.2
+                    * F.greatest(F.col("b.n_toks"), F.col("a.n_toks"))
+                )
+                & (jac >= 0.8),
             )
-            & (jac >= 0.8)
+            .groupBy(F.col("b.doc_id").alias("b_id"))
+            .agg(F.min(F.col("a.doc_id")).alias("nr_match"))
         )
-        .groupBy("b_id")
-        .agg(F.min("c_id").alias("nr_match"))
-    )
+    else:
+        # exact prefix-filter equi-join + verification (unchanged)
+        prefix_len = (
+            F.col("n") - F.ceil(F.lit(0.8) * F.col("n") - 1e-9) + 1
+        )
+
+        def prefix_of(df, id_alias):
+            return df.select(
+                F.col("doc_id").alias(id_alias),
+                F.explode(
+                    F.slice("htoks", F.lit(1), prefix_len)
+                ).alias("p"),
+            )
+
+        # No .distinct(): a pair sharing several prefix elements
+        # repeats, but the MIN(c_id) rollup absorbs duplicates and
+        # dropping the dedup removes a full (b_id, c_id) exchange —
+        # each repeat pays one extra in-memory verify, bounded by the
+        # prefix length.
+        cand_nr = (
+            F.broadcast(prefix_of(batch, "b_id"))
+            .join(prefix_of(corpus, "c_id"), "p")
+            .select("b_id", "c_id")
+        )
+        b_side = F.broadcast(
+            batch.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("lang").alias("b_lang"),
+                F.col("htoks").alias("b_htoks"),
+                F.col("n").alias("b_n"),
+            )
+        )
+        c_side = corpus.select(
+            F.col("doc_id").alias("c_id"),
+            F.col("lang").alias("c_lang"),
+            F.col("htoks").alias("c_htoks"),
+            F.col("n").alias("c_n"),
+        )
+        inter = F.size(F.array_intersect("b_htoks", "c_htoks"))
+        jac = inter.cast("double") / (
+            F.col("b_n") + F.col("c_n") - inter
+        )
+        nr = (
+            cand_nr.join(b_side, "b_id")
+            .join(c_side, "c_id")
+            .filter(
+                (F.col("b_lang") == F.col("c_lang"))
+                & (
+                    F.abs(F.col("b_n") - F.col("c_n"))
+                    <= 0.2 * F.greatest(F.col("b_n"), F.col("c_n"))
+                )
+                & (jac >= 0.8)
+            )
+            .groupBy("b_id")
+            .agg(F.min("c_id").alias("nr_match"))
+        )
     return (
         ex.join(nr, "b_id", "full")
         .select(
